@@ -1,0 +1,105 @@
+"""End-to-end rank-identity gate (SURVEY.md §5.2): the Spark engine must
+produce identical (doc_id, score) top-k lists to the pocket oracle for every
+query class in queries.jsonl, on the deterministic transcript fixture."""
+
+import json
+import os
+
+import pytest
+
+from trinity_spark.fixtures import docs_in_stable_order, gen_transcripts
+from trinity_spark.operators.build import (
+    build_field_stats,
+    build_postings,
+    build_term_dict,
+    tokenize_turns,
+)
+from trinity_spark.operators.docids import assign_doc_ids
+from trinity_spark.oracle import OracleIndex
+from trinity_spark.plans.parser import parse_query
+from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+
+N_TURNS = 1500
+QUERIES = [
+    json.loads(line)
+    for line in open(os.path.join(os.path.dirname(__file__), "..", "queries.jsonl"))
+    if line.strip()
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_transcripts(N_TURNS)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    turns = assign_doc_ids(spark.createDataFrame(corpus), num_partitions=7)
+    turns.persist()
+    hits = tokenize_turns(turns)
+    postings = build_postings(hits)
+    postings.persist()
+    term_dict = build_term_dict(postings)
+    field_stats = build_field_stats(postings, docs_cnt=turns.count())
+    index = LogicalIndex(postings, term_dict, field_stats)
+    return QueryPlanner(index), turns
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(docs_in_stable_order(corpus))
+
+
+def test_docid_dense_and_stable(engine, corpus):
+    """North-rule per-row invariant: per-turn text equality under the stable
+    (conv_id, turn_idx) ordering."""
+    _, turns = engine
+    rows = turns.select("doc_id", "conv_id", "turn_idx", "text").collect()
+    assert len(rows) == N_TURNS
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == list(range(N_TURNS))  # dense, zero-based
+    by_id = {r["doc_id"]: r for r in rows}
+    expected = docs_in_stable_order(corpus)
+    for doc_id, text in expected:
+        assert by_id[doc_id]["text"] == text
+
+
+def test_field_stats_match_oracle(engine, oracle):
+    planner, _ = engine
+    row = planner.index.field_stats.collect()[0]
+    assert row["docs_cnt"] == oracle.n_docs
+    assert row["total_terms"] == len(oracle.postings)
+    assert row["sum_terms_docs"] == sum(len(d) for d in oracle.postings.values())
+    assert row["sum_term_hits"] == sum(
+        len(ps) for d in oracle.postings.values() for ps in d.values()
+    )
+
+
+def test_term_dict_df_matches_oracle(engine, oracle):
+    planner, _ = engine
+    rows = planner.index.term_dict.collect()
+    got = {r["term"]: (r["df"], r["cf"]) for r in rows}
+    assert len(got) == len(oracle.postings)
+    for term, docs in oracle.postings.items():
+        assert got[term] == (len(docs), sum(len(p) for p in docs.values()))
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[q["id"] for q in QUERIES])
+def test_rank_identity(q, engine, oracle):
+    planner, _ = engine
+    node = parse_query(q["query"])
+    want = oracle.topk(node, k=q["k"])
+    got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=q["k"]).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"{q['id']}: docIDs diverge\n got={got}\nwant={want}"
+    )
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9, f"{q['id']}: score mismatch doc {gd}: {gs} vs {ws}"
+
+
+def test_queries_have_hits(oracle):
+    """Every planted query class must actually hit the fixture corpus."""
+    for q in QUERIES:
+        node = parse_query(q["query"])
+        assert node is not None
+        assert oracle.topk(node, k=1), f"{q['id']} has no hits in fixture"

@@ -1,0 +1,76 @@
+"""Tokenizer rules cataloged from /root/reference/queries.cpp:2098-2341."""
+
+from trinity_spark.tokenizer import (
+    MAX_POSITION,
+    MAX_TERM_LENGTH,
+    tokenize_py,
+    tokenize_terms_py,
+)
+
+
+def test_basic_alnum_runs():
+    assert tokenize_py("Hello, World! 123") == ["hello", "world", "123"]
+
+
+def test_acronym_collapse():
+    assert tokenize_py("I.B.M ships") == ["ibm", "ships"]
+    assert tokenize_py("works at i.b.m.") == ["works", "at", "ibm"]
+    # single letter + dot is NOT an acronym-in-progress ("a. b" stays)
+    assert tokenize_py("e.g. example") == ["eg", "example"]
+
+
+def test_apostrophe():
+    assert tokenize_py("L'Oreal don't") == ["loreal", "dont"]
+
+
+def test_numeric_normalization():
+    assert tokenize_py("9.000 items") == ["9", "items"]
+    assert tokenize_py("8.25 rate") == ["8.25", "rate"]
+
+
+def test_hyphen_splits():
+    assert tokenize_py("zxqv-marker-7") == ["zxqv", "marker", "7"]
+
+
+def test_empty_and_null():
+    assert tokenize_py("") == []
+    assert tokenize_py(None) == []
+    assert tokenize_py("!!! ???") == []
+
+
+def test_max_term_length_dropped():
+    long = "x" * (MAX_TERM_LENGTH + 1)
+    toks = tokenize_terms_py(f"ok {long} fine")
+    assert [t for t, _ in toks] == ["ok", "fine"]
+    assert [p for _, p in toks] == [1, 2]  # positions assigned post-filter
+
+
+def test_max_position_cap():
+    text = " ".join(f"t{i}" for i in range(MAX_POSITION + 100))
+    toks = tokenize_terms_py(text)
+    assert len(toks) == MAX_POSITION
+    assert toks[-1][1] == MAX_POSITION
+
+
+def test_positions_one_based():
+    assert tokenize_terms_py("a b a") == [("a", 1), ("b", 2), ("a", 3)]
+
+
+def test_spark_parity(spark):
+    """The pandas-UDF + JVM-limits path must equal the python core."""
+    from pyspark.sql import functions as F
+
+    from trinity_spark.tokenizer import tokens_column
+
+    texts = [
+        "Hello, World! 123",
+        "I.B.M ships L'Oreal don't 9.000 8.25",
+        "zxqv-marker-7 the THE The",
+        "",
+        None,
+        "x" * 70 + " ok",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokens_column(F.col("text"))).collect()]
+    want = [[t for t, _ in tokenize_terms_py(t)] for t in texts]
+    assert got == want

@@ -1,0 +1,85 @@
+"""Delta + varbyte posting-block codec, numpy-vectorized.
+
+Format parity target: the reference's Google codec stores posting blocks as
+varbyte docID-deltas + varbyte freqs with positions in a parallel stream
+(``/root/reference/google_codec.cpp:118-176``); hits are delta+varbyte encoded
+during indexing too (``/root/reference/indexer.cpp:73-94``).  The wire format
+here is ours (rank parity depends on scores, not bytes): classic LEB128-style
+varbyte — 7 data bits per byte, little-endian groups, high bit = continuation.
+
+Everything is numpy array code (loops run over *byte positions* — at most 10
+iterations for uint64 — never over elements), so it is safe to call inside
+Arrow/pandas UDFs on large batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARBYTE_LEN = 10  # ceil(64/7)
+
+
+def encode_varbyte(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length of each value: number of 7-bit groups
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for _ in range(_MAX_VARBYTE_LEN):
+        live = tmp > 0
+        if not live.any():
+            break
+        nbits[live] += 1
+        tmp >>= np.uint64(7)
+    nbits[nbits == 0] = 1  # zero still takes one byte
+    offsets = np.concatenate(([0], np.cumsum(nbits)))
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    shifted = v.copy()
+    for byte_idx in range(int(nbits.max())):
+        sel = nbits > byte_idx  # values that still emit a byte at this index
+        pos = offsets[:-1][sel] + byte_idx
+        payload = (shifted[sel] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbits[sel] > byte_idx + 1).astype(np.uint8) << 7
+        out[pos] = payload | cont
+        shifted[sel] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def decode_varbyte(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode varbyte bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else np.asarray(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group id of each byte = number of completed groups before it
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    n = ends.size
+    values = np.zeros(n, dtype=np.uint64)
+    lengths = ends - starts + 1
+    payload = (b & 0x7F).astype(np.uint64)
+    for byte_idx in range(int(lengths.max())):
+        sel = lengths > byte_idx
+        values[sel] |= payload[starts[sel] + byte_idx] << np.uint64(7 * byte_idx)
+    return values
+
+
+def delta_encode(sorted_values: np.ndarray, base: int = 0) -> bytes:
+    """varbyte(first - base, then successive deltas). Requires ascending input."""
+    v = np.asarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    deltas = np.empty_like(v)
+    deltas[0] = v[0] - np.uint64(base)
+    np.subtract(v[1:], v[:-1], out=deltas[1:])
+    return encode_varbyte(deltas)
+
+
+def delta_decode(buf: bytes, base: int = 0) -> np.ndarray:
+    deltas = decode_varbyte(buf)
+    if deltas.size == 0:
+        return deltas
+    deltas[0] += np.uint64(base)
+    return np.cumsum(deltas, dtype=np.uint64)

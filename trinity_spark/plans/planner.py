@@ -1,0 +1,249 @@
+"""AST -> DataFrame plan: the query compiler + "optimizer".
+
+Reference analogs, re-expressed declaratively (SURVEY.md §3-4):
+
+- ``compile_query`` term resolution: unknown terms fold to constfalse and the
+  tree is re-normalized (``compilation_ctx.cpp:199-220,1251-1350``) — here
+  ``fold_unknown`` + ``Node.normalize()`` run before any Spark op, using df
+  looked up from the term dictionary (a tiny plan-time collect, O(query terms)).
+- Conjunction/disjunction/min-match (``docset_iterators.cpp``): ONE union +
+  ONE hash aggregation per n-ary node (the flattened terms-run analog,
+  ``exec.cpp:328-423``) instead of a join chain — a single shuffle on doc_id,
+  map-side combined, AQE-skew-safe.  Branch scores land in per-branch columns
+  (``max(when(bid=i, score))``) and are added in FIXED left-to-right order so
+  float64 sums are bit-identical to the oracle's.
+- NOT -> LEFT ANTI join (``docset_iterators.cpp:652-677``); ConstTrueExpr ->
+  optional branch contributing ``coalesce(score, 0)`` (``docset_iterators.h:
+  174-206``).
+- Phrase (``docset_iterators.cpp:66-224``): inner-join member postings on
+  doc_id — join chain ordered by ascending df (the reference's cost reorder,
+  ``exec.cpp:154-170``; Catalyst has no df statistics, so the planner owns
+  this) — then JVM-side adjacency: phrase freq = size(filter(pos_0,
+  p -> all_i array_contains(pos_i, p+i))).  No Python in the hot path.
+- Scoring: functions.bm25 (exact similarity.h:165-235 contract); df and N are
+  sums over segments (similarity.h:238-250), supplied by the index view.
+- Masked docs -> LEFT ANTI join against deleted_docs (docidupdates.cpp analog).
+- Top-k: ``ORDER BY score DESC, doc_id ASC LIMIT k`` — Spark's
+  TakeOrderedAndProject is per-partition heaps + driver merge, exactly the
+  reference's per-source exec + app-side reduce (``exec.h:64-81``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import K1, idf_py, term_score_col
+from .ast import And, ConstTrue, Node, Not, Or, Phrase, Some, Token, query_terms
+from .parser import parse_query
+
+
+@dataclass
+class IndexStats:
+    n_docs: int
+    df_by_term: dict[str, int]
+
+    def df(self, term: str) -> int:
+        return self.df_by_term.get(term, 0)
+
+    def idf(self, term: str) -> float:
+        return idf_py(self.df(term), self.n_docs)
+
+
+class LogicalIndex:
+    """Index view over logical postings (term, doc_id, tf, positions) +
+    term_dict (term, df, cf) + field_stats.  Multi-segment views pass
+    pre-unioned frames; stats are summed here (similarity.h:238-250)."""
+
+    def __init__(
+        self,
+        postings: DataFrame,
+        term_dict: DataFrame,
+        field_stats: DataFrame,
+        deleted: DataFrame | None = None,
+    ):
+        self.postings = postings
+        self.term_dict = term_dict
+        self.field_stats = field_stats
+        self.deleted = deleted
+
+    def postings_for(self, terms: list[str]) -> DataFrame:
+        # isin -> parquet/Iceberg predicate pushdown does the "term seek"
+        return self.postings.where(F.col("term").isin(terms))
+
+    def stats_for(self, terms: list[str]) -> IndexStats:
+        n_docs = self.field_stats.agg(F.sum("docs_cnt")).collect()[0][0] or 0
+        if terms:
+            rows = (
+                self.term_dict.where(F.col("term").isin(terms))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+        else:
+            rows = []
+        return IndexStats(int(n_docs), {r["term"]: int(r["df"]) for r in rows})
+
+
+def fold_unknown(node: Node, known: set[str]) -> Node | None:
+    """Unknown terms -> constfalse, then re-normalize (compile pass analog)."""
+    if isinstance(node, Token):
+        return node if node.term in known else None
+    if isinstance(node, Phrase):
+        return node if all(t in known for t in node.terms) else None
+    if isinstance(node, And):
+        kids = [fold_unknown(c, known) for c in node.children]
+        # a required false branch kills the AND; optional false branch drops
+        out = []
+        for orig, k in zip(node.children, kids):
+            if k is None:
+                if isinstance(orig, ConstTrue):
+                    continue
+                return None
+            out.append(k)
+        return And(tuple(out), node.strict).normalize() if out else None
+    if isinstance(node, Or):
+        kids = [k for k in (fold_unknown(c, known) for c in node.children) if k is not None]
+        return Or(tuple(kids)).normalize() if kids else None
+    if isinstance(node, Some):
+        kids = [k for k in (fold_unknown(c, known) for c in node.children) if k is not None]
+        if len(kids) < node.k:
+            return None
+        return Some(tuple(kids), node.k).normalize() if kids else None
+    if isinstance(node, Not):
+        req = fold_unknown(node.req, known)
+        if req is None:
+            return None
+        excl = fold_unknown(node.excl, known)
+        return Not(req, excl) if excl is not None else req
+    if isinstance(node, ConstTrue):
+        c = fold_unknown(node.child, known)
+        return ConstTrue(c) if c is not None else None
+    raise TypeError(type(node))
+
+
+class QueryPlanner:
+    def __init__(self, index: LogicalIndex):
+        self.index = index
+
+    def plan(self, query: str | Node, k: int = 10) -> DataFrame:
+        """Compile to a DataFrame (doc_id long, score double), top-k ordered
+        by score DESC, doc_id ASC (the mandatory deterministic tie-break)."""
+        node = parse_query(query) if isinstance(query, str) else query
+        spark = self.index.postings.sparkSession
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if node is None:
+            return empty
+        terms = query_terms(node)
+        stats = self.index.stats_for(terms)
+        node = fold_unknown(node, {t for t in terms if stats.df(t) > 0})
+        if node is None:
+            return empty
+        self._stats = stats
+        # one postings scan, pushed-down to the live terms, reused by all branches
+        self._postings = self.index.postings_for(query_terms(node))
+        scored = self._compile(node)
+        if self.index.deleted is not None:
+            scored = scored.join(self.index.deleted, "doc_id", "left_anti")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # --- node compilers: every result is (doc_id long, score double) ---
+
+    def _compile(self, node: Node) -> DataFrame:
+        if isinstance(node, Token):
+            return self._compile_token(node)
+        if isinstance(node, Phrase):
+            return self._compile_phrase(node)
+        if isinstance(node, (And, Or, Some)):
+            return self._compile_nary(node)
+        if isinstance(node, Not):
+            req = self._compile(node.req)
+            excl = self._compile(node.excl).select("doc_id")
+            return req.join(excl, "doc_id", "left_anti")
+        if isinstance(node, ConstTrue):
+            # top-level optional: matches nothing on its own (exec.cpp:370-377)
+            spark = self.index.postings.sparkSession
+            return spark.createDataFrame([], "doc_id long, score double")
+        raise TypeError(type(node))
+
+    def _compile_token(self, node: Token) -> DataFrame:
+        idf = self._stats.idf(node.term)
+        return self._postings.where(F.col("term") == node.term).select(
+            "doc_id", term_score_col(idf, F.col("tf")).alias("score")
+        )
+
+    def _compile_phrase(self, node: Phrase) -> DataFrame:
+        # phrase idf = sum of member idfs in phrase order (similarity.h:209-217)
+        idf = 0.0
+        for t in node.terms:
+            idf += self._stats.idf(t)
+        # df-ascending join order: rarest member first (exec.cpp:154-170)
+        slots = sorted(range(len(node.terms)), key=lambda i: self._stats.df(node.terms[i]))
+        joined = None
+        for slot in slots:
+            p = (
+                self._postings.where(F.col("term") == node.terms[slot])
+                .select("doc_id", F.col("positions").alias(f"pos_{slot}"))
+            )
+            joined = p if joined is None else joined.join(p, "doc_id", "inner")
+        # phrase freq: #positions p in slot0 with term_i at p+i for all i
+        cond = lambda p: reduce(  # noqa: E731
+            lambda a, b: a & b,
+            [
+                F.array_contains(F.col(f"pos_{i}"), p + F.lit(i))
+                for i in range(1, len(node.terms))
+            ],
+        )
+        pf = F.size(F.filter(F.col("pos_0"), cond))
+        return (
+            joined.select("doc_id", pf.alias("pf"))
+            .where(F.col("pf") > 0)
+            .select("doc_id", term_score_col(idf, F.col("pf")).alias("score"))
+        )
+
+    def _compile_nary(self, node: And | Or | Some) -> DataFrame:
+        children = list(node.children)
+        branches = []
+        required: list[int] = []
+        for i, c in enumerate(children):
+            if isinstance(node, And) and isinstance(c, ConstTrue):
+                branches.append(self._compile(c.child))
+            else:
+                branches.append(self._compile(c))
+                if isinstance(node, And):
+                    required.append(i)
+        n = len(branches)
+        tagged = [
+            b.select("doc_id", F.lit(i).alias("bid"), "score") for i, b in enumerate(branches)
+        ]
+        u = reduce(lambda a, b: a.unionByName(b), tagged)
+        agg = u.groupBy("doc_id").agg(
+            *[
+                F.max(F.when(F.col("bid") == i, F.col("score"))).alias(f"s{i}")
+                for i in range(n)
+            ]
+        )
+        if isinstance(node, And):
+            keep = reduce(
+                lambda a, b: a & b, [F.col(f"s{i}").isNotNull() for i in required]
+            )
+            score_cols = [
+                F.col(f"s{i}") if i in required else F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+                for i in range(n)
+            ]
+        elif isinstance(node, Some):
+            matched = reduce(
+                lambda a, b: a + b,
+                [F.col(f"s{i}").isNotNull().cast("int") for i in range(n)],
+            )
+            keep = matched >= node.k
+            score_cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(n)]
+        else:  # Or
+            keep = F.lit(True)
+            score_cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(n)]
+        # fixed left-to-right float64 summation (matches the oracle exactly)
+        score = reduce(lambda a, b: a + b, score_cols)
+        return agg.where(keep).select("doc_id", score.alias("score"))

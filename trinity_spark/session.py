@@ -1,0 +1,47 @@
+"""SparkSession factory with engine defaults.
+
+Local-mode testing stands in for a multi-executor cluster: the configs below
+(AQE, skew-join handling, shuffle partitions sized to cores) are exactly what
+we would ship in spark-submit --conf for a 1000-executor run; only
+``master``/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "trinity_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("TRINITY_SPARK_MASTER", "local[*]")
+    # local[N] -> N; local[*] -> cpu count
+    par = os.cpu_count() or 8
+    if master.startswith("local[") and "*" not in master:
+        par = int(master[len("local[") : -1])
+    if shuffle_partitions is None:
+        shuffle_partitions = max(par, 4)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("TRINITY_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,100 @@
+"""The frozen tokenizer — shared by index build, query parsing, and the oracle.
+
+The reference demands that the *same* token parser is used at index time and
+query time (``/root/reference/common.h:59-72``, ``queries.h:246-247``); its
+default implementation is ``default_token_parser_impl``
+(``/root/reference/queries.cpp:2098-2341``).  We re-implement the documented
+behaviors as vectorized regex passes (C-level regex via pandas ``.str`` ops —
+no per-row Python in the Spark path):
+
+1. lowercase (the reference leaves case folding to the app; we freeze
+   lowercasing as our app policy so build == query),
+2. acronym collapse: ``I.B.M`` / ``i.b.m.`` -> ``ibm``
+   (reference: dot-separated single-char sequences are merged),
+3. intra-word apostrophes removed: ``L'Oreal`` -> ``loreal``,
+4. numeric normalization: trailing ``.0+`` dropped (``9.000`` -> ``9``),
+   while real decimals (``8.25``) stay single tokens,
+5. tokens are maximal runs of ``[a-z0-9]`` (plus the decimal form),
+6. terms longer than 64 bytes are not indexed
+   (``/root/reference/trinity_limits.h:14``),
+7. positions are 1-based token sequence numbers, capped at 2**14
+   (``trinity_limits.h:15``; hits past the cap are dropped).
+
+Deliberate deviation (documented): the reference's ``word:tail`` positionless
+tokens (``site:x-box.com`` at position 0) are not special-cased — transcript
+corpora don't use them; a colon simply separates tokens.  Noted in SURVEY §2.8.
+
+The limits (6)+(7) are applied JVM-side (``F.filter``/``F.slice``) so the
+pandas UDF stays a pure regex pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+MAX_TERM_LENGTH = 64  # trinity_limits.h:14
+MAX_POSITION = 1 << 14  # trinity_limits.h:15
+
+# --- the frozen regex passes (order matters; shared with the oracle) ---
+_ACRONYM_RE = re.compile(r"(?<![a-z0-9])(?:[a-z0-9]\.){1,}[a-z0-9]\.?(?![a-z0-9])")
+_APOSTROPHE_RE = re.compile(r"(?<=[a-z0-9])['’](?=[a-z0-9])")
+_NUM_NORM_RE = re.compile(r"(?<=\d)\.0+(?!\d)")
+_TOKEN_RE = re.compile(r"\d+\.\d+|[a-z0-9]+")
+
+
+def _normalize(text: str) -> str:
+    text = text.lower()
+    text = _ACRONYM_RE.sub(lambda m: m.group(0).replace(".", ""), text)
+    text = _APOSTROPHE_RE.sub("", text)
+    text = _NUM_NORM_RE.sub("", text)
+    return text
+
+
+def tokenize_py(text: str | None) -> list[str]:
+    """Pure-python core: raw token stream (before limits).
+
+    Used by the oracle and by query parsing; MUST stay in lockstep with
+    ``tokenize_udf`` + ``apply_limits``.
+    """
+    if not text:
+        return []
+    return _TOKEN_RE.findall(_normalize(text))
+
+
+def tokenize_terms_py(text: str | None) -> list[tuple[str, int]]:
+    """(term, position) pairs with the reference limits applied.
+
+    Position is the 1-based index in the *post-length-filter* stream —
+    the same contract the Spark path implements with filter+slice+posexplode.
+    """
+    toks = [t for t in tokenize_py(text) if len(t) <= MAX_TERM_LENGTH]
+    return [(t, i + 1) for i, t in enumerate(toks[:MAX_POSITION])]
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized tokenizer: pandas .str regex passes (C regex loop,
+    no per-row Python function calls except the acronym-collapse callback,
+    which fires only on matches)."""
+    s = texts.fillna("").str.lower()
+    s = s.str.replace(_ACRONYM_RE, lambda m: m.group(0).replace(".", ""), regex=True)
+    s = s.str.replace(_APOSTROPHE_RE, "", regex=True)
+    s = s.str.replace(_NUM_NORM_RE, "", regex=True)
+    return s.str.findall(_TOKEN_RE)
+
+
+def apply_limits(tokens_col: Column) -> Column:
+    """JVM-side enforcement of MaxTermLength + MaxPosition on a token array."""
+    filtered = F.filter(tokens_col, lambda t: F.length(t) <= MAX_TERM_LENGTH)
+    return F.slice(filtered, 1, MAX_POSITION)
+
+
+def tokens_column(text_col: Column) -> Column:
+    """text -> array<string> of index-ready terms (positions = index+1)."""
+    return apply_limits(tokenize_udf(text_col))
