@@ -132,6 +132,11 @@ class QueryPlanner:
     def plan(self, query: str | Node, k: int = 10) -> DataFrame:
         """Compile to a DataFrame (doc_id long, score double), top-k ordered
         by score DESC, doc_id ASC (the mandatory deterministic tie-break)."""
+        return self.score_all(query).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def score_all(self, query: str | Node) -> DataFrame:
+        """All matching docs with scores, no ordering/limit (the full
+        MatchedIndexDocumentsFilter::consider stream, matches.h:139-186)."""
         node = parse_query(query) if isinstance(query, str) else query
         spark = self.index.postings.sparkSession
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -148,7 +153,7 @@ class QueryPlanner:
         scored = self._compile(node)
         if self.index.deleted is not None:
             scored = scored.join(self.index.deleted, "doc_id", "left_anti")
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return scored
 
     # --- node compilers: every result is (doc_id long, score double) ---
 
