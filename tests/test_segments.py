@@ -1,0 +1,163 @@
+"""Physical segment layer: codec roundtrip, store, resume, deletes, merge —
+and rank-identity straight off the encoded segments."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from trinity_spark.fixtures import docs_in_stable_order, gen_transcripts
+from trinity_spark.operators.indexer import SegmentIndex, build_index
+from trinity_spark.operators.merge import merge_segments
+from trinity_spark.operators.segments import (
+    BLOCK_SIZE,
+    decode_segments,
+    encode_postings,
+)
+from trinity_spark.oracle import OracleIndex
+from trinity_spark.plans.parser import parse_query
+from trinity_spark.plans.planner import QueryPlanner
+from trinity_spark.sources.store import SegmentStore
+
+N_TURNS = 800
+
+
+def _random_postings(spark, n_terms=5, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for t in range(n_terms):
+        term = f"term{t}"
+        n_docs = int(rng.integers(1, 400))
+        doc_ids = np.sort(rng.choice(200_000, size=n_docs, replace=False))
+        for d in doc_ids:
+            tf = int(rng.integers(1, 6))
+            pos = np.sort(rng.choice(1000, size=tf, replace=False) + 1)
+            rows.append((term, int(d), tf, [int(p) for p in pos]))
+    return rows
+
+
+def test_encode_decode_roundtrip(spark):
+    rows = _random_postings(spark)
+    df = spark.createDataFrame(rows, "term string, doc_id long, tf int, positions array<int>")
+    blocks = encode_postings(df)
+    back = decode_segments(blocks)
+    got = sorted(
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"])) for r in back.collect()
+    )
+    want = sorted((t, d, tf, tuple(p)) for t, d, tf, p in rows)
+    assert got == want
+
+
+def test_block_invariants(spark):
+    rows = _random_postings(spark, n_terms=2, seed=11)
+    df = spark.createDataFrame(rows, "term string, doc_id long, tf int, positions array<int>")
+    blocks = {(r["term"], r["block_id"]): r for r in encode_postings(df).collect()}
+    by_term = {}
+    for t, d, tf, p in rows:
+        by_term.setdefault(t, []).append((d, tf))
+    for (term, block_id), r in blocks.items():
+        assert 1 <= r["doc_count"] <= BLOCK_SIZE
+        docs = [d for d, _ in by_term[term]]
+        assert r["max_doc_id"] in docs
+    # per-term doc counts preserved
+    for term, posts in by_term.items():
+        total = sum(r["doc_count"] for (t, _), r in blocks.items() if t == term)
+        assert total == len(posts)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("index"))
+    corpus = gen_transcripts(N_TURNS)
+    store = SegmentStore(base)
+    turns = spark.createDataFrame(corpus)
+    metas = build_index(spark, turns, store, rows_per_segment=300, input_desc="fixture-800")
+    return store, metas, corpus
+
+
+def test_build_creates_segments_with_metrics(built):
+    store, metas, _ = built
+    assert len(metas) == 3  # 800 rows / 300
+    m = store.read_manifest()
+    assert len(m["segments"]) == 3
+    for s in m["segments"]:
+        assert s["metrics"]["turns_per_sec"] > 0
+        assert s["lineage"]["input"] == "fixture-800"
+        assert s["lineage"]["doc_range"] == [s["doc_lo"], s["doc_hi"]]
+    gens = [s["generation"] for s in m["segments"]]
+    assert gens == sorted(gens)
+
+
+def test_resume_skips_committed_segments(spark, built):
+    store, metas, corpus = built
+    before = json.dumps(store.read_manifest(), sort_keys=True)
+    turns = spark.createDataFrame(corpus)
+    again = build_index(spark, turns, store, rows_per_segment=300, input_desc="fixture-800")
+    assert [m.segment_id for m in again] == [m.segment_id for m in metas]
+    assert json.dumps(store.read_manifest(), sort_keys=True) == before  # untouched
+
+
+QUERIES = [
+    "error",
+    "error AND timeout",
+    "retry OR backoff OR timeout",
+    "error NOT test",
+    '"connection reset by peer"',
+    "[gpu, cuda, driver, kernel] min=2",
+    "the AND zxqv-marker-7",
+]
+
+
+def test_rank_identity_from_segments(spark, built):
+    store, _, corpus = built
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in QUERIES:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9, (q, gd)
+
+
+def test_deletes_then_merge(spark, built):
+    store, _, corpus = built
+    oracle0 = OracleIndex.build(docs_in_stable_order(corpus))
+    node = parse_query("error")
+    top = oracle0.topk(node, k=3)
+    kill = [d for d, _ in top[:2]]
+
+    store.add_deletes(spark, kill)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    got = [r["doc_id"] for r in planner.plan(node, k=10).collect()]
+    assert not set(kill) & set(got)
+
+    # merge applies tombstones physically and retires inputs
+    meta = merge_segments(spark, store)
+    m = store.read_manifest()
+    assert [s["segment_id"] for s in m["segments"]] == [meta.segment_id]
+    assert m["deletes"] == []
+    assert meta.docs_cnt == N_TURNS - len(kill)
+
+    # post-merge scores use the shrunken docs_cnt (reference recomputes stats)
+    oracle1 = OracleIndex.build(
+        [(d, t) for d, t in docs_in_stable_order(corpus) if d not in kill]
+    )
+    oracle1.n_docs = N_TURNS - len(kill)
+    planner2 = QueryPlanner(SegmentIndex(spark, store))
+    got2 = [(r["doc_id"], r["score"]) for r in planner2.plan(node, k=10).collect()]
+    want2 = oracle1.topk(node, k=10)
+    assert [d for d, _ in got2] == [d for d, _ in want2]
+    for (gd, gs), (_, ws) in zip(got2, want2):
+        assert abs(gs - ws) <= 1e-9
+
+
+def test_half_written_segment_invisible(spark, tmp_path_factory):
+    """A crashed write (data present, no manifest entry) must be invisible."""
+    base = str(tmp_path_factory.mktemp("crash"))
+    store = SegmentStore(base)
+    os.makedirs(store.segment_dir("seg-orphan", "postings"), exist_ok=True)
+    assert store.segments() == []
+    assert store.read_blocks(spark).count() == 0

@@ -1,0 +1,142 @@
+"""End-to-end index build: resumable, segment-granular, metrics-emitting.
+
+Pipeline (SURVEY.md §3.3 — the Spark re-expression of
+``SegmentIndexSession::commit``, ``/root/reference/indexer.cpp:311-564``):
+
+    transcripts
+      -> assign_doc_ids (dense, stable (conv_id, turn_idx) order)
+      -> docid_map  (phase 0, written once — the two-ID-space translation
+                     table, index_source.h:100-114)
+      -> per docid-range SEGMENT:
+           tokenize (Arrow UDF) -> posexplode -> groupBy(term, doc_id)
+           -> encode (term, chunk) blocks (delta+varbyte, applyInPandas)
+           -> commit_segment (atomic manifest add)
+
+Resumability (north rule): each segment is an idempotent unit keyed by its
+docid range; a restarted build skips manifest-committed segments and rewrites
+any half-written one.  Per-segment METRICS (turns, wall seconds, turns/sec)
+and LINEAGE (input descriptor, docid range, engine version) land in the
+manifest — the reference's per-commit phase timings (indexer.cpp:303-309)
+made machine-readable.
+
+Segment sizing: ``rows_per_segment`` bounds a segment's doc count.  At 10^12
+turns you'd use ~10^9-row segments (=> ~1000 independent resume units); the
+(term, chunk) encode groups inside a segment are the skew-salting unit.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import __version__
+from ..sources.store import SegmentMeta, SegmentStore
+from .build import build_field_stats, build_postings, build_term_dict, tokenize_turns
+from .docids import assign_doc_ids
+from .segments import decode_segments, encode_postings
+
+
+def build_index(
+    spark: SparkSession,
+    turns: DataFrame,
+    store: SegmentStore,
+    rows_per_segment: int | None = None,
+    input_desc: str = "unknown",
+) -> list[SegmentMeta]:
+    """Build (or resume) the full index; returns committed segment metas."""
+    import os
+
+    # phase 0: docid_map (skipped on resume)
+    if not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS")):
+        with_ids = assign_doc_ids(turns)
+        store.write_docid_map(with_ids)
+    docmap = store.read_docid_map(spark)
+    n_docs = docmap.count()
+
+    if rows_per_segment is None:
+        par = spark.sparkContext.defaultParallelism
+        rows_per_segment = max(math.ceil(n_docs / max(par // 8, 2)), 1 << 14)
+
+    built: list[SegmentMeta] = []
+    for lo in range(0, n_docs, rows_per_segment):
+        hi = min(lo + rows_per_segment, n_docs)
+        sid = f"seg-{lo:014d}-{hi:014d}"
+        if store.has_segment(sid):
+            built.append(next(s for s in store.segments() if s.segment_id == sid))
+            continue
+        t0 = time.monotonic()
+        seg_turns = docmap.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        postings = build_postings(tokenize_turns(seg_turns)).persist()
+        blocks = encode_postings(postings)
+        term_dict = build_term_dict(postings)
+        stats = build_field_stats(postings, docs_cnt=hi - lo)
+        meta = SegmentMeta(
+            segment_id=sid,
+            generation=0,  # assigned at commit
+            doc_lo=lo,
+            doc_hi=hi,
+            docs_cnt=hi - lo,
+            lineage={
+                "input": input_desc,
+                "doc_range": [lo, hi],
+                "engine_version": __version__,
+            },
+            metrics={},
+        )
+        store.commit_segment(blocks, term_dict, stats, meta)
+        postings.unpersist()
+        wall = time.monotonic() - t0
+        meta.metrics.update(
+            {"turns": hi - lo, "wall_sec": round(wall, 3),
+             "turns_per_sec": round((hi - lo) / wall, 1)}
+        )
+        # re-commit metrics into the manifest entry (metadata-only update)
+        m = store.read_manifest()
+        for s in m["segments"]:
+            if s["segment_id"] == sid:
+                s["metrics"] = meta.metrics
+        store._write_manifest(m)
+        built.append(meta)
+    return built
+
+
+class SegmentIndex:
+    """Planner-compatible index view over a SegmentStore collection.
+
+    Same duck-type as plans.planner.LogicalIndex; postings_for pushes the
+    term filter down to the block parquet scan (min/max stats on the sorted
+    `term` column = the terms.idx skiplist seek) BEFORE Arrow decode, and
+    stats are summed across segments exactly like ``BM25Scorer::reset``
+    (similarity.h:238-250).
+    """
+
+    def __init__(self, spark: SparkSession, store: SegmentStore):
+        self.spark = spark
+        self.store = store
+        self.blocks = store.read_blocks(spark)
+        self.term_dict = store.read_term_dict(spark)
+        self.field_stats = store.read_field_stats(spark)
+        self.deleted = store.read_deletes(spark)
+        # full logical view (lazy; only touched if a caller scans everything)
+        self.postings = decode_segments(self.blocks)
+
+    def postings_for(self, terms: list[str]) -> DataFrame:
+        pruned = self.blocks.where(F.col("term").isin(terms))
+        return decode_segments(pruned)
+
+    def stats_for(self, terms: list[str]):
+        from ..plans.planner import IndexStats
+
+        n_docs = self.field_stats.agg(F.sum("docs_cnt")).collect()[0][0] or 0
+        rows = (
+            self.term_dict.where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+            if terms
+            else []
+        )
+        return IndexStats(int(n_docs), {r["term"]: int(r["df"]) for r in rows})
