@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + BM25 query latency + scaling.
+
+Prints ONE JSON line:
+  {"metric": "index_build_plus_queryset_sec", "value": N, "unit": "sec",
+   "queries": {qid: sec, ...}, "sf": F,
+   "build": {"turns": n, "wall_sec": s, "turns_per_sec": r},
+   "scaling": {"local8": {...}, "local32": {...}, "efficiency": e}}
+
+The corpus is the deterministic synthetic transcript table (BASELINE.json
+input_hint shape), sized from the sf directory name (sf0.1 -> 200k turns).
+Scaling evidence (north rule, sandbox proxy): the SAME build job runs in two
+fresh JVMs at local[8] and local[32] on the SAME input; efficiency =
+throughput_32 / (4 * throughput_8).  Details land in BENCH.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     TRINITY_BENCH_SCALING=0 to skip the scaling subprocesses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TURNS_PER_SF = 10_000_000  # sf0.1 -> 1M turns
+BENCH_ROOT = "/tmp/trinity_bench"
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus_path(n_turns: int) -> str:
+    from trinity_spark.fixtures import write_transcripts
+
+    return write_transcripts(os.path.join(BENCH_ROOT, f"corpus_{n_turns}"), n_turns)
+
+
+def run_build(cpus: int, n_turns: int, index_dir: str) -> dict:
+    """One timed build in THIS process (call in a fresh JVM per measurement)."""
+    from trinity_spark.operators.indexer import build_index
+    from trinity_spark.session import get_spark
+    from trinity_spark.sources.store import SegmentStore
+
+    corpus = _corpus_path(n_turns)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    spark = get_spark(f"bench_build_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    turns = spark.read.parquet(corpus)
+    t0 = time.monotonic()
+    metas = build_index(
+        spark, turns, SegmentStore(index_dir),
+        rows_per_segment=max(n_turns // 2, 1 << 14),
+        input_desc=corpus,
+    )
+    wall = time.monotonic() - t0
+    return {
+        "cpus": cpus,
+        "turns": n_turns,
+        "wall_sec": round(wall, 2),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "segments": len(metas),
+    }
+
+
+def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
+    from trinity_spark.operators.indexer import SegmentIndex
+    from trinity_spark.plans.planner import QueryPlanner
+    from trinity_spark.session import get_spark
+    from trinity_spark.sources.store import SegmentStore
+
+    spark = get_spark(f"bench_query_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    index = SegmentIndex(spark, SegmentStore(index_dir))
+    planner = QueryPlanner(index)
+    here = os.path.dirname(os.path.abspath(__file__))
+    qs = [json.loads(x) for x in open(os.path.join(here, "queries.jsonl")) if x.strip()]
+    out: dict[str, float] = {}
+    for q in qs:
+        t0 = time.monotonic()
+        planner.plan(q["query"], k=q["k"]).collect()
+        out[q["id"]] = round(time.monotonic() - t0, 3)
+    # block-max pruned skew disjunction (the scale path)
+    from trinity_spark.operators.topk import pruned_or_topk
+
+    t0 = time.monotonic()
+    pruned_or_topk(spark, index, ["the", "a", "error", "zxqv"], k=10).collect()
+    out["q_bmx_pruned_or"] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--turns", type=int, default=None)
+    ap.add_argument("--index-dir", default=None)
+    args = ap.parse_args()
+
+    if args.build_only:
+        res = run_build(args.cpus, args.turns, args.index_dir)
+        print("BENCH_BUILD " + json.dumps(res))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_turns = max(int(TURNS_PER_SF * sf), 5000)
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    _corpus_path(n_turns)  # generate once so no run pays generation cost
+
+    def sub_build(c: int) -> dict:
+        idx = os.path.join(BENCH_ROOT, f"index_c{c}_{n_turns}")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-only",
+             "--cpus", str(c), "--turns", str(n_turns), "--index-dir", idx],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("BENCH_BUILD "):
+                return json.loads(line[len("BENCH_BUILD "):])
+        raise RuntimeError(f"build subprocess failed:\n{p.stdout[-2000:]}\n{p.stderr[-4000:]}")
+
+    scaling_on = os.environ.get("TRINITY_BENCH_SCALING", "1") != "0"
+    build_main = sub_build(cpus)
+    scaling = {}
+    if scaling_on:
+        build_8 = sub_build(8)
+        thr8, thr32 = build_8["turns_per_sec"], build_main["turns_per_sec"]
+        scaling = {
+            "local8": build_8,
+            f"local{cpus}": build_main,
+            "parallelism_ratio": cpus / 8,
+            "efficiency": round(thr32 / ((cpus / 8) * thr8), 3),
+        }
+
+    qtimes = run_queries(cpus, os.path.join(BENCH_ROOT, f"index_c{cpus}_{n_turns}"))
+    total = build_main["wall_sec"] + sum(qtimes.values())
+    result = {
+        "metric": "index_build_plus_queryset_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "build": build_main,
+        "scaling": scaling,
+        "query_p50_sec": round(statistics.median(qtimes.values()), 3),
+    }
+    _write_bench_md(result)
+    print(json.dumps(result))
+
+
+def _write_bench_md(r: dict) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    qrows = "\n".join(f"| {k} | {v:.3f} |" for k, v in r["queries"].items())
+    sc = r.get("scaling") or {}
+    sc_text = "(scaling runs disabled)"
+    if sc:
+        l8, lN = sc["local8"], sc[[k for k in sc if k.startswith('local') and k != 'local8'][0]]
+        sc_text = (
+            f"| parallelism | turns | wall_sec | turns/sec |\n|---|---|---|---|\n"
+            f"| local[8] | {l8['turns']} | {l8['wall_sec']} | {l8['turns_per_sec']} |\n"
+            f"| local[{lN['cpus']}] | {lN['turns']} | {lN['wall_sec']} | {lN['turns_per_sec']} |\n\n"
+            f"**Scaling efficiency (N -> {sc['parallelism_ratio']:.0f}N cores)** = "
+            f"throughput_{lN['cpus']} / ({sc['parallelism_ratio']:.0f} x throughput_8) = "
+            f"**{sc['efficiency']}** (target >= 0.8; sandbox proxy for the "
+            f"N vs 4N executor criterion — same job, same input, two JVM sizes)."
+        )
+    with open(os.path.join(here, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — trinity_spark measured results
+
+Corpus: deterministic synthetic transcripts (fixtures.py), {r['build']['turns']} turns
+(sf={r['sf']}); build = docid assignment + tokenize + postings + delta+varbyte
+block segments + manifest commit, all phases included.
+
+## Index build
+- wall: {r['build']['wall_sec']} s on local[{r['build']['cpus']}]
+- throughput: **{r['build']['turns_per_sec']} turns/sec**
+- segments: {r['build']['segments']} (each with per-segment metrics + lineage in manifest.json)
+
+## Scaling (north-rule evidence)
+
+{sc_text}
+
+## BM25 query latency (reference query set, k=10, cold plans)
+
+| query | sec |
+|---|---|
+{qrows}
+
+p50 = {r['query_p50_sec']} s. `q_bmx_pruned_or` is the block-max pruned
+stopword disjunction (operators/topk.py).
+""")
+
+
+if __name__ == "__main__":
+    main()

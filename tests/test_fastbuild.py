@@ -1,0 +1,43 @@
+"""The shuffle-free postings path must be bit-identical to the classic
+explode+groupBy path on the same corpus."""
+
+from trinity_spark.fixtures import gen_transcripts
+from trinity_spark.operators.build import build_postings, tokenize_turns
+from trinity_spark.operators.docids import assign_doc_ids
+from trinity_spark.operators.fastbuild import postings_from_turns
+
+
+def _norm(df):
+    return sorted(
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"])) for r in df.collect()
+    )
+
+
+def test_fast_equals_classic(spark):
+    turns = assign_doc_ids(spark.createDataFrame(gen_transcripts(500)), num_partitions=3)
+    turns.persist()
+    classic = _norm(build_postings(tokenize_turns(turns)))
+    fast = _norm(postings_from_turns(turns))
+    assert fast == classic
+    assert len(fast) > 1000
+
+
+def test_fast_edge_cases(spark):
+    rows = [
+        ("c0", 0, "", ""),            # empty text
+        ("c0", 1, None, ""),          # null text
+        ("c0", 2, "a a a b", ""),     # repeats
+        ("c0", 3, "x" * 70 + " ok y", ""),  # overlong term dropped, positions shift
+        ("c1", 0, "I.B.M 9.000 L'Oreal", ""),  # tokenizer special cases
+    ]
+    df = spark.createDataFrame(
+        [(c, t, x, tl) for c, t, x, tl in rows],
+        "conv_id string, turn_idx int, text string, tool string",
+    )
+    turns = assign_doc_ids(df, num_partitions=2)
+    classic = _norm(build_postings(tokenize_turns(turns)))
+    fast = _norm(postings_from_turns(turns))
+    assert fast == classic
+    terms = {t for t, *_ in fast}
+    assert {"ibm", "9", "loreal", "ok", "y", "a", "b"} <= terms
+    assert "x" * 70 not in terms

@@ -1,0 +1,75 @@
+"""NRT micro-segment appends: batch path + a real Structured Streaming run."""
+
+import os
+
+import pytest
+
+from trinity_spark.fixtures import gen_transcripts
+from trinity_spark.operators.indexer import SegmentIndex, build_index
+from trinity_spark.oracle import OracleIndex
+from trinity_spark.plans.parser import parse_query
+from trinity_spark.plans.planner import QueryPlanner
+from trinity_spark.sources.store import SegmentStore
+from trinity_spark.streaming.nrt import append_micro_segment, start_indexing_stream
+
+N0, N1 = 600, 300
+
+
+def _oracle_for(base_corpus, appended_corpus):
+    """Doc ids: batch order across batches, (conv_id, turn_idx) within."""
+    from trinity_spark.fixtures import docs_in_stable_order
+
+    docs = docs_in_stable_order(base_corpus)
+    extra = docs_in_stable_order(appended_corpus)
+    docs += [(d + len(docs), t) for d, t in extra]
+    return OracleIndex.build(docs)
+
+
+@pytest.fixture()
+def seeded_store(spark, tmp_path):
+    corpus0 = gen_transcripts(N0)
+    store = SegmentStore(str(tmp_path / "idx"))
+    build_index(spark, spark.createDataFrame(corpus0), store, rows_per_segment=N0)
+    return store, corpus0
+
+
+def test_batch_append(spark, seeded_store):
+    store, corpus0 = seeded_store
+    corpus1 = gen_transcripts(N1, seed=99)
+    meta = append_micro_segment(spark, store, spark.createDataFrame(corpus1))
+    assert meta.doc_lo == N0 and meta.doc_hi == N0 + N1
+    assert meta.lineage["mode"] == "nrt-append"
+
+    oracle = _oracle_for(corpus0, corpus1)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "error AND timeout", "retry OR backoff"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9  # stats summed across micro-segments
+
+
+def test_structured_streaming_ingest(spark, seeded_store, tmp_path):
+    store, corpus0 = seeded_store
+    corpus1 = gen_transcripts(N1, seed=99)
+
+    # stage the new batch as files and stream them in with availableNow
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(corpus1).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_indexing_stream(spark, store, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    metas = store.segments()
+    assert any(s.lineage.get("mode") == "nrt-append" for s in metas)
+    assert sum(s.docs_cnt for s in metas) == N0 + N1
+
+    oracle = _oracle_for(corpus0, corpus1)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    node = parse_query("error")
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]

@@ -1,0 +1,80 @@
+"""Block-max pruned top-k: must be EXACTLY the unpruned result, and must
+actually prune chunks on skewed disjunctions."""
+
+import pytest
+
+from trinity_spark.fixtures import docs_in_stable_order, gen_transcripts
+from trinity_spark.operators.indexer import SegmentIndex, build_index
+from trinity_spark.operators.topk import pruned_or_topk
+from trinity_spark.oracle import OracleIndex
+from trinity_spark.plans.ast import Or, Token
+from trinity_spark.sources.store import SegmentStore
+
+N_TURNS = 2000
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("bmx"))
+    corpus = gen_transcripts(N_TURNS)
+    store = SegmentStore(base)
+    # chunk_bits=8 -> 256-doc chunks -> ~8 chunks: pruning observable at test scale
+    build_index(
+        spark,
+        spark.createDataFrame(corpus),
+        store,
+        rows_per_segment=1000,
+        chunk_bits=8,
+        input_desc="bmx-fixture",
+    )
+    return SegmentIndex(spark, store), corpus
+
+
+CASES = [
+    ["error", "timeout", "retry"],
+    ["the", "qqfluxcapacitor"],          # stopword + rare: the skew path
+    ["gpu", "cuda", "driver", "kernel"],
+    ["the", "a", "error"],               # mostly stopwords
+]
+
+
+@pytest.mark.parametrize("terms", CASES, ids=["mid", "skew", "topic", "stop"])
+def test_pruned_equals_unpruned_equals_oracle(spark, built, terms):
+    index, corpus = built
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    node = Or(tuple(Token(t) for t in terms)).normalize()
+    want = oracle.topk(node, k=10)
+    got, report = pruned_or_topk(spark, index, terms, k=10, return_report=True)
+    rows = [(r["doc_id"], r["score"]) for r in got.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want], (terms, report)
+    for (gd, gs), (_, ws) in zip(rows, want):
+        assert abs(gs - ws) <= 1e-9, (terms, gd)
+
+
+def test_skew_query_actually_prunes(spark, built):
+    index, corpus = built
+    # rare markers (df 2+4, idf ~6) + the top stopword (idf ~0.05): the cheap
+    # pass yields T ~ 2.8 while marker-free chunks bound at ~0.04 -> pruned
+    terms = ["qqfluxcapacitor", "zxqv", "the"]
+    got, report = pruned_or_topk(spark, index, terms, k=5, return_report=True)
+    assert report.threshold > 1.0, report
+    assert 0 < report.kept_chunks < report.total_chunks, report
+    # and still exact
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    from trinity_spark.plans.ast import Or, Token
+
+    want = oracle.topk(Or((Token(terms[0]), Token(terms[1]), Token(terms[2]))), k=5)
+    rows = [(r["doc_id"], r["score"]) for r in got.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(rows, want):
+        assert abs(gs - ws) <= 1e-9
+
+
+def test_single_term_falls_back(spark, built):
+    index, corpus = built
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    got, report = pruned_or_topk(spark, index, ["error"], k=5, return_report=True)
+    want = oracle.topk(Token("error"), k=5)
+    rows = [(r["doc_id"], r["score"]) for r in got.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    assert report.total_chunks == 0  # fallback path

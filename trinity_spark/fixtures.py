@@ -114,7 +114,16 @@ def write_transcripts(path: str, n_turns: int, seed: int = SEED) -> str:
     if os.path.exists(out) and os.path.exists(marker):
         return out
     df = gen_transcripts(n_turns, seed)
-    df.to_parquet(out, index=False)
+    # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    ts_idx = table.schema.get_field_index("ts")
+    table = table.set_column(
+        ts_idx, "ts", table.column("ts").cast(pa.timestamp("us"))
+    )
+    pq.write_table(table, out, row_group_size=65536)  # splittable scan units
     with open(marker, "w") as f:
         f.write('{"n_turns": %d, "seed": %d}' % (n_turns, seed))
     return out

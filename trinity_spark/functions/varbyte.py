@@ -19,12 +19,9 @@ import numpy as np
 _MAX_VARBYTE_LEN = 10  # ceil(64/7)
 
 
-def encode_varbyte(values: np.ndarray) -> bytes:
-    """Encode a uint64 array to varbyte bytes."""
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (number of 7-bit groups, min 1)."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # byte length of each value: number of 7-bit groups
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     for _ in range(_MAX_VARBYTE_LEN):
@@ -34,16 +31,35 @@ def encode_varbyte(values: np.ndarray) -> bytes:
         nbits[live] += 1
         tmp >>= np.uint64(7)
     nbits[nbits == 0] = 1  # zero still takes one byte
+    return nbits
+
+
+def encode_varbyte_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array into (byte_array, per-value byte offsets).
+
+    ``offsets`` has len(values)+1 entries; value i occupies
+    ``out[offsets[i]:offsets[i+1]]`` — callers slice contiguous value RANGES
+    (e.g. posting blocks) zero-copy out of one encode pass."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    nbits = varbyte_lengths(v)
     offsets = np.concatenate(([0], np.cumsum(nbits)))
     out = np.zeros(offsets[-1], dtype=np.uint8)
     shifted = v.copy()
     for byte_idx in range(int(nbits.max())):
-        sel = nbits > byte_idx  # values that still emit a byte at this index
+        sel = nbits > byte_idx
         pos = offsets[:-1][sel] + byte_idx
         payload = (shifted[sel] & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbits[sel] > byte_idx + 1).astype(np.uint8) << 7
         out[pos] = payload | cont
         shifted[sel] >>= np.uint64(7)
+    return out, offsets
+
+
+def encode_varbyte(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte bytes."""
+    out, _ = encode_varbyte_offsets(values)
     return out.tobytes()
 
 

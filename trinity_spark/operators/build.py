@@ -54,6 +54,25 @@ def build_term_dict(postings: DataFrame) -> DataFrame:
     )
 
 
+def term_dict_from_blocks(blocks: DataFrame) -> DataFrame:
+    """term_dict straight off encoded block METADATA (no decode): df = sum of
+    block doc_counts, cf = sum of block tf sums."""
+    return blocks.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+
+
+def field_stats_from_blocks(blocks: DataFrame, docs_cnt: int) -> DataFrame:
+    """field_stats off block metadata (index_source.h:44-53)."""
+    return blocks.agg(
+        F.coalesce(F.sum("sum_tf"), F.lit(0)).cast("long").alias("sum_term_hits"),
+        F.count_distinct("term").alias("total_terms"),
+        F.coalesce(F.sum("doc_count"), F.lit(0)).cast("long").alias("sum_terms_docs"),
+        F.lit(docs_cnt).cast("long").alias("docs_cnt"),
+    )
+
+
 def build_field_stats(postings: DataFrame, docs_cnt: int) -> DataFrame:
     """One-row field statistics (index_source.h:44-53)."""
     return postings.agg(

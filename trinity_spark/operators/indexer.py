@@ -34,9 +34,10 @@ from pyspark.sql import functions as F
 
 from .. import __version__
 from ..sources.store import SegmentMeta, SegmentStore
-from .build import build_field_stats, build_postings, build_term_dict, tokenize_turns
+from .build import field_stats_from_blocks, term_dict_from_blocks
 from .docids import assign_doc_ids
-from .segments import decode_segments, encode_postings
+from .fastbuild import blocks_from_turns
+from .segments import CHUNK_BITS, decode_segments
 
 
 def build_index(
@@ -45,6 +46,7 @@ def build_index(
     store: SegmentStore,
     rows_per_segment: int | None = None,
     input_desc: str = "unknown",
+    chunk_bits: int = CHUNK_BITS,
 ) -> list[SegmentMeta]:
     """Build (or resume) the full index; returns committed segment metas."""
     import os
@@ -69,10 +71,11 @@ def build_index(
             continue
         t0 = time.monotonic()
         seg_turns = docmap.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        postings = build_postings(tokenize_turns(seg_turns)).persist()
-        blocks = encode_postings(postings)
-        term_dict = build_term_dict(postings)
-        stats = build_field_stats(postings, docs_cnt=hi - lo)
+        # fused tokenize->postings->encode: ONE pass, zero data shuffles;
+        # dictionary + stats come off block metadata (also shuffle-light)
+        blocks = blocks_from_turns(seg_turns, chunk_bits=chunk_bits).persist()
+        term_dict = term_dict_from_blocks(blocks)
+        stats = field_stats_from_blocks(blocks, docs_cnt=hi - lo)
         meta = SegmentMeta(
             segment_id=sid,
             generation=0,  # assigned at commit
@@ -87,7 +90,7 @@ def build_index(
             metrics={},
         )
         store.commit_segment(blocks, term_dict, stats, meta)
-        postings.unpersist()
+        blocks.unpersist()
         wall = time.monotonic() - t0
         meta.metrics.update(
             {"turns": hi - lo, "wall_sec": round(wall, 3),
@@ -130,7 +133,10 @@ class SegmentIndex:
     def stats_for(self, terms: list[str]):
         from ..plans.planner import IndexStats
 
-        n_docs = self.field_stats.agg(F.sum("docs_cnt")).collect()[0][0] or 0
+        if not hasattr(self, "_n_docs"):
+            # manifest already carries docs_cnt — no Spark job needed
+            self._n_docs = sum(s.docs_cnt for s in self.store.segments())
+        n_docs = self._n_docs
         rows = (
             self.term_dict.where(F.col("term").isin(terms))
             .groupBy("term")

@@ -39,24 +39,25 @@ BLOCK_SIZE = 128  # docs per block (lucene_codec.h:49 BLOCK_SIZE=128)
 BLOCKS_PER_CHUNK = (1 << CHUNK_BITS) // BLOCK_SIZE
 
 SEGMENT_SCHEMA = (
-    "term string, block_id long, doc_count int, max_doc_id long, max_tf int, "
+    "term string, chunk long, block_id long, doc_count int, min_doc_id long, "
+    "max_doc_id long, max_tf int, sum_tf long, "
     "doc_deltas binary, tf_bytes binary, pos_bytes binary"
 )
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
     """Encode one (term, chunk) group of logical postings into block rows."""
+    cols = [
+        "term", "chunk", "block_id", "doc_count", "min_doc_id", "max_doc_id",
+        "max_tf", "sum_tf", "doc_deltas", "tf_bytes", "pos_bytes",
+    ]
     if len(pdf) == 0:
-        return pd.DataFrame(
-            columns=[
-                "term", "block_id", "doc_count", "max_doc_id", "max_tf",
-                "doc_deltas", "tf_bytes", "pos_bytes",
-            ]
-        )
+        return pd.DataFrame(columns=cols)
     pdf = pdf.sort_values("doc_id", kind="mergesort")
     term = pdf["term"].iloc[0]
-    chunk = int(pdf["doc_id"].iloc[0]) >> CHUNK_BITS
+    chunk = int(pdf["doc_id"].iloc[0]) >> chunk_bits
+    blocks_per_chunk = max((1 << chunk_bits) // BLOCK_SIZE, 1)
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     positions = pdf["positions"].tolist()
@@ -75,10 +76,13 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows.append(
             {
                 "term": term,
-                "block_id": chunk * BLOCKS_PER_CHUNK + bi,
+                "chunk": chunk,
+                "block_id": chunk * blocks_per_chunk + bi,
                 "doc_count": hi - lo,
+                "min_doc_id": int(b_docs[0]),
                 "max_doc_id": int(b_docs[-1]),
                 "max_tf": int(b_tfs.max()),
+                "sum_tf": int(b_tfs.sum()),
                 "doc_deltas": delta_encode(b_docs),
                 "tf_bytes": encode_varbyte(b_tfs),
                 "pos_bytes": encode_varbyte(d.astype(np.uint64)),
@@ -87,13 +91,14 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def encode_postings(postings: DataFrame) -> DataFrame:
+def encode_postings(postings: DataFrame, chunk_bits: int = CHUNK_BITS) -> DataFrame:
     """Logical postings -> block rows. One shuffle on (term, chunk)."""
     with_chunk = postings.withColumn(
-        "chunk", F.shiftright(F.col("doc_id"), CHUNK_BITS)
+        "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
     )
     return with_chunk.groupBy("term", "chunk").applyInPandas(
-        lambda pdf: _encode_group(pdf.drop(columns=["chunk"])), SEGMENT_SCHEMA
+        lambda pdf: _encode_group(pdf.drop(columns=["chunk"]), chunk_bits),
+        SEGMENT_SCHEMA,
     )
 
 

@@ -1,0 +1,135 @@
+"""Block-max pruned disjunctive top-k (the distributed WAND analog).
+
+Reference analogs: skip-based block seeking (``/root/reference/
+google_codec.cpp:146-159`` skiplists; ``lucene_codec.cpp:596-660``) and
+cost-ordered min-should-match iteration (``docset_iterators.h:40-60``).  The
+reference has no WAND; block-max pruning is our north-star requirement
+(SURVEY.md §4.3.2), re-derived for batch execution:
+
+Let chunk(d) = d >> CHUNK_BITS (the encode-group docid range).  Every posting
+of doc d, for every term, lives in blocks of chunk(d), so
+
+    score(d) <= sum_t ub_t(chunk(d)),
+    ub_t(c) = idf_t * max_tf_t(c) / (max_tf_t(c) + k1)
+
+computed from BLOCK METADATA ONLY (max_tf per block — no decode).  Given any
+lower bound T on the final k-th score, every chunk with bound < T is dead for
+ALL its docs, and — crucially — every surviving doc's EXACT score needs only
+its own chunk's blocks, which survive as a unit.  So the pruned query is
+bit-identical to the unpruned one: we re-run the ordinary planner over a view
+whose block scan is restricted to surviving chunks.
+
+T comes from a cheap first pass: the exact top-k of the sub-disjunction over
+the lowest-df prefix of the query terms (df-ascending — the reference's
+rarest-term-drives ordering, ``exec.cpp:154-170``).  Sub-scores only grow
+when branches are added, so the k-th best sub-score is a valid lower bound
+for the full query's k-th best.  Fewer than k sub-matches => T=0 => no
+pruning (still correct).
+
+Cost shape at 10^12 turns: pass 1 decodes only rare terms' blocks; the
+pruning decision reads only (query-term, chunk) metadata rows; pass 2 decodes
+the few chunks a stopword shares with the rare terms — the ``the AND/OR
+rare-marker`` query never materializes the stopword's 10^11-doc list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import K1
+from ..plans.ast import Or, Token
+
+
+@dataclass
+class PruningReport:
+    total_chunks: int
+    kept_chunks: int
+    threshold: float
+    cheap_terms: list[str]
+
+
+class _PrunedView:
+    """SegmentIndex facade with the block scan restricted to kept chunks.
+    Stats (df, N) intentionally come from the FULL index — scores must not
+    change under pruning."""
+
+    def __init__(self, inner, kept_chunks: DataFrame):
+        self._inner = inner
+        self.blocks = inner.blocks.join(
+            F.broadcast(kept_chunks), "chunk", "left_semi"
+        )
+        self.term_dict = inner.term_dict
+        self.field_stats = inner.field_stats
+        self.deleted = inner.deleted
+        self.postings = inner.postings
+
+    def postings_for(self, terms):
+        from .segments import decode_segments
+
+        return decode_segments(self.blocks.where(F.col("term").isin(terms)))
+
+    def stats_for(self, terms):
+        return self._inner.stats_for(terms)
+
+
+def pruned_or_topk(
+    spark: SparkSession,
+    index,
+    terms: list[str],
+    k: int = 10,
+    return_report: bool = False,
+):
+    """Exact top-k for the disjunction of ``terms`` with block-max pruning.
+    ``index`` must expose block metadata (SegmentIndex)."""
+    from ..plans.planner import QueryPlanner
+
+    node = Or(tuple(Token(t) for t in terms)).normalize()
+    planner = QueryPlanner(index)
+    stats = index.stats_for(terms)
+    live = [t for t in terms if stats.df(t) > 0]
+    if len(live) < 2:
+        res = planner.plan(node, k)
+        return (res, PruningReport(0, 0, 0.0, [])) if return_report else res
+
+    # pass 1: T = exact k-th score of the cheap (low-df) sub-disjunction
+    by_df = sorted(live, key=lambda t: stats.df(t))
+    total_df = sum(stats.df(t) for t in live)
+    budget = max(total_df * 0.2, stats.df(by_df[0]))
+    cheap, acc = [], 0
+    for t in by_df[:-1]:  # never all terms — pruning needs an expensive tail
+        # keep the pass-1 scan small, but only stop once it can plausibly
+        # yield k hits (fewer than k sub-matches would force T=0: no pruning)
+        if acc >= k and acc + stats.df(t) > budget and cheap:
+            break
+        cheap.append(t)
+        acc += stats.df(t)
+    sub = Or(tuple(Token(t) for t in cheap)).normalize()
+    sub_top = planner.plan(sub, k).collect()
+    threshold = sub_top[-1]["score"] if len(sub_top) >= k else 0.0
+
+    # chunk bounds from block metadata only
+    idf_map = F.create_map(
+        *[x for t in live for x in (F.lit(t), F.lit(stats.idf(t)))]
+    )
+    meta = (
+        index.blocks.where(F.col("term").isin(live))
+        .withColumn(
+            "ub",
+            idf_map[F.col("term")]
+            * (F.col("max_tf") / (F.col("max_tf") + F.lit(K1))),
+        )
+        .groupBy("term", "chunk")
+        .agg(F.max("ub").alias("ub"))
+    )
+    bounds = meta.groupBy("chunk").agg(F.sum("ub").alias("bound"))
+    kept = bounds.where(F.col("bound") >= F.lit(threshold)).select("chunk")
+
+    res = QueryPlanner(_PrunedView(index, kept)).plan(node, k)
+    if return_report:
+        total = bounds.count()
+        nkept = kept.count()
+        return res, PruningReport(total, nkept, float(threshold), cheap)
+    return res

@@ -19,6 +19,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python workers are spawned by the JVM and must be able to import this
+    # package (module-level UDFs pickle by reference).  On a cluster this is
+    # spark-submit --py-files; in local mode the worker daemons inherit the
+    # JVM's env, so export the repo root on PYTHONPATH BEFORE JVM launch.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
     master = master or os.environ.get("TRINITY_SPARK_MASTER", "local[*]")
     # local[N] -> N; local[*] -> cpu count
     par = os.cpu_count() or 8
@@ -39,6 +48,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("TRINITY_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.executorEnv.PYTHONPATH", pkg_root)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,120 @@
+"""Near-real-time indexing: micro-segments appended per stream batch.
+
+The reference has no streaming engine, but its architecture is explicitly
+designed for this: any object that can answer ``resolve_term_ctx`` +
+``new_postings_decoder`` is an index source, and the ordered-by-generation
+collection makes newer segments veto older ones — the stated NRT hook
+(``/root/reference/index_source.h:10-17,191-238``).  Trinity's answer to "new
+data" is "new segment"; ours is the same, driven by Structured Streaming.
+
+Each micro-batch becomes one generation-stamped micro-segment:
+
+    readStream -> foreachBatch(append_micro_segment) -> SegmentStore commit
+
+Doc IDs continue densely from the store's high-water mark; WITHIN a batch the
+frozen (conv_id, turn_idx) stable order applies, ACROSS batches arrival
+(generation) order wins — exactly the reference's segment-generation
+semantics.  Query-time stats sum across micro-segments automatically
+(similarity.h:238-250 path), and ``operators.merge.merge_segments`` is the
+compaction story once micro-segments pile up.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import __version__
+from ..operators.build import field_stats_from_blocks, term_dict_from_blocks
+from ..operators.fastbuild import blocks_from_turns
+from ..operators.docids import assign_doc_ids
+from ..operators.segments import CHUNK_BITS
+from ..sources.store import SegmentMeta, SegmentStore
+
+
+def next_doc_id(store: SegmentStore) -> int:
+    """High-water mark: one past the largest committed doc_id."""
+    metas = store.segments()
+    return max((m.doc_hi for m in metas), default=0)
+
+
+def append_micro_segment(
+    spark: SparkSession,
+    store: SegmentStore,
+    turns: DataFrame,
+    input_desc: str = "stream-batch",
+    chunk_bits: int = CHUNK_BITS,
+) -> SegmentMeta | None:
+    """Index one batch of new turns as a new segment; returns its meta."""
+    n = turns.count()
+    if n == 0:
+        return None
+    base = next_doc_id(store)
+    t0 = time.monotonic()
+    with_ids = assign_doc_ids(turns).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
+    )
+    with_ids.write.mode("append").parquet(store.docid_map_dir())
+
+    seg_turns = store.read_docid_map(spark).where(
+        (F.col("doc_id") >= base) & (F.col("doc_id") < base + n)
+    )
+    blocks = blocks_from_turns(seg_turns, chunk_bits=chunk_bits).persist()
+    meta = SegmentMeta(
+        segment_id=f"seg-{base:014d}-{base + n:014d}",
+        generation=0,
+        doc_lo=base,
+        doc_hi=base + n,
+        docs_cnt=n,
+        lineage={"input": input_desc, "doc_range": [base, base + n],
+                 "engine_version": __version__, "mode": "nrt-append"},
+        metrics={},
+    )
+    store.commit_segment(
+        blocks, term_dict_from_blocks(blocks), field_stats_from_blocks(blocks, docs_cnt=n), meta
+    )
+    blocks.unpersist()
+    wall = time.monotonic() - t0
+    meta.metrics.update(
+        {"turns": n, "wall_sec": round(wall, 3), "turns_per_sec": round(n / wall, 1)}
+    )
+    m = store.read_manifest()
+    for s in m["segments"]:
+        if s["segment_id"] == meta.segment_id:
+            s["metrics"] = meta.metrics
+    store._write_manifest(m)
+    return meta
+
+
+def start_indexing_stream(
+    spark: SparkSession,
+    store: SegmentStore,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming transcripts source into the store.
+
+    ``stream_df`` is any streaming DataFrame with the transcripts schema
+    (conv_id, turn_idx, role, text, tool, ts).  Exactly-once: Structured
+    Streaming's checkpoint dedupes batch replays by epoch id — a replayed
+    epoch re-commits the same segment_id, which commit_segment overwrites
+    idempotently (same doc range => same content).
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = f"stream-epoch-{epoch_id}"
+        # replay guard: an epoch already committed (crash between segment
+        # commit and checkpoint write) must not double-append
+        if any(s.lineage.get("input") == marker for s in store.segments()):
+            return
+        append_micro_segment(spark, store, batch_df, input_desc=marker)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
