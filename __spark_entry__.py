@@ -104,6 +104,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_minmatch"] = mk("[sort, merge, window] min=2")
     q["bm25_phrase"] = mk('"table hash"')
     q["bm25_mixed"] = mk('("table hash" OR vector) AND join NOT slow')
+
+    # --- training-data pipeline operators (trinity_spark.dataops) ---
+
+    def _docs(spark, sf):
+        return spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def dedup_exact_groups(spark, sf):
+        from trinity_spark.dataops.dedup import exact_duplicates
+
+        g = exact_duplicates(_docs(spark, sf))
+        return g.select(
+            "hash",
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.array_min("doc_ids").cast("long").alias("min_doc_id"),
+        )
+
+    def dedup_minhash_signatures(spark, sf):
+        from trinity_spark.dataops.dedup import minhash_signatures
+
+        docs = _docs(spark, sf).where(
+            F.size(F.split(F.trim("text"), r"\s+")) >= 3
+        )
+        return minhash_signatures(docs, num_hashes=4)
+
+    def dedup_ngram_jaccard(spark, sf):
+        from trinity_spark.dataops.dedup import ngram_jaccard_pairs
+
+        docs = _docs(spark, sf).where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        p = ngram_jaccard_pairs(docs, threshold=0.5)
+        return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def dedup_simhash(spark, sf):
+        from trinity_spark.dataops.dedup import simhash
+
+        return simhash(_docs(spark, sf).where(F.col("text") != ""))
+
+    def text_analysis(spark, sf):
+        from trinity_spark.dataops.textstats import analyze
+
+        return analyze(_docs(spark, sf)).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "lang",
+            "quality",
+            "fingerprint",
+        )
+
+    def ann_topk(spark, sf):
+        from trinity_spark.dataops.similarity import brute_force_topk
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+        query = vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return brute_force_topk(
+            vecs.where(F.col("vec_id") != 0), [float(x) for x in query], k=10
+        )
+
+    def media_n_bytes(spark, sf):
+        from trinity_spark.dataops.multimodal import extract_features, make_media_table
+
+        media = make_media_table(_docs(spark, sf))
+        return extract_features(media, fake=True).select(
+            "media_id", F.col("n_bytes").cast("long").alias("n_bytes")
+        )
+
+    q["dedup_exact_groups"] = dedup_exact_groups
+    q["dedup_minhash_signatures"] = dedup_minhash_signatures
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+    q["dedup_simhash"] = dedup_simhash
+    q["text_analysis"] = text_analysis
+    q["ann_cosine_topk"] = ann_topk
+    q["media_feature_plumbing"] = media_n_bytes
     return q
 
 
@@ -267,5 +340,145 @@ anded AS (
 )
 SELECT doc_id, round(raw, 6) AS score
 FROM anded ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+    # --- training-data pipeline oracles -----------------------------------
+
+    o["dedup_exact_groups"] = """
+SELECT md5(text) AS hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    # shingle CTE shared by the minhash/jaccard oracles (docs with >= 3 tokens;
+    # word-3-gram shingles, DISTINCT, mirroring dataops.dedup.shingles)
+    _SH = """
+toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+)"""
+
+    o["dedup_minhash_signatures"] = f"""
+WITH {_SH}
+SELECT doc_id,
+       min(md5('0|' || sh)) AS h0,
+       min(md5('1|' || sh)) AS h1,
+       min(md5('2|' || sh)) AS h2,
+       min(md5('3|' || sh)) AS h3
+FROM sh GROUP BY doc_id
+"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_SH},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.sh) AS inter
+  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter), 6) AS jaccard
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
+"""
+
+    simhash_votes = ",\n       ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    simhash_sum = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+    )
+    o["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE text <> ''
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+  FROM toks WHERE tok <> ''
+),
+votes AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({simhash_sum} AS BIGINT) AS simhash FROM votes
+"""
+
+    en = "['the','and','of','to','is','in','it','you','that','for']"
+    de = "['der','die','und','das','ist','nicht','ein','ich','mit','zu']"
+    fr = "['le','la','et','les','des','est','une','que','pas','pour']"
+    es = "['el','la','los','que','de','es','una','por','con','para']"
+    o["text_analysis"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+         length(text) AS n_chars,
+         len(list_intersect(toks, {en})) AS sc_en,
+         len(list_intersect(toks, {de})) AS sc_de,
+         len(list_intersect(toks, {fr})) AS sc_fr,
+         len(list_intersect(toks, {es})) AS sc_es
+  FROM base
+),
+fpflat AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM base
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CAST(i AS HUGEINT)
+               * (('0x' || substr(md5(tok), 1, 8))::BIGINT))
+             % 2305843009213693951 AS BIGINT) AS fingerprint
+  FROM fpflat GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_bpe AS BIGINT) AS n_bpe_tokens,
+       CAST(s.n_chars AS BIGINT) AS n_chars,
+       CASE
+         WHEN s.sc_es > greatest(s.sc_en, s.sc_de, s.sc_fr) THEN 'es'
+         WHEN s.sc_fr > greatest(s.sc_en, s.sc_de) AND s.sc_fr >= s.sc_es THEN 'fr'
+         WHEN s.sc_de > s.sc_en AND s.sc_de >= s.sc_fr AND s.sc_de >= s.sc_es THEN 'de'
+         WHEN s.sc_en > 0 AND s.sc_en >= s.sc_de AND s.sc_en >= s.sc_fr AND s.sc_en >= s.sc_es THEN 'en'
+         ELSE 'und'
+       END AS lang,
+       round(
+         0.4 * least(CAST(s.n_chars AS DOUBLE) / 500.0, 1.0)
+         + 0.3 * (1.0 - CASE WHEN s.n_chars > 0
+             THEN CAST(length(regexp_replace(s.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / s.n_chars
+             ELSE 1.0 END)
+         + 0.3 * least(CASE WHEN s.n_tokens > 0
+             THEN CAST(s.sc_en AS DOUBLE) / least(s.n_tokens, 10)
+             ELSE 0.0 END, 1.0),
+         6) AS quality,
+       coalesce(f.fingerprint, 0) AS fingerprint
+FROM scored s LEFT JOIN fp f ON f.doc_id = s.doc_id
+"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+    o["media_feature_plumbing"] = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
 """
     return o

@@ -1,0 +1,195 @@
+"""Training-data pipeline operators: dedup, similarity, text stats, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from trinity_spark.dataops import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- exact dedup -------------------------------------------------------------
+
+DUP_ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "totally different content here about gpu kernels"),
+    (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+    (3, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 0
+    (4, "unrelated text entirely about parquet row groups"),
+    (5, "totally different content here about gpu kernels"),  # dup of 1
+]
+
+
+def test_exact_duplicates(spark):
+    groups = dedup.exact_duplicates(_docs(spark, DUP_ROWS)).collect()
+    got = sorted(tuple(g["doc_ids"]) for g in groups)
+    assert got == [(0, 2), (1, 5)]
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(_docs(spark, DUP_ROWS)).collect())
+    assert kept == [0, 1, 3, 4]
+
+
+# --- minhash / jaccard -------------------------------------------------------
+
+def _py_shingles(text, n=3):
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_minhash_near_duplicates(spark):
+    docs = _docs(spark, DUP_ROWS)
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    got = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    # exact dups (jaccard 1.0) and the near-dup 0-3 must surface
+    assert got[(0, 2)] == 1.0
+    assert got[(1, 5)] == 1.0
+    a, b = _py_shingles(DUP_ROWS[0][1]), _py_shingles(DUP_ROWS[3][1])
+    expect = len(a & b) / len(a | b)
+    assert (0, 3) in got and abs(got[(0, 3)] - expect) < 1e-9
+    # unrelated docs don't pair
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_signature_is_md5_derived(spark):
+    docs = _docs(spark, [(0, "a b c d e")])
+    sig = dedup.minhash_signatures(docs, num_hashes=4).collect()[0]
+    sh = _py_shingles("a b c d e")
+    for i in range(4):
+        expect = min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+        assert sig[f"h{i}"] == expect
+
+
+# --- simhash -----------------------------------------------------------------
+
+def test_simhash_exact_and_near(spark):
+    docs = _docs(spark, DUP_ROWS)
+    pairs = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in dedup.simhash_near_duplicates(docs, max_hamming=6).collect()
+    }
+    assert pairs[(0, 2)] == 0  # identical text -> identical simhash
+    assert pairs[(1, 5)] == 0
+    assert (0, 3) in pairs  # one-word change -> few bits flip
+
+
+# --- text stats --------------------------------------------------------------
+
+def test_textstats_values(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "The quick brown fox, and the lazy dog!"),
+            (1, "der hund und die katze ist nicht ein tier mit zu"),
+            (2, ""),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textstats.analyze(docs).collect()}
+    assert rows[0]["n_tokens"] == 8
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+    assert rows[2]["n_tokens"] == 0
+
+    # fingerprint matches the documented md5 formula
+    toks = "the quick brown fox and the lazy dog".split()
+    M = (1 << 61) - 1
+    expect = 0
+    for i, t in enumerate(toks):
+        expect = (expect + (i + 1) * int(hashlib.md5(t.encode()).hexdigest()[:8], 16)) % M
+    assert rows[0]["fingerprint"] == expect
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = _docs(spark, [(0, "alpha beta gamma"), (1, "gamma beta alpha")])
+    rows = {r["doc_id"]: r["fingerprint"] for r in textstats.analyze(docs).collect()}
+    assert rows[0] != rows[1]
+
+
+# --- similarity search -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    rows.append((200, [float(x) for x in rows[7][1]]))  # exact dup of vec 7
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    df, rows = vectors
+    q = rows[7][1]
+    got = [(r["vec_id"], r["score"]) for r in similarity.brute_force_topk(df, q, k=5).collect()]
+    M = np.array([r[1] for r in rows])
+    qv = np.array(q)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(range(len(rows)), key=lambda i: (-round(cos[i], 6), rows[i][0]))
+    expect = [(rows[i][0], round(float(cos[i]), 6)) for i in order[:5]]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[1] - e[1]) < 1e-6
+    assert got[0][0] in (7, 200) and abs(got[0][1] - 1.0) < 1e-6
+
+
+def test_lsh_topk_full_probe_equals_brute(spark, vectors):
+    df, rows = vectors
+    q = rows[3][1]
+    sigged, planes = similarity.add_lsh_signatures(df, dim=8, bits=8)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(df, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(sigged, planes, q, k=5, probe_radius=8).collect()
+    ]
+    assert approx == exact  # radius = bits -> no pruning -> identical
+
+
+def test_lsh_topk_pruned_finds_duplicate(spark, vectors):
+    df, rows = vectors
+    q = rows[7][1]
+    sigged, planes = similarity.add_lsh_signatures(df, dim=8, bits=10)
+    got = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(sigged, planes, q, k=3, probe_radius=1).collect()
+    ]
+    assert got[:2] == [7, 200]  # identical vectors share the bucket at radius 0
+
+
+def test_cosine_pairs_finds_planted_dup(spark, vectors):
+    df, _ = vectors
+    pairs = similarity.cosine_pairs(df, dim=8, threshold=0.999).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(7, 200)}
+
+
+# --- multimodal --------------------------------------------------------------
+
+def test_multimodal_feature_plumbing(spark):
+    docs = _docs(spark, [(0, "hello world"), (1, "bytes here vary"), (2, "")])
+    media = multimodal.make_media_table(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media, fake=True).collect()}
+    assert feats[0]["n_bytes"] == len("hello world")
+    assert len(feats[0]["feature"]) == multimodal.FEATURE_DIM
+    expect = multimodal._fake_decode(b"hello world")
+    assert np.allclose(np.array(feats[0]["feature"]), expect, atol=1e-5)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), "video/mp4", None, None, 3500)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (1, 1000), (2, 2000)]

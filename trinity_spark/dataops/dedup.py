@@ -1,0 +1,281 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's IR surface (SURVEY.md §2), a 100 TB corpus pipeline
+needs dedup as a first-class operator family.  Everything here is pure
+DataFrame algebra over JVM built-ins (md5 / sort_array / explode /
+aggregations) — no Python in the hot path — and every hash is derived from
+``md5`` so a DuckDB oracle can reproduce results bit-for-bit
+(``__spark_entry__.oracle_sql``).
+
+Scale notes (1000 executors, 10^10 docs):
+- exact dedup: one shuffle on the content hash; map-side combine makes the
+  reduce side proportional to distinct docs.
+- MinHash+LSH: shingle explode is the big intermediate (docs x shingles);
+  signatures aggregate with map-side combine per doc (no skew: key = doc).
+  The band join keys on (band_id, band_hash) — collisions are rare by
+  construction, so groups stay tiny even at 10^10 docs; candidate
+  verification joins only within buckets (the classic LSH cost shape).
+- SimHash: same explode, then one per-doc aggregation; hamming-style
+  bucketing via prefix keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def content_hash(text_col: Column) -> Column:
+    """Canonical content fingerprint (md5 of the raw text)."""
+    return F.md5(text_col)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (hash, dup_count, doc_ids)."""
+    return (
+        docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("hash"))
+        .groupBy("hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each identical-content group."""
+    ranked = docs.withColumn("hash", content_hash(F.col(text_col)))
+    keeper = ranked.groupBy("hash").agg(F.min(id_col).alias(id_col))
+    return ranked.join(keeper, [id_col, "hash"], "left_semi").drop("hash")
+
+
+# --- shingles ---------------------------------------------------------------
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of whitespace-token runs (distinct)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    md5(i || shingle).  md5-based so DuckDB reproduces it exactly; a string
+    min is a valid random-permutation surrogate."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (bands x rows), bucket-join on band hash ->
+    candidate pairs (a < b).  One shuffle on (band, band_hash)."""
+    rows = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (verification stage)."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        pairs.join(a, pairs["id_a"] == F.col(f"sa.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"sb.{id_col}"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    return joined.select(
+        "id_a", "id_b",
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash->LSH->verify pipeline: near-dup pairs above threshold."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_pairs(docs, cands, id_col, text_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs: candidates = pairs sharing at
+    least one shingle (any pair above a positive threshold must share one),
+    then exact verification.  Deterministic — the SQL-oracle-facing variant;
+    the probabilistic-but-cheaper LSH variant is minhash_near_duplicates."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_pairs(docs, cands, id_col, text_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 (reproducible in DuckDB via
+    ('0x'||substr(md5(t),1,8))::BIGINT); per-bit vote = sum of +-1; bit set
+    iff the vote is positive."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    votes = toks.select(
+        F.col(id_col),
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    ).groupBy(id_col).agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(SIMHASH_BITS)])
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        sig = bit if sig is None else sig + bit
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of the 32/band_bits bit-bands
+    (a pair within hamming distance < #bands shares at least one exact band),
+    verify hamming distance exactly."""
+    sig = simhash(docs, id_col, text_col)
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -8,9 +8,11 @@ Pipeline (SURVEY.md §3.3 — the Spark re-expression of
       -> docid_map  (phase 0, written once — the two-ID-space translation
                      table, index_source.h:100-114)
       -> per docid-range SEGMENT:
-           tokenize (Arrow UDF) -> posexplode -> groupBy(term, doc_id)
-           -> encode (term, chunk) blocks (delta+varbyte, applyInPandas)
-           -> commit_segment (atomic manifest add)
+           fused tokenize -> postings -> delta+varbyte blocks in ONE
+           mapInArrow pass (fastbuild.blocks_from_turns, zero data shuffles);
+           term_dict + field_stats derived from block metadata
+           -> commit_segment (atomic manifest add; the only data shuffle is
+              the term-sorted block write for dictionary-seek locality)
 
 Resumability (north rule): each segment is an idempotent unit keyed by its
 docid range; a restarted build skips manifest-committed segments and rewrites
@@ -50,13 +52,24 @@ def build_index(
 ) -> list[SegmentMeta]:
     """Build (or resume) the full index; returns committed segment metas."""
     import os
+    import sys
+
+    prof = os.environ.get("TRINITY_PROFILE") == "1"
+
+    def _p(msg: str, t_from: float) -> None:
+        if prof:
+            print(f"PROFILE {msg}: {time.monotonic() - t_from:.1f}s", file=sys.stderr, flush=True)
 
     # phase 0: docid_map (skipped on resume)
+    tp = time.monotonic()
     if not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS")):
         with_ids = assign_doc_ids(turns)
         store.write_docid_map(with_ids)
+    _p("docid_map", tp)
+    tp = time.monotonic()
     docmap = store.read_docid_map(spark)
     n_docs = docmap.count()
+    _p("count", tp)
 
     if rows_per_segment is None:
         par = spark.sparkContext.defaultParallelism
@@ -71,9 +84,13 @@ def build_index(
             continue
         t0 = time.monotonic()
         seg_turns = docmap.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _p(f"segment {sid} start", t0)
         # fused tokenize->postings->encode: ONE pass, zero data shuffles;
         # dictionary + stats come off block metadata (also shuffle-light)
         blocks = blocks_from_turns(seg_turns, chunk_bits=chunk_bits).persist()
+        tb = time.monotonic()
+        blocks.count()  # materialize the fused pass once, before any reuse
+        _p(f"blocks {sid}", tb)
         term_dict = term_dict_from_blocks(blocks)
         stats = field_stats_from_blocks(blocks, docs_cnt=hi - lo)
         meta = SegmentMeta(
@@ -89,7 +106,9 @@ def build_index(
             },
             metrics={},
         )
+        tc = time.monotonic()
         store.commit_segment(blocks, term_dict, stats, meta)
+        _p(f"commit {sid}", tc)
         blocks.unpersist()
         wall = time.monotonic() - t0
         meta.metrics.update(

@@ -17,9 +17,14 @@ doubles as the docid-range seek key.  Encoding is ``applyInPandas`` over
 those groups (Arrow-batched; numpy loops run over byte positions / blocks,
 never rows).
 
-Schema: postings_segments(term string, block_id long, doc_count int,
-max_doc_id long, max_tf int, doc_deltas binary, tf_bytes binary,
-pos_bytes binary)
+Schema: postings_segments(term string, chunk long, block_id long,
+doc_count int, min_doc_id long, max_doc_id long, max_tf int, sum_tf long,
+doc_deltas binary, tf_bytes binary, pos_bytes binary) — min/max_doc_id are
+the skiplist keys, max_tf/sum_tf the block-max + dictionary metadata.
+
+This module keeps the shuffle-based encode path (logical postings ->
+blocks), used by merge/compaction for globally optimal block packing; the
+build hot path is the fused zero-shuffle encoder in ``fastbuild``.
 """
 
 from __future__ import annotations

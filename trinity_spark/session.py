@@ -48,8 +48,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("TRINITY_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
         .config("spark.executorEnv.PYTHONPATH", pkg_root)
+        .config("spark.local.dir", os.environ.get("TRINITY_LOCAL_DIR", "/dev/shm/spark-local")
+                if os.path.isdir(os.environ.get("TRINITY_LOCAL_DIR", "/dev/shm/spark-local"))
+                else "/tmp")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -81,7 +81,11 @@ def tokenize_terms_py(text: str | None) -> list[tuple[str, int]]:
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Arrow-vectorized tokenizer: pandas .str regex passes (C regex loop,
     no per-row Python function calls except the acronym-collapse callback,
-    which fires only on matches)."""
+    which fires only on matches).
+
+    (Measured: a mask-then-replace variant that skips no-match rows is 2x
+    SLOWER than plain replace — pandas' regex replace already short-circuits
+    on non-matching rows.)"""
     s = texts.fillna("").str.lower()
     s = s.str.replace(_ACRONYM_RE, lambda m: m.group(0).replace(".", ""), regex=True)
     s = s.str.replace(_APOSTROPHE_RE, "", regex=True)
