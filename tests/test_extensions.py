@@ -1,0 +1,141 @@
+"""Extension-point operators: percolator, intersection counts, query rewrite,
+doc-level pre-filter."""
+
+from trinity_spark.fixtures import docs_in_stable_order, gen_transcripts
+from trinity_spark.operators.build import (
+    build_field_stats,
+    build_postings,
+    build_term_dict,
+    tokenize_turns,
+)
+from trinity_spark.operators.docids import assign_doc_ids
+from trinity_spark.operators.intersect import intersection_counts
+from trinity_spark.operators.percolator import percolate
+from trinity_spark.oracle import OracleIndex
+from trinity_spark.plans.ast import And, Or, Phrase, Token
+from trinity_spark.plans.parser import parse_query
+from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+from trinity_spark.plans.rewrite import expand_synonyms
+
+DOCS = [
+    (0, "error timeout in the gpu kernel"),
+    (1, "all quiet on the western front"),
+    (2, "connection reset by peer"),
+    (3, "timeout waiting for error response"),
+    (4, "gpu driver error"),
+]
+
+
+def test_percolate(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = {
+        "q_err_and_to": "error AND timeout",
+        "q_phrase": '"connection reset by peer"',
+        "q_not": "gpu NOT kernel",
+        "q_some": "[error, gpu, peer] min=2",
+        "q_nohit": "zzznothing",
+    }
+    got = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(docs, queries).collect()
+    )
+    assert got == [
+        (0, "q_err_and_to"),
+        (0, "q_some"),
+        (2, "q_phrase"),
+        (3, "q_err_and_to"),
+        (4, "q_not"),
+        (4, "q_some"),
+    ]
+
+
+def test_percolate_matches_oracle_eval(spark):
+    corpus = gen_transcripts(300)
+    docs = docs_in_stable_order(corpus)
+    oracle = OracleIndex.build(docs)
+    sdf = assign_doc_ids(spark.createDataFrame(corpus), num_partitions=3)
+    queries = {
+        "a": "error AND timeout",
+        "b": "retry OR backoff",
+        "c": '"connection reset by peer"',
+    }
+    got = {
+        qid: sorted(r["doc_id"] for r in rows)
+        for qid, rows in __group(percolate(sdf, queries).collect()).items()
+    }
+    for qid, q in queries.items():
+        want = sorted(oracle.eval(parse_query(q)).keys())
+        assert got.get(qid, []) == want, qid
+
+
+def __group(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(r)
+    return out
+
+
+def test_intersection_counts(spark):
+    turns = assign_doc_ids(
+        spark.createDataFrame(
+            [(str(i), 0, t) for i, t in DOCS], "conv_id string, turn_idx int, text string"
+        ),
+        num_partitions=2,
+    )
+    postings = build_postings(tokenize_turns(turns))
+    tokens = ["error", "timeout", "gpu"]
+    rows = {r["mask"]: r["doc_count"] for r in intersection_counts(postings, tokens).collect()}
+    # doc0: error+timeout+gpu=0b111; doc3: error+timeout=0b011; doc4: error+gpu=0b101
+    assert rows == {0b111: 1, 0b011: 1, 0b101: 1}
+
+
+def test_expand_synonyms_budget():
+    node = parse_query("error AND timeout")
+    syn = {"error": ["failure", "fault"], "timeout": ["deadline"]}
+    out = expand_synonyms(node, syn, max_expansion=64)
+    assert out == And(
+        (
+            Or((Token("error"), Token("failure"), Token("fault"))),
+            Or((Token("timeout"), Token("deadline"))),
+        )
+    )
+    # tiny budget: nothing expands
+    assert expand_synonyms(node, syn, max_expansion=1) == node
+    # phrase-level synonym
+    p = parse_query('"rate limit"')
+    out2 = expand_synonyms(p, {"rate limit": ["throttle cap"]})
+    assert out2 == Or((Phrase(("rate", "limit")), Phrase(("throttle", "cap"))))
+
+
+def test_expanded_query_rank_matches_oracle(spark):
+    corpus = gen_transcripts(400)
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    turns = assign_doc_ids(spark.createDataFrame(corpus), num_partitions=3)
+    postings = build_postings(tokenize_turns(turns)).persist()
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, 400)
+    )
+    node = expand_synonyms(parse_query("error"), {"error": ["timeout", "failed"]})
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in QueryPlanner(index).plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_doc_filter_prefilter(spark):
+    corpus = gen_transcripts(400)
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    turns = assign_doc_ids(spark.createDataFrame(corpus), num_partitions=3)
+    postings = build_postings(tokenize_turns(turns)).persist()
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, 400)
+    )
+    node = parse_query("error")
+    # filter: only assistant turns (role-based doc pre-filter)
+    allowed = turns.where("role = 'assistant'").select("doc_id")
+    allowed_ids = {r["doc_id"] for r in allowed.collect()}
+    got = [
+        r["doc_id"]
+        for r in QueryPlanner(index).plan(node, k=10, doc_filter=allowed).collect()
+    ]
+    want = [d for d, _ in oracle.topk(node, k=10 ** 6) if d in allowed_ids][:10]
+    assert got == want
+    assert set(got) <= allowed_ids

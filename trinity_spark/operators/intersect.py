@@ -1,0 +1,41 @@
+"""Token-subset intersection counting (query-suggestion support).
+
+Reference: ``/root/reference/intersect.cpp:5-230`` — given a token list,
+count how many documents match each subset of the tokens (as a bitmask), so
+an application can suggest "which words to drop" when a query has few hits.
+
+Spark-first: per (doc, token) membership -> bit per token -> ``bit_or`` per
+doc -> count per mask.  Two narrow aggregations; no joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def intersection_counts(
+    postings: DataFrame, tokens: list[str], min_mask_bits: int = 1
+) -> DataFrame:
+    """For each subset-mask of ``tokens`` (bit i = tokens[i] present in the
+    doc), the number of documents whose term set matches exactly that mask.
+
+    Input is the logical postings (term, doc_id, ...) view; the scan is
+    pushed down to the query tokens only.
+    """
+    per_row = postings.where(F.col("term").isin(tokens)).select(
+        "doc_id",
+        F.coalesce(
+            *[
+                F.when(F.col("term") == t, F.lit(1 << i).cast("long"))
+                for i, t in enumerate(tokens)
+            ]
+        ).alias("bit"),
+    )
+    per_doc = per_row.groupBy("doc_id").agg(F.bit_or("bit").alias("mask"))
+    return (
+        per_doc.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.bit_count("mask") >= min_mask_bits)
+        .orderBy(F.desc("doc_count"))
+    )

@@ -129,10 +129,19 @@ class QueryPlanner:
     def __init__(self, index: LogicalIndex):
         self.index = index
 
-    def plan(self, query: str | Node, k: int = 10) -> DataFrame:
+    def plan(
+        self, query: str | Node, k: int = 10, doc_filter: DataFrame | None = None
+    ) -> DataFrame:
         """Compile to a DataFrame (doc_id long, score double), top-k ordered
-        by score DESC, doc_id ASC (the mandatory deterministic tie-break)."""
-        return self.score_all(query).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        by score DESC, doc_id ASC (the mandatory deterministic tie-break).
+
+        ``doc_filter`` (a DataFrame with a doc_id column) is the app-supplied
+        document pre-filter (IndexDocumentsFilter, matches.h:188-201):
+        only docs in it can match — applied as a semi-join before top-k."""
+        scored = self.score_all(query)
+        if doc_filter is not None:
+            scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def score_all(self, query: str | Node) -> DataFrame:
         """All matching docs with scores, no ordering/limit (the full
