@@ -27,17 +27,12 @@ K1 = 1.2  # /root/reference/similarity.h:169 (norm fixed to k1 — no length nor
 
 def _index(spark: SparkSession, sf_dir: str):
     """Build the logical index over documents(doc_id, text)."""
-    from trinity_spark.operators.build import (
-        build_field_stats,
-        build_postings,
-        build_term_dict,
-        tokenize_turns,
-    )
+    from trinity_spark.operators.build import build_field_stats, build_term_dict
+    from trinity_spark.operators.fastbuild import postings_from_turns
     from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    hits = tokenize_turns(docs)
-    postings = build_postings(hits)
+    postings = postings_from_turns(docs)
     index = LogicalIndex(
         postings,
         build_term_dict(postings),

@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in .explain() — term predicate pushed to the parquet block scan,
+broadcast of pruning chunk sets, no Python row-at-a-time UDFs in query plans."""
+
+import pytest
+
+from trinity_spark.fixtures import gen_transcripts
+from trinity_spark.operators.indexer import SegmentIndex, build_index
+from trinity_spark.sources.store import SegmentStore
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("plans"))
+    store = SegmentStore(base)
+    build_index(spark, spark.createDataFrame(gen_transcripts(600)), store,
+                rows_per_segment=600)
+    return SegmentIndex(spark, store)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_term_filter_pushed_to_block_scan(index):
+    plan = _plan(index.postings_for(["error", "timeout"]))
+    # the isin filter must reach the parquet scan of the encoded blocks
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan[:2000]
+
+
+def test_query_plan_prunes_columns(index):
+    df = index.blocks.where("term = 'error'").select("term", "max_tf")
+    plan = _plan(df)
+    # only the needed columns are read (no binary payload columns)
+    assert "doc_deltas" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_no_python_row_udfs_in_boolean_query(index):
+    from trinity_spark.plans.planner import QueryPlanner
+
+    df = QueryPlanner(index).plan("error AND timeout", k=10)
+    plan = _plan(df)
+    # decode is ArrowEvalPython/MapInArrow (vectorized); BatchEvalPython would
+    # mean a row-at-a-time Python UDF snuck into the hot path
+    assert "BatchEvalPython" not in plan
+    # scoring/aggregation is JVM hash aggregation (codegen shows post-AQE)
+    assert "HashAggregate" in plan
+
+
+def test_topk_is_take_ordered(index):
+    from trinity_spark.plans.planner import QueryPlanner
+
+    df = QueryPlanner(index).plan("error OR timeout", k=10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
