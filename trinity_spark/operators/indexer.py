@@ -149,6 +149,11 @@ class SegmentIndex:
         pruned = self.blocks.where(F.col("term").isin(terms))
         return decode_segments(pruned)
 
+    # dictionaries up to this size are cached driver-side after first use —
+    # one collect replaces a per-query Spark job (terms.idx-in-memory analog);
+    # larger dictionaries fall back to pushdown lookups per query
+    TERM_DICT_CACHE_MAX = 2_000_000
+
     def stats_for(self, terms: list[str]):
         from ..plans.planner import IndexStats
 
@@ -156,6 +161,17 @@ class SegmentIndex:
             # manifest already carries docs_cnt — no Spark job needed
             self._n_docs = sum(s.docs_cnt for s in self.store.segments())
         n_docs = self._n_docs
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            total_terms = self.field_stats.agg(F.sum("total_terms")).collect()[0][0] or 0
+            if total_terms <= self.TERM_DICT_CACHE_MAX:
+                rows = self.term_dict.groupBy("term").agg(F.sum("df").alias("df")).collect()
+                cache = {r["term"]: int(r["df"]) for r in rows}
+            else:
+                cache = False  # too big: per-query pushdown lookups
+            self._df_cache = cache
+        if cache:
+            return IndexStats(int(n_docs), {t: cache.get(t, 0) for t in terms})
         rows = (
             self.term_dict.where(F.col("term").isin(terms))
             .groupBy("term")

@@ -91,7 +91,7 @@ def pruned_or_topk(
     stats = index.stats_for(terms)
     live = [t for t in terms if stats.df(t) > 0]
     if len(live) < 2:
-        res = planner.plan(node, k)
+        res = planner.plan(node, k, block_pruning=False)
         return (res, PruningReport(0, 0, 0.0, [])) if return_report else res
 
     # pass 1: T = exact k-th score of the cheap (low-df) sub-disjunction
@@ -107,7 +107,7 @@ def pruned_or_topk(
         cheap.append(t)
         acc += stats.df(t)
     sub = Or(tuple(Token(t) for t in cheap)).normalize()
-    sub_top = planner.plan(sub, k).collect()
+    sub_top = planner.plan(sub, k, block_pruning=False).collect()
     threshold = sub_top[-1]["score"] if len(sub_top) >= k else 0.0
 
     # chunk bounds from block metadata only
@@ -127,7 +127,7 @@ def pruned_or_topk(
     bounds = meta.groupBy("chunk").agg(F.sum("ub").alias("bound"))
     kept = bounds.where(F.col("bound") >= F.lit(threshold)).select("chunk")
 
-    res = QueryPlanner(_PrunedView(index, kept)).plan(node, k)
+    res = QueryPlanner(_PrunedView(index, kept)).plan(node, k, block_pruning=False)
     if return_report:
         total = bounds.count()
         nkept = kept.count()

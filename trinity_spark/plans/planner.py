@@ -130,15 +130,37 @@ class QueryPlanner:
         self.index = index
 
     def plan(
-        self, query: str | Node, k: int = 10, doc_filter: DataFrame | None = None
+        self,
+        query: str | Node,
+        k: int = 10,
+        doc_filter: DataFrame | None = None,
+        block_pruning: bool = True,
     ) -> DataFrame:
         """Compile to a DataFrame (doc_id long, score double), top-k ordered
         by score DESC, doc_id ASC (the mandatory deterministic tie-break).
 
         ``doc_filter`` (a DataFrame with a doc_id column) is the app-supplied
         document pre-filter (IndexDocumentsFilter, matches.h:188-201):
-        only docs in it can match — applied as a semi-join before top-k."""
-        scored = self.score_all(query)
+        only docs in it can match — applied as a semi-join before top-k.
+
+        When the index exposes block metadata and the query is a plain token
+        disjunction, the block-max pruned top-k path is used automatically
+        (operators/topk.py — provably identical result, skips dead chunks)."""
+        node = parse_query(query) if isinstance(query, str) else query
+        if (
+            block_pruning
+            and doc_filter is None
+            and isinstance(node, Or)
+            and all(isinstance(c, Token) for c in node.children)
+            and getattr(self.index, "blocks", None) is not None
+        ):
+            from ..operators.topk import pruned_or_topk
+
+            spark = self.index.postings.sparkSession
+            return pruned_or_topk(
+                spark, self.index, [c.term for c in node.children], k
+            )
+        scored = self.score_all(node)
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
