@@ -459,14 +459,19 @@ SELECT s.doc_id,
 FROM scored s LEFT JOIN fp f ON f.doc_id = s.doc_id
 """
 
+    # float64 parity with the Spark side: dataops/similarity.py casts the
+    # embedding to array<double> before the fold, so the oracle must also
+    # accumulate in DOUBLE (raw FLOAT[] lists differ by >1 ulp at 6 dp).
     o["ann_cosine_topk"] = """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+       FROM embeddings WHERE vec_id <> 0)
 SELECT e.vec_id,
-       round(list_dot_product(e.embedding, q.qv)
-             / (sqrt(list_dot_product(e.embedding, e.embedding))
+       round(list_dot_product(e.ev, q.qv)
+             / (sqrt(list_dot_product(e.ev, e.ev))
                 * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
-FROM embeddings e, q
-WHERE e.vec_id <> 0
+FROM ed e, q
 ORDER BY score DESC, e.vec_id ASC
 LIMIT 10
 """

@@ -70,6 +70,67 @@ def test_skew_query_actually_prunes(spark, built):
         assert abs(gs - ws) <= 1e-9
 
 
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_small_df_or_stays_single_pass(spark, built):
+    """Cost gate: a low-df disjunction must NOT take the pruned path — its
+    plan has no chunk-restriction join and no reference to block chunks."""
+    from trinity_spark.plans.planner import QueryPlanner
+
+    index, _ = built
+    df = QueryPlanner(index).plan("error OR timeout", k=10)
+    plan = _plan_str(df)
+    assert "chunk" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gate_opens_when_df_profile_pays(spark, built, monkeypatch):
+    """With thresholds forced low, plan() routes through the pruned path and
+    the result is still rank-identical to the oracle."""
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.plans.planner import QueryPlanner
+
+    monkeypatch.setattr(topk_mod, "PRUNE_MIN_TAIL_DF", 1)
+    monkeypatch.setattr(topk_mod, "PRUNE_MIN_SKEW", 1.0)
+    index, corpus = built
+    df = QueryPlanner(index).plan("qqfluxcapacitor OR zxqv OR the", k=5)
+    plan = _plan_str(df)
+    assert "chunk" in plan  # block scan restricted to surviving chunks
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    want = oracle.topk(
+        Or((Token("qqfluxcapacitor"), Token("zxqv"), Token("the"))), k=5
+    )
+    rows = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want]
+
+
+def test_rare_and_chunk_restriction_exact(spark, built, monkeypatch):
+    """AND-with-rare-term: restricting the scan to the rare term's chunks is
+    exact (every match contains the rare term) and visible in the plan."""
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.plans.ast import And
+    from trinity_spark.plans.planner import QueryPlanner
+
+    monkeypatch.setattr(topk_mod, "AND_PRUNE_MIN_DF", 1)
+    monkeypatch.setattr(topk_mod, "PRUNE_MIN_SKEW", 1.0)
+    index, corpus = built
+    df = QueryPlanner(index).plan("the AND qqfluxcapacitor", k=5)
+    plan = _plan_str(df)
+    assert "chunk" in plan
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    want = oracle.topk(And((Token("the"), Token("qqfluxcapacitor"))), k=5)
+    rows = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(rows, want):
+        assert abs(gs - ws) <= 1e-9
+
+
 def test_single_term_falls_back(spark, built):
     index, corpus = built
     oracle = OracleIndex.build(docs_in_stable_order(corpus))

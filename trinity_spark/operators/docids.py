@@ -8,69 +8,147 @@ reference can't hold 10^12 turns) assigned densely in the frozen order
 
 Why not the obvious ways:
 - ``monotonically_increasing_id`` is neither dense nor order-stable;
-- a single global ``row_number()`` window funnels 100 TB through one task.
+- a single global ``row_number()`` window funnels 100 TB through one task;
+- range-repartitioning the FULL corpus samples it (an extra scan), sorts it,
+  and must be persisted between the count and enumerate passes — the serial
+  drag that capped build scaling efficiency in round 1.
 
-Scalable two-pass instead (SURVEY.md §1.2):
-1. range-repartition by (conv_id, turn_idx) + sort within partitions — the
-   partitions tile the global order;
-2. count rows per partition (tiny driver-side collect: one long per
-   partition), exclusive prefix-sum -> per-partition base offsets;
-3. ``mapInArrow`` enumerates each partition's rows starting at its offset
-   (arrow-batch arithmetic, no per-row Python).
+Conversation-decomposed assignment instead (doc_id = conv_base + rank-in-conv):
 
-The sorted frame is persisted between the two passes so both observe the
-identical partitioning (range-partition sampling is otherwise re-run).  On a
-real cluster this materialization is the ``docid_map`` write itself.
+1. one map-side-combined ``groupBy(conv_id)`` over the corpus yields per-conv
+   turn counts — output is |convs| rows, ~10-100x smaller than the corpus;
+2. the SMALL conv table is range-partitioned by conv_id and enumerated with
+   the two-pass prefix-sum trick (per-partition sums -> driver exclusive
+   prefix -> mapInArrow cumulative bases).  The pass double-checks the
+   collected per-partition counts inside the enumerate task and fails loudly
+   on mismatch, so a lost-block recompute with different sampling can never
+   silently skip/duplicate ids;
+3. the corpus joins conv bases back on conv_id (broadcast when the conv table
+   is small, shuffle-join otherwise) and computes
+   ``doc_id = base + turn_idx`` when turn_idx is dense 0..n-1 per conv
+   (validated exactly, from the same aggregation — zero extra cost), else
+   ``base + row_number() over (partitionBy conv_id orderBy turn_idx) - 1``.
+
+Total corpus passes: ONE scan + (broadcast case) zero shuffles — versus the
+old sample-scan + full shuffle-sort + persist.  n_docs falls out of the conv
+aggregation driver-side, so callers need no separate count job.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark import StorageLevel, TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ORDER_COLS = ("conv_id", "turn_idx")
 
+# conv tables up to this many rows ride a broadcast join (no corpus shuffle);
+# bigger corpora fall back to a conv_id shuffle join (AQE-planned)
+BROADCAST_MAX_CONVS = 1_000_000
 
-def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Return ``df`` + ``doc_id`` (long), dense in (conv_id, turn_idx) order."""
+_BASES_SCHEMA = "conv_id string, n_turns long, base long"
+
+
+def _conv_bases(
+    df: DataFrame, num_partitions: int
+) -> tuple[DataFrame, int, int, bool]:
+    """Per-conversation (base, n_turns) with base = #turns in all earlier
+    conv_ids.  Returns (bases_df, n_docs, n_convs, turn_idx_is_dense)."""
+    convs = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("turn_idx").alias("min_idx"),
+        F.max("turn_idx").alias("max_idx"),
+    )
+    ordered = convs.repartitionByRange(
+        num_partitions, "conv_id"
+    ).sortWithinPartitions("conv_id")
+    ordered.persist(StorageLevel.MEMORY_AND_DISK)
+    parts = (
+        ordered.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_turns").alias("n_turns"),
+            F.max(
+                (
+                    (F.col("min_idx") != 0)
+                    | (F.col("max_idx") != F.col("n_turns") - 1)
+                ).cast("int")
+            ).alias("sparse"),
+        )
+        .collect()  # one row per partition — O(partitions), not O(rows)
+    )
+    n_docs = int(sum(r["n_turns"] for r in parts))
+    n_convs = int(sum(r["n_convs"] for r in parts))
+    dense = all(r["sparse"] == 0 for r in parts)
+    offsets: dict[int, int] = {}
+    expect: dict[int, int] = {}
+    acc = 0
+    by_pid = {r["pid"]: r for r in parts}
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        r = by_pid.get(pid)
+        expect[pid] = int(r["n_convs"]) if r is not None else 0
+        acc += int(r["n_turns"]) if r is not None else 0
+
+    def enumerate_convs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for batch in batches:
+            n_turns = batch.column("n_turns").to_numpy().astype(np.int64)
+            bases = base + np.concatenate(([0], np.cumsum(n_turns)[:-1]))
+            base += int(n_turns.sum())
+            seen += batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("conv_id").cast(pa.string()),
+                    pa.array(n_turns, type=pa.int64()),
+                    pa.array(bases, type=pa.int64()),
+                ],
+                names=["conv_id", "n_turns", "base"],
+            )
+        if seen != expect.get(pid, 0):
+            # partition contents changed between the count collect and this
+            # pass (e.g. lost persisted blocks + re-sampled ranges): ids would
+            # be silently wrong — abort the job instead
+            raise RuntimeError(
+                f"conv partition {pid} row count drifted: saw {seen}, "
+                f"expected {expect.get(pid, 0)}"
+            )
+
+    bases = ordered.mapInArrow(enumerate_convs, _BASES_SCHEMA)
+    return bases, n_docs, n_convs, dense
+
+
+def assign_doc_ids_counted(
+    df: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """``assign_doc_ids`` + total row count (known driver-side for free from
+    the conv aggregation — no separate count job)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 4)
-
-    ordered = df.repartitionByRange(num_partitions, *ORDER_COLS).sortWithinPartitions(
-        *ORDER_COLS
+    bases, n_docs, n_convs, dense = _conv_bases(df, num_partitions)
+    bases = bases.select("conv_id", "base")
+    if n_convs <= BROADCAST_MAX_CONVS:
+        bases = F.broadcast(bases)
+    joined = df.join(bases, "conv_id")
+    if dense:
+        doc_id = F.col("base") + F.col("turn_idx").cast("long")
+    else:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        doc_id = F.col("base") + F.row_number().over(w).cast("long") - F.lit(1).cast("long")
+    out = joined.select(
+        *[F.col(c) for c in df.columns], doc_id.cast("long").alias("doc_id")
     )
-    ordered.persist(StorageLevel.MEMORY_AND_DISK)
+    return out, n_docs
 
-    counts = (
-        ordered.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
-        .collect()  # one row per partition — O(partitions), not O(rows)
-    )
-    by_pid = {r["pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += by_pid.get(pid, 0)
 
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        list(ordered.schema.fields) + [T.StructField("doc_id", T.LongType(), False)]
-    )
-
-    def enumerate_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pid = TaskContext.get().partitionId()
-        next_id = offsets.get(pid, 0)
-        for batch in batches:
-            n = batch.num_rows
-            ids = pa.array(range(next_id, next_id + n), type=pa.int64())
-            next_id += n
-            yield batch.append_column("doc_id", ids)
-
-    return ordered.mapInArrow(enumerate_partition, out_schema)
+def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Return ``df`` + ``doc_id`` (long), dense in (conv_id, turn_idx) order."""
+    out, _ = assign_doc_ids_counted(df, num_partitions)
+    return out

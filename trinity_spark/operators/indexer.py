@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .. import __version__
 from ..sources.store import SegmentMeta, SegmentStore
 from .build import field_stats_from_blocks, term_dict_from_blocks
-from .docids import assign_doc_ids
+from .docids import assign_doc_ids_counted
 from .fastbuild import blocks_from_turns
 from .segments import CHUNK_BITS, decode_segments
 
@@ -60,16 +60,23 @@ def build_index(
         if prof:
             print(f"PROFILE {msg}: {time.monotonic() - t_from:.1f}s", file=sys.stderr, flush=True)
 
-    # phase 0: docid_map (skipped on resume)
+    # phase 0: docid_map (skipped on resume); n_docs falls out of the conv
+    # aggregation driver-side, so no separate count job runs
     tp = time.monotonic()
     if not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS")):
-        with_ids = assign_doc_ids(turns)
-        store.write_docid_map(with_ids)
+        with_ids, n_docs = assign_doc_ids_counted(turns)
+        if rows_per_segment is None:
+            par = spark.sparkContext.defaultParallelism
+            rows_per_segment = max(math.ceil(n_docs / max(par // 8, 2)), 1 << 14)
+        # the doc-range layout shuffle only pays when >1 segment will re-read
+        # range slices of the map; a single segment scans it all once anyway
+        store.write_docid_map(
+            with_ids, n_docs=n_docs, layout=n_docs > rows_per_segment
+        )
+    else:
+        n_docs = store.docid_map_count(spark)
     _p("docid_map", tp)
-    tp = time.monotonic()
     docmap = store.read_docid_map(spark)
-    n_docs = docmap.count()
-    _p("count", tp)
 
     if rows_per_segment is None:
         par = spark.sparkContext.defaultParallelism

@@ -42,6 +42,42 @@ from pyspark.sql import functions as F
 from ..functions.bm25 import K1
 from ..plans.ast import Or, Token
 
+# --- cost gate ---------------------------------------------------------------
+# Pruning is only worth its fixed overhead (an extra pass-1 Spark job + the
+# chunk-bound metadata aggregation, ~2 actions) when the decode work it can
+# skip is large.  The reference applies the same economics: skiplist steps are
+# only taken when the skip spans enough postings to beat linear scanning
+# (lucene_codec.cpp:596-660 step granularity).  Thresholds are in df units
+# (postings rows the expensive tail would otherwise decode):
+PRUNE_MIN_TAIL_DF = 1 << 22  # OR path: tail below ~4M rows decodes faster flat
+PRUNE_MIN_SKEW = 8.0  # need rare-vs-common contrast for a useful bound
+AND_PRUNE_MIN_DF = 1 << 20  # AND path is cheaper (no pass-1 job): gate lower
+
+
+def or_pruning_pays(stats, terms: list[str], k: int) -> bool:
+    """True when block-max pruning of this plain-token disjunction should beat
+    the single-pass plan.  Driver-side arithmetic on cached df only."""
+    dfs = sorted(stats.df(t) for t in terms if stats.df(t) > 0)
+    if len(dfs) < 2:
+        return False  # nothing to prune against
+    if sum(dfs[:-1]) < k:
+        return False  # pass 1 cannot saturate k -> T=0 -> no chunks pruned
+    if sum(dfs[1:]) < PRUNE_MIN_TAIL_DF:
+        return False  # expensive tail too small to pay for the extra job
+    return dfs[-1] >= PRUNE_MIN_SKEW * dfs[0]
+
+
+def and_pruning_pays(stats, terms: list[str]) -> bool:
+    """True when restricting an AND to the rarest term's chunks should pay.
+    This path has no pass-1 job (the chunk set comes from block metadata in
+    the same action), so only the broadcast-subquery overhead must amortize."""
+    dfs = sorted(stats.df(t) for t in terms if stats.df(t) > 0)
+    if len(dfs) < 2:
+        return False
+    if dfs[-1] < AND_PRUNE_MIN_DF:
+        return False  # common side small enough to decode flat
+    return dfs[-1] >= PRUNE_MIN_SKEW * dfs[0]
+
 
 @dataclass
 class PruningReport:
@@ -75,18 +111,44 @@ class _PrunedView:
         return self._inner.stats_for(terms)
 
 
+def rare_and_topk(
+    spark: SparkSession,
+    index,
+    node,
+    k: int = 10,
+    doc_filter=None,
+):
+    """Exact top-k for a plain-token AND, with the block scan restricted to
+    the rarest required term's chunks (every match must contain that term, and
+    all of a doc's postings share its chunk).  The reference analog is the
+    df-ascending lead-iterator AND (exec.cpp:154-170): the rare list drives,
+    the common lists are only probed where it has documents.  Metadata-only —
+    no pass-1 scoring job; the kept-chunk set is a broadcast subquery."""
+    from ..plans.planner import QueryPlanner
+
+    stats = index.stats_for([c.term for c in node.children])
+    rarest = min(node.children, key=lambda c: stats.df(c.term))
+    kept = (
+        index.blocks.where(F.col("term") == rarest.term).select("chunk").distinct()
+    )
+    view = _PrunedView(index, kept)
+    return QueryPlanner(view).plan(node, k, doc_filter=doc_filter, block_pruning=False)
+
+
 def pruned_or_topk(
     spark: SparkSession,
     index,
     terms: list[str],
     k: int = 10,
     return_report: bool = False,
+    node=None,
 ):
     """Exact top-k for the disjunction of ``terms`` with block-max pruning.
     ``index`` must expose block metadata (SegmentIndex)."""
     from ..plans.planner import QueryPlanner
 
-    node = Or(tuple(Token(t) for t in terms)).normalize()
+    if node is None:
+        node = Or(tuple(Token(t) for t in terms)).normalize()
     planner = QueryPlanner(index)
     stats = index.stats_for(terms)
     live = [t for t in terms if stats.df(t) > 0]

@@ -143,23 +143,40 @@ class QueryPlanner:
         document pre-filter (IndexDocumentsFilter, matches.h:188-201):
         only docs in it can match — applied as a semi-join before top-k.
 
-        When the index exposes block metadata and the query is a plain token
-        disjunction, the block-max pruned top-k path is used automatically
-        (operators/topk.py — provably identical result, skips dead chunks)."""
+        When the index exposes block metadata, a plain-token disjunction or
+        conjunction is routed through a pruned plan (operators/topk.py —
+        provably identical result, skips dead chunks) — but ONLY when the
+        driver-side cost gate says the skipped decode work exceeds the fixed
+        pruning overhead (the reference's skip-only-when-it-pays economics,
+        lucene_codec.cpp:596-660).  Small-df queries stay single-pass."""
         node = parse_query(query) if isinstance(query, str) else query
         if (
             block_pruning
-            and doc_filter is None
-            and isinstance(node, Or)
-            and all(isinstance(c, Token) for c in node.children)
+            and node is not None
             and getattr(self.index, "blocks", None) is not None
+            and isinstance(node, (Or, And))
+            and all(isinstance(c, Token) for c in node.children)
         ):
-            from ..operators.topk import pruned_or_topk
+            from ..operators.topk import (
+                and_pruning_pays,
+                or_pruning_pays,
+                pruned_or_topk,
+                rare_and_topk,
+            )
 
             spark = self.index.postings.sparkSession
-            return pruned_or_topk(
-                spark, self.index, [c.term for c in node.children], k
-            )
+            terms = [c.term for c in node.children]
+            # stats come from the driver-side df cache (SegmentIndex) — the
+            # gate itself costs no Spark job after the first query
+            stats = self.index.stats_for(terms)
+            if (
+                isinstance(node, Or)
+                and doc_filter is None
+                and or_pruning_pays(stats, terms, k)
+            ):
+                return pruned_or_topk(spark, self.index, terms, k, node=node)
+            if isinstance(node, And) and and_pruning_pays(stats, terms):
+                return rare_and_topk(spark, self.index, node, k, doc_filter)
         scored = self.score_all(node)
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")

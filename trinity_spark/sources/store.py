@@ -94,8 +94,40 @@ class SegmentStore:
 
     # --- writes ---
 
-    def write_docid_map(self, turns_with_ids: DataFrame) -> None:
-        turns_with_ids.write.mode("overwrite").parquet(self.docid_map_dir())
+    def write_docid_map(
+        self,
+        turns_with_ids: DataFrame,
+        n_docs: int | None = None,
+        layout: bool = True,
+    ) -> None:
+        """Write the docid_map; when ``n_docs`` is known and ``layout`` is on,
+        lay files out by doc_id range (pid = doc_id // rows_per_file, rows
+        sorted within) so a segment's ``doc_id in [lo, hi)`` read prunes
+        files/row-groups via parquet min/max stats instead of scanning the
+        whole corpus.  Single-segment builds pass ``layout=False`` — the one
+        segment reads everything anyway, so the range shuffle is pure cost."""
+        df = turns_with_ids
+        if n_docs and layout:
+            import math
+
+            par = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+            rows_per_file = max(math.ceil(n_docs / (par * 2)), 1 << 14)
+            n_files = max(math.ceil(n_docs / rows_per_file), 1)
+            df = df.repartition(
+                n_files, (F.col("doc_id") / F.lit(rows_per_file)).cast("long")
+            ).sortWithinPartitions("doc_id")
+        df.write.mode("overwrite").parquet(self.docid_map_dir())
+        if n_docs is not None:
+            m = self.read_manifest()
+            m["docid_map"] = {"n_docs": int(n_docs)}
+            self._write_manifest(m)
+
+    def docid_map_count(self, spark: SparkSession) -> int:
+        """n_docs from the manifest when recorded; else one count job."""
+        m = self.read_manifest()
+        if "docid_map" in m and "n_docs" in m["docid_map"]:
+            return int(m["docid_map"]["n_docs"])
+        return self.read_docid_map(spark).count()
 
     def commit_segment(
         self,
