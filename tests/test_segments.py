@@ -161,3 +161,98 @@ def test_half_written_segment_invisible(spark, tmp_path_factory):
     os.makedirs(store.segment_dir("seg-orphan", "postings"), exist_ok=True)
     assert store.segments() == []
     assert store.read_blocks(spark).count() == 0
+
+
+def _fresh_index(spark, tmp_path_factory, name, n_turns=800, rows_per_segment=400):
+    base = str(tmp_path_factory.mktemp(name))
+    corpus = gen_transcripts(n_turns)
+    store = SegmentStore(base)
+    build_index(
+        spark, spark.createDataFrame(corpus), store,
+        rows_per_segment=rows_per_segment, input_desc=name,
+    )
+    return store, corpus
+
+
+def test_merge_byte_reuse_fast_path(spark, tmp_path_factory):
+    """Full blocks with no tombstone in range must move through a merge
+    byte-identical (the merge.cpp:166-180 raw-copy analog, finer-grained:
+    per block, not per single-source term)."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "reuse")
+    before = {
+        (r["term"], r["chunk"], r["min_doc_id"]): (
+            bytes(r["doc_deltas"]), bytes(r["tf_bytes"]), bytes(r["pos_bytes"]),
+            r["doc_count"], r["max_doc_id"], r["max_tf"], r["sum_tf"],
+        )
+        for r in store.read_blocks(spark).where(
+            f"doc_count = {BLOCK_SIZE}"
+        ).collect()
+    }
+    assert before, "fixture produced no full blocks — weaken rows_per_segment"
+    merge_segments(spark, store)
+    after = {
+        (r["term"], r["chunk"], r["min_doc_id"]): (
+            bytes(r["doc_deltas"]), bytes(r["tf_bytes"]), bytes(r["pos_bytes"]),
+            r["doc_count"], r["max_doc_id"], r["max_tf"], r["sum_tf"],
+        )
+        for r in store.read_blocks(spark).collect()
+    }
+    for key, row in before.items():
+        assert after.get(key) == row, key
+    # and the merged index still ranks identically
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "retry OR backoff OR timeout", '"connection reset by peer"']:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
+
+
+def test_partial_merge_docs_cnt_presence_based(spark, tmp_path_factory):
+    """A tombstone applied by an earlier partial merge must NOT be subtracted
+    again by a later merge that sees the same (unretired) tombstone."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "partial")
+    n = len(corpus)
+    seg_ids = [m.segment_id for m in store.segments()]
+    assert len(seg_ids) == 2
+    kill = 5  # doc_id in the first segment's [0, 400) range
+    store.add_deletes(spark, [kill])
+
+    # partial merge of segment 0 applies the delete...
+    meta_a = merge_segments(spark, store, segment_ids=[seg_ids[0]])
+    assert meta_a.docs_cnt == 400 - 1
+    # ...but must NOT retire the tombstone (other segments may still need it)
+    assert store.read_manifest()["deletes"], "partial merge retired tombstones"
+
+    # the full merge re-reads the same tombstone; presence-based accounting
+    # must not subtract the already-removed doc a second time
+    meta_b = merge_segments(spark, store)
+    assert meta_b.docs_cnt == n - 1
+    assert store.read_manifest()["deletes"] == []  # full merge retires it
+
+    oracle = OracleIndex.build(
+        [(d, t) for d, t in docs_in_stable_order(corpus) if d != kill]
+    )
+    oracle.n_docs = n - 1
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "error AND timeout"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
+
+
+def test_tombstones_added_after_merge_read_survive(spark, tmp_path_factory):
+    """Gen-scoped retirement: a delete added after the merge started (here:
+    simulated by adding it between building and checking) must survive a full
+    merge that never read it."""
+    store, _ = _fresh_index(spark, tmp_path_factory, "genscope")
+    merge_segments(spark, store)  # full merge, no deletes read
+    gen = store.add_deletes(spark, [3])
+    # the merge above must not have cleared a tombstone it never saw
+    assert [d["gen"] for d in store.read_manifest()["deletes"]] == [gen]

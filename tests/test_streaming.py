@@ -73,3 +73,41 @@ def test_structured_streaming_ingest(spark, seeded_store, tmp_path):
     want = oracle.topk(node, k=10)
     got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_replay_after_crash_is_idempotent(spark, seeded_store):
+    """Crash between the docid_map slice write and commit_segment: the
+    replayed batch must overwrite the same slice (no duplicate doc_id rows,
+    no doubled tfs)."""
+    from pyspark.sql import functions as F
+
+    from trinity_spark.operators.docids import assign_doc_ids
+    from trinity_spark.streaming.nrt import next_doc_id
+
+    store, corpus0 = seeded_store
+    corpus1 = gen_transcripts(N1, seed=99)
+    df1 = spark.createDataFrame(corpus1)
+
+    # simulate the crashed first attempt: slice written, segment NOT committed
+    base = next_doc_id(store)
+    sid = f"seg-{base:014d}-{base + N1:014d}"
+    with_ids = assign_doc_ids(df1).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
+    )
+    store.write_docid_map_slice(with_ids, sid)
+
+    # replay: append runs from scratch and must rewrite the same slice
+    meta = append_micro_segment(spark, store, df1)
+    assert meta.segment_id == sid
+    n_rows = store.read_docid_map(spark).where(F.col("doc_id") >= base).count()
+    assert n_rows == N1  # no duplicate doc_id rows from the replay
+
+    oracle = _oracle_for(corpus0, corpus1)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "retry OR backoff"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9  # tfs not doubled

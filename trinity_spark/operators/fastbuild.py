@@ -150,6 +150,15 @@ def _encode_partition(
     pos_buf, pos_off = encode_varbyte_offsets(p_delta.astype(np.uint64))
 
     def binary_col(buf: np.ndarray, value_off: np.ndarray, row_bounds: np.ndarray) -> pa.Array:
+        # pa.binary() carries int32 offsets: a partition whose encoded stream
+        # exceeds 2^31 bytes would silently wrap into garbage blocks — fail
+        # loudly instead (split the input into more partitions to proceed)
+        if int(value_off[-1]) >= 2**31:
+            raise ValueError(
+                f"encoded varbyte stream is {int(value_off[-1])} bytes — over "
+                "the int32 Arrow binary-offset limit; repartition the input "
+                "so each partition encodes < 2 GiB per stream"
+            )
         vo = value_off[row_bounds].astype(np.int32)
         return pa.Array.from_buffers(
             pa.binary(), len(row_bounds) - 1,

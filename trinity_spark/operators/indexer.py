@@ -109,6 +109,7 @@ def build_index(
             lineage={
                 "input": input_desc,
                 "doc_range": [lo, hi],
+                "chunk_bits": chunk_bits,
                 "engine_version": __version__,
             },
             metrics={},

@@ -1,10 +1,12 @@
-"""Segment merge with delete application and retention.
+"""Segment merge with delete application, byte reuse, and retention.
 
 Reference: ``/root/reference/merge.cpp`` — k-way merge of segment term
 dictionaries ordered by generation DESC (``merge.cpp:6-25``); per term the
 postings of all sources are merged by docID with masked documents filtered
 out (``merge.cpp:288-394``); old sources get a retention verdict
-(``merge.cpp:418-447``).
+(``merge.cpp:418-447``); and the raw-chunk fast path copies a term's encoded
+bytes untouched when nothing in it changed (``merge.cpp:166-180``,
+``google_codec.cpp:178-184``).
 
 Spark-first: the k-way merge-sort IS a union + re-group — decode the selected
 segments' blocks, anti-join the tombstones, re-encode, commit one new
@@ -13,10 +15,28 @@ segment, retire the inputs.  Because our doc_id spaces are already global
 path (Trinity's isrc->global translation, index_source.h:100-114) is exposed
 separately as ``remap_doc_ids`` for compaction-style renumbering.
 
-Fast-path note (merge.cpp:166-180 raw chunk copy): when a term occurs in only
-one input segment and no tombstone falls in its doc range, its encoded blocks
-are byte-reusable.  On Iceberg this merge is metadata-only; here we re-encode
-uniformly — the cost is one pass and it keeps block invariants trivially true.
+Byte-reuse fast path, finer-grained than the reference's: Trinity can only
+raw-copy a term when it lives in ONE source segment (the byte streams must
+splice contiguously); our blocks decode standalone, so ANY full block with no
+tombstone in its [min_doc_id, max_doc_id] moves untouched — regardless of how
+many segments share the term.  Only partial blocks (repacked for compression,
+the actual point of compaction) and tombstone-hit blocks are decoded and
+re-encoded.  The tombstone probe is an equi-join on the block's chunk (a
+tombstone's chunk equals its victim block's chunk) + a range refine, so it is
+a broadcast HASH join, not a nested loop; tombstone sets ride a broadcast
+exactly like the reference keeps masked-docid bitmaps in RAM
+(docidupdates.h:90-191).
+
+Accounting correctness (partial merges):
+- ``docs_cnt`` subtracts only tombstones that HIT a document actually present
+  in the merged segments (semi-join against the decoded postings' doc_ids),
+  never every tombstone whose id merely falls in the doc range — re-counting
+  a doc already removed by an earlier partial merge would corrupt N and hence
+  every idf after the merge.
+- Tombstone retention: only the tombstone generations READ by this merge are
+  retired, and only when the merge covered every segment that existed at read
+  time; a partial merge leaves all tombstones in place (they may still mask
+  docs in unmerged segments; re-masking already-removed docs is harmless).
 """
 
 from __future__ import annotations
@@ -28,8 +48,16 @@ from pyspark.sql import functions as F
 
 from .. import __version__
 from ..sources.store import SegmentMeta, SegmentStore
-from .build import build_field_stats, build_term_dict
-from .segments import decode_segments, encode_postings
+from .build import field_stats_from_blocks, term_dict_from_blocks
+from .segments import BLOCK_SIZE, CHUNK_BITS, decode_segments, encode_postings
+
+
+def _merge_chunk_bits(metas) -> int | None:
+    """Common chunk_bits across the merged segments (from build lineage), or
+    None when mixed/unrecorded — the tombstone probe then skips the chunk
+    equi-join and falls back to a pure range condition."""
+    bits = {m.lineage.get("chunk_bits", CHUNK_BITS) for m in metas}
+    return bits.pop() if len(bits) == 1 else None
 
 
 def merge_segments(
@@ -39,29 +67,85 @@ def merge_segments(
     apply_deletes: bool = True,
 ) -> SegmentMeta:
     """Merge segments (default: all) into one; returns the new meta."""
-    metas = store.segments()
+    all_metas = store.segments()
+    metas = all_metas
     if segment_ids is not None:
         metas = [m for m in metas if m.segment_id in segment_ids]
     if not metas:
         raise ValueError("nothing to merge")
     ids = [m.segment_id for m in metas]
+    full_merge = {m.segment_id for m in all_metas} <= set(ids)
     lo = min(m.doc_lo for m in metas)
     hi = max(m.doc_hi for m in metas)
 
     t0 = time.monotonic()
-    postings = decode_segments(store.read_blocks(spark, ids))
-    deletes = store.read_deletes(spark) if apply_deletes else None
+    blocks = store.read_blocks(spark, ids)
+    read_gens: list[int] = []
+    in_range = None
+    if apply_deletes:
+        read_gens = [d["gen"] for d in store.read_manifest()["deletes"]]
+        deletes = store.read_deletes(spark)
+        if deletes is not None:
+            # only tombstones inside a merged segment's ACTUAL range matter —
+            # per-meta ranges, not [min_lo, max_hi): merge sets can be
+            # non-contiguous and ids in the gaps belong to other segments
+            from functools import reduce
+
+            cond = reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("doc_id") >= m.doc_lo) & (F.col("doc_id") < m.doc_hi)
+                    for m in metas
+                ],
+            )
+            in_range = deletes.where(cond)
+
+    full = F.col("doc_count") == BLOCK_SIZE
+    if in_range is not None:
+        cb = _merge_chunk_bits(metas)
+        tomb = in_range.select(
+            F.col("doc_id").alias("_t_doc"),
+            *(
+                [F.shiftright(F.col("doc_id"), cb).alias("_t_chunk")]
+                if cb is not None
+                else []
+            ),
+        )
+        probe = (F.col("_t_doc") >= F.col("min_doc_id")) & (
+            F.col("_t_doc") <= F.col("max_doc_id")
+        )
+        if cb is not None:
+            probe = (F.col("chunk") == F.col("_t_chunk")) & probe
+        reused = blocks.where(full).join(F.broadcast(tomb), probe, "left_anti")
+        rest = blocks.where(~full).unionByName(
+            blocks.where(full).join(F.broadcast(tomb), probe, "left_semi")
+        )
+    else:
+        reused = blocks.where(full)
+        rest = blocks.where(~full)
+
+    rest_postings = decode_segments(rest)
     n_deleted = 0
-    if deletes is not None:
-        in_range = deletes.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        n_deleted = in_range.count()
-        postings = postings.join(F.broadcast(in_range), "doc_id", "left_anti")
-    postings = postings.persist()
+    if in_range is not None:
+        # presence-based accounting: count only tombstones that hit a doc
+        # still present (deleted docs' postings all live in tombstone-hit
+        # blocks, so the decoded `rest` stream sees every one of them)
+        n_deleted = (
+            rest_postings.select("doc_id")
+            .distinct()
+            .join(F.broadcast(in_range), "doc_id", "left_semi")
+            .count()
+        )
+        rest_postings = rest_postings.join(
+            F.broadcast(in_range), "doc_id", "left_anti"
+        )
+    rest_postings = rest_postings.persist()
 
     docs_cnt = sum(m.docs_cnt for m in metas) - n_deleted
-    blocks = encode_postings(postings)
-    term_dict = build_term_dict(postings)
-    stats = build_field_stats(postings, docs_cnt=docs_cnt)
+    new_blocks = reused.unionByName(encode_postings(rest_postings)).persist()
+    # dictionary + stats off block METADATA — reused blocks are never decoded
+    term_dict = term_dict_from_blocks(new_blocks)
+    stats = field_stats_from_blocks(new_blocks, docs_cnt=docs_cnt)
 
     gen = store.read_manifest()["next_generation"]
     meta = SegmentMeta(
@@ -73,13 +157,15 @@ def merge_segments(
         lineage={
             "merged_from": ids,
             "deletes_applied": n_deleted,
+            "chunk_bits": _merge_chunk_bits(metas) or CHUNK_BITS,
             "engine_version": __version__,
         },
         metrics={},
     )
-    store.commit_segment(blocks, term_dict, stats, meta)
+    store.commit_segment(new_blocks, term_dict, stats, meta)
     store.retire_segments(ids)  # retention verdict (merge.cpp:418-447)
-    postings.unpersist()
+    rest_postings.unpersist()
+    new_blocks.unpersist()
     wall = time.monotonic() - t0
     meta.metrics.update({"wall_sec": round(wall, 3), "docs": docs_cnt})
     m = store.read_manifest()
@@ -87,10 +173,13 @@ def merge_segments(
         if s["segment_id"] == meta.segment_id:
             s["metrics"] = meta.metrics
     store._write_manifest(m)
-    # tombstones fully covered by this merge are spent
-    if segment_ids is None and apply_deletes:
+    # retire ONLY the tombstone generations this merge read and applied, and
+    # only if it covered every segment that existed at read time — deletes
+    # added concurrently (later gens) and deletes still masking unmerged
+    # segments stay in force
+    if apply_deletes and full_merge and read_gens:
         m = store.read_manifest()
-        m["deletes"] = []
+        m["deletes"] = [d for d in m["deletes"] if d["gen"] not in set(read_gens)]
         store._write_manifest(m)
     return meta
 

@@ -122,6 +122,21 @@ class SegmentStore:
             m["docid_map"] = {"n_docs": int(n_docs)}
             self._write_manifest(m)
 
+    def write_docid_map_slice(self, turns_with_ids: DataFrame, segment_id: str) -> None:
+        """NRT micro-batch slice of the docid_map, at a DETERMINISTIC
+        per-segment path with overwrite semantics: a crashed batch replayed
+        by the stream checkpoint rewrites the same files instead of appending
+        duplicate doc_id rows (exactly-once for the map, not just the
+        segment)."""
+        turns_with_ids.write.mode("overwrite").parquet(
+            os.path.join(self.docid_map_dir(), "nrt", segment_id)
+        )
+
+    def read_docid_map_slice(self, spark: SparkSession, segment_id: str) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.docid_map_dir(), "nrt", segment_id)
+        )
+
     def docid_map_count(self, spark: SparkSession) -> int:
         """n_docs from the manifest when recorded; else one count job."""
         m = self.read_manifest()
@@ -217,4 +232,8 @@ class SegmentStore:
         return spark.read.parquet(*[d["path"] for d in m["deletes"]]).select("doc_id").distinct()
 
     def read_docid_map(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.docid_map_dir())
+        # recursive: picks up both the batch-build map (flat files) and any
+        # NRT per-segment slices (nrt/<segment_id>/ subdirectories)
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            self.docid_map_dir()
+        )

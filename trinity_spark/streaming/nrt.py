@@ -53,22 +53,24 @@ def append_micro_segment(
         return None
     base = next_doc_id(store)
     t0 = time.monotonic()
+    segment_id = f"seg-{base:014d}-{base + n:014d}"
     with_ids = assign_doc_ids(turns).withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
     )
-    with_ids.write.mode("append").parquet(store.docid_map_dir())
-
-    seg_turns = store.read_docid_map(spark).where(
-        (F.col("doc_id") >= base) & (F.col("doc_id") < base + n)
-    )
+    # deterministic per-segment slice + overwrite => a replayed batch (crash
+    # between this write and commit_segment) rewrites the SAME files; the old
+    # append mode would re-append the doc range and double every tf
+    store.write_docid_map_slice(with_ids, segment_id)
+    seg_turns = store.read_docid_map_slice(spark, segment_id)
     blocks = blocks_from_turns(seg_turns, chunk_bits=chunk_bits).persist()
     meta = SegmentMeta(
-        segment_id=f"seg-{base:014d}-{base + n:014d}",
+        segment_id=segment_id,
         generation=0,
         doc_lo=base,
         doc_hi=base + n,
         docs_cnt=n,
         lineage={"input": input_desc, "doc_range": [base, base + n],
+                 "chunk_bits": chunk_bits,
                  "engine_version": __version__, "mode": "nrt-append"},
         metrics={},
     )
