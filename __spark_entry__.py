@@ -384,12 +384,18 @@ JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
 """
 
+    # 64-bit SimHash: bits 0..31 from md5 hex chars 1-8, bits 32..63 from
+    # chars 9-16 (exactly dataops/dedup.py:simhash); bit 63's weight is the
+    # two's-complement sign value on both engines
     simhash_votes = ",\n       ".join(
-        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(32)
+        f"sum(CASE WHEN ({'hv_lo' if b < 32 else 'hv_hi'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
     )
     simhash_sum = " + ".join(
-        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+        f"CASE WHEN b{b} > 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS BIGINT) "
+        "ELSE 0 END"
+        for b in range(64)
     )
     o["dedup_simhash"] = f"""
 WITH toks AS (
@@ -397,7 +403,9 @@ WITH toks AS (
   FROM documents WHERE text <> ''
 ),
 h AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv_lo,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hv_hi
   FROM toks WHERE tok <> ''
 ),
 votes AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)

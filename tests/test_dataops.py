@@ -193,3 +193,48 @@ def test_frame_sample_plan(spark):
     )
     rows = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (1, 1000), (2, 2000)]
+
+
+def test_simhash_is_64_bit(spark):
+    """64-bit signatures: high bits (>=32) are populated, banding covers all
+    8 bands of 8 bits, and bucketing stays exact for identical docs."""
+    from trinity_spark.dataops.dedup import SIMHASH_BITS, simhash
+
+    assert SIMHASH_BITS == 64
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = [r["simhash"] for r in simhash(docs).collect()]
+    assert any(abs(s) >= 1 << 32 for s in sigs)  # high half in use
+    # bit-63 sign-bit path: some signature must be negative across a spread
+    # of docs (statistically certain for 40 random-ish hashes)
+    assert any(s < 0 for s in sigs)
+
+
+def test_minhash_presets_shapes(spark):
+    from trinity_spark.dataops.dedup import (
+        MINHASH_PRESETS,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different text about gpu kernels"),
+        ],
+        "doc_id long, text string",
+    )
+    for name, p in MINHASH_PRESETS.items():
+        assert p["num_hashes"] % p["bands"] == 0, name
+        sigs = minhash_signatures(docs, num_hashes=p["num_hashes"], shingle_n=3)
+        assert len(sigs.columns) == 1 + p["num_hashes"], name
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(
+                sigs, num_hashes=p["num_hashes"], bands=p["bands"]
+            ).collect()
+        }
+        assert (0, 1) in cands, name  # near-identical docs must collide

@@ -139,3 +139,130 @@ def test_doc_filter_prefilter(spark):
     want = [d for d, _ in oracle.topk(node, k=10 ** 6) if d in allowed_ids][:10]
     assert got == want
     assert set(got) <= allowed_ids
+
+
+def _tiny_index(spark, docs=DOCS):
+    pdf = spark.createDataFrame(docs, "doc_id long, text string")
+    postings = build_postings(tokenize_turns(pdf))
+    return LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, len(docs))
+    )
+
+
+def test_with_hits_surface(spark):
+    """plan(with_hits=True) returns matched terms + tf + positions per result
+    doc (the consider(matched_document&) surface, matches.h:76-108) without
+    the caller re-joining postings."""
+    from trinity_spark.tokenizer import tokenize_terms_py
+
+    index = _tiny_index(spark)
+    planner = QueryPlanner(index)
+    plain = [(r["doc_id"], r["score"]) for r in planner.plan("error AND timeout", k=5).collect()]
+    rows = planner.plan("error AND timeout", k=5, with_hits=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == plain  # same ranking
+    texts = dict(DOCS)
+    for r in rows:
+        got = {h["term"]: (h["tf"], list(h["positions"])) for h in r["hits"]}
+        assert set(got) == {"error", "timeout"}  # AND: both matched
+        toks = tokenize_terms_py(texts[r["doc_id"]])
+        for term, (tf, positions) in got.items():
+            want = [p for t, p in toks if t == term]
+            assert positions == want and tf == len(want), (r["doc_id"], term)
+
+
+def test_with_hits_excludes_not_side(spark):
+    index = _tiny_index(spark)
+    rows = QueryPlanner(index).plan("gpu NOT kernel", k=5, with_hits=True).collect()
+    assert rows, "gpu NOT kernel should match doc 4"
+    for r in rows:
+        assert {h["term"] for h in r["hits"]} == {"gpu"}  # excl side absent
+
+
+def test_with_hits_empty_query(spark):
+    index = _tiny_index(spark)
+    assert QueryPlanner(index).plan("", k=5, with_hits=True).collect() == []
+
+
+def test_rep_visible_to_custom_similarity(spark):
+    """Token.rep (adjacent-duplicate collapse) must reach a custom similarity
+    (matches.h:85-91: rep is metadata for app scorers; the default BM25
+    ignores it, reference-faithful)."""
+    from pyspark.sql import functions as F
+
+    from trinity_spark.plans.planner import default_similarity
+
+    node = parse_query("error error")
+    assert isinstance(node, Token) and node.rep == 2
+
+    index = _tiny_index(spark)
+    base = {r["doc_id"]: r["score"] for r in QueryPlanner(index).plan(node, k=5).collect()}
+
+    def rep_boost(ctx, freq):
+        return F.lit(float(ctx.rep)) * default_similarity(ctx, freq)
+
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in QueryPlanner(index, similarity=rep_boost).plan(node, k=5).collect()
+    }
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert abs(boosted[d] - 2.0 * s) <= 1e-9  # scorer saw rep=2
+
+
+def test_span_rewrite_shapes():
+    """K-token span rewrite (queries_rewrite.h:992-1148): "big apple" -> nyc
+    produces Or(And(big, apple), nyc); budget bounds expansion."""
+    from trinity_spark.plans.rewrite import expand_spans
+
+    node = parse_query("big apple pie")
+    out = expand_spans(node, {"big apple": ["nyc"]})
+    assert out == And(
+        (Or((And((Token("big"), Token("apple"))), Token("nyc"))), Token("pie"))
+    )
+    # longest span wins
+    out3 = expand_spans(
+        parse_query("big apple pie now"),
+        {"big apple": ["nyc"], "big apple pie": ["dessert"]},
+    )
+    assert out3 == And(
+        (
+            Or(
+                (
+                    And((Token("big"), Token("apple"), Token("pie"))),
+                    Token("dessert"),
+                )
+            ),
+            Token("now"),
+        )
+    )
+    # multi-word alternative becomes a Phrase (adjacency)
+    outp = expand_spans(parse_query("nyc trip"), {"nyc": []})  # no 2+ span: unchanged
+    assert outp == parse_query("nyc trip")
+    outm = expand_spans(parse_query("big apple"), {"big apple": ["new york"]})
+    assert outm == Or(
+        (And((Token("big"), Token("apple"))), Phrase(("new", "york")))
+    )
+    # budget: expansion refused when the coefficient would blow the cap
+    capped = expand_spans(parse_query("big apple"), {"big apple": ["nyc"]}, max_expansion=1)
+    assert capped == parse_query("big apple")
+
+
+def test_span_rewrite_rank_identity(spark):
+    """The rewritten tree executes and matches the oracle on the same tree."""
+    from trinity_spark.plans.rewrite import expand_spans
+
+    corpus = gen_transcripts(300)
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    sdf = assign_doc_ids(spark.createDataFrame(corpus), num_partitions=3)
+    postings = build_postings(tokenize_turns(sdf))
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, 300)
+    )
+    node = expand_spans(
+        parse_query("connection reset please"), {"connection reset": ["timeout"]}
+    )
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in QueryPlanner(index).plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9

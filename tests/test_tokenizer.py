@@ -74,3 +74,62 @@ def test_spark_parity(spark):
     got = [r[0] for r in df.select(tokens_column(F.col("text"))).collect()]
     want = [[t for t, _ in tokenize_terms_py(t)] for t in texts]
     assert got == want
+
+
+def test_word_tail_operator_tokens():
+    """Reference queries.cpp:2153-2163 + l10: an alpha head + ':' + domain
+    tail is consumed and stored as ONE raw token."""
+    assert tokenize_py("site:google.com") == ["site:google.com"]
+    assert tokenize_py("SITE:X-Box.Com rocks") == ["site:x-box.com", "rocks"]
+    assert tokenize_py("site:.gr") == ["site:.gr"]
+    assert tokenize_py("foo:bar baz") == ["foo:bar", "baz"]
+    assert tokenize_py("3:2") == ["3", "2"]  # head must be alphabetic
+    assert tokenize_py("word:") == ["word"]  # no tail -> plain token
+    assert tokenize_py("a:b-") == ["a:b"]  # dash needs alnum on both sides
+    assert tokenize_py("a:b..c") == ["a:b", "c"]  # dot needs following alnum
+    assert tokenize_py("video|games") == ["video", "games"]
+
+
+def test_word_tail_spark_parity(spark):
+    from pyspark.sql import functions as F
+
+    from trinity_spark.tokenizer import tokens_column
+
+    texts = ["query site:x-box.com now", "ftp:a.b-c.d", "site:.gr x:y:z"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokens_column(F.col("text"))).collect()]
+    want = [[t for t, _ in tokenize_terms_py(t)] for t in texts]
+    assert got == want
+
+
+def test_word_tail_end_to_end_searchable(spark):
+    """A word:tail token indexes and queries as one unit."""
+    import pandas as pd
+
+    from trinity_spark.operators.build import (
+        build_field_stats,
+        build_postings,
+        build_term_dict,
+        tokenize_turns,
+    )
+    from trinity_spark.operators.docids import assign_doc_ids
+    from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c0", "c1"],
+            "turn_idx": [0, 1, 0],
+            "text": [
+                "search site:x-box.com for deals",
+                "search the web for deals",
+                "site:x-box.com again",
+            ],
+        }
+    )
+    turns = assign_doc_ids(spark.createDataFrame(pdf), num_partitions=2)
+    postings = build_postings(tokenize_turns(turns))
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, 3)
+    )
+    got = [r["doc_id"] for r in QueryPlanner(index).plan("site:x-box.com", k=5).collect()]
+    assert set(got) == {0, 2}

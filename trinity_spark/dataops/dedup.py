@@ -200,32 +200,55 @@ def ngram_jaccard_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # 64-bit: halves collision noise vs 32-bit at 10^10 docs
+
+# MinHash preset guide (num_hashes=b*r, bands=b; LSH similarity threshold
+# where collision probability hits 50% is s* ~= (1/b)^(1/r)):
+#   fast:        16 hashes /  4 bands (r=4, s* ~ 0.71) — cheapest, misses
+#                mid-similarity pairs; fine for near-exact dedup
+#   balanced:    64 hashes / 16 bands (r=4, s* ~ 0.50) — the common corpus-
+#                dedup operating point (catches s >= ~0.6 reliably)
+#   high_recall: 128 hashes / 32 bands (r=4, s* ~ 0.42) — 8x the signature
+#                cost of `fast`; for aggressive train-set decontamination
+MINHASH_PRESETS: dict[str, dict[str, int]] = {
+    "fast": {"num_hashes": 16, "bands": 4},
+    "balanced": {"num_hashes": 64, "bands": 16},
+    "high_recall": {"num_hashes": 128, "bands": 32},
+}
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over whitespace tokens.
+    """64-bit SimHash over whitespace tokens.
 
-    Token hash = first 8 hex chars of md5 (reproducible in DuckDB via
-    ('0x'||substr(md5(t),1,8))::BIGINT); per-bit vote = sum of +-1; bit set
-    iff the vote is positive."""
+    The token hash is built from two 32-bit md5 halves (hex chars 1-8 ->
+    bits 0..31, hex chars 9-16 -> bits 32..63) so DuckDB reproduces it
+    exactly via ('0x'||substr(md5(t),...))::BIGINT — a single 16-hex-char
+    conversion would overflow signed BIGINT on both engines.  Per-bit vote =
+    sum of +-1; bit set iff the vote is positive.  Bit 63 is the sign bit
+    (two's complement on both engines)."""
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+
+    def bit_of(b: int):
+        src, sh = (h_lo, b) if b < 32 else (h_hi, b - 32)
+        return F.shiftright(src, sh).bitwiseAND(F.lit(1)) == 1
+
     votes = toks.select(
         F.col(id_col),
         *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{b}")
+            F.when(bit_of(b), 1).otherwise(-1).alias(f"b{b}")
             for b in range(SIMHASH_BITS)
         ],
     ).groupBy(id_col).agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(SIMHASH_BITS)])
     sig = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        bit = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return votes.select(F.col(id_col), sig.alias("simhash"))
 

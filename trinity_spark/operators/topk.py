@@ -117,6 +117,7 @@ def rare_and_topk(
     node,
     k: int = 10,
     doc_filter=None,
+    similarity=None,
 ):
     """Exact top-k for a plain-token AND, with the block scan restricted to
     the rarest required term's chunks (every match must contain that term, and
@@ -132,7 +133,9 @@ def rare_and_topk(
         index.blocks.where(F.col("term") == rarest.term).select("chunk").distinct()
     )
     view = _PrunedView(index, kept)
-    return QueryPlanner(view).plan(node, k, doc_filter=doc_filter, block_pruning=False)
+    return QueryPlanner(view, similarity=similarity).plan(
+        node, k, doc_filter=doc_filter, block_pruning=False
+    )
 
 
 def pruned_or_topk(

@@ -164,3 +164,31 @@ def query_terms(node: Node) -> list[str]:
             seen.add(t)
             uniq.append(t)
     return uniq
+
+
+def positive_terms(node: Node) -> list[str]:
+    """Distinct terms that can MATCH (everything except Not-exclusion
+    subtrees) — the terms a matched-hits surface reports
+    (queryexec_ctx.cpp:317-352 passes only matched terms to consider())."""
+    out: list[str] = []
+
+    def walk(n: Node):
+        if isinstance(n, Token):
+            out.append(n.term)
+        elif isinstance(n, Phrase):
+            out.extend(n.terms)
+        elif isinstance(n, (And, Or, Some)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, Not):
+            walk(n.req)  # the exclusion side never matches
+        elif isinstance(n, ConstTrue):
+            walk(n.child)
+
+    walk(node)
+    seen, uniq = set(), []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq

@@ -37,8 +37,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import K1, idf_py, term_score_col
-from .ast import And, ConstTrue, Node, Not, Or, Phrase, Some, Token, query_terms
+from .ast import (
+    And,
+    ConstTrue,
+    Node,
+    Not,
+    Or,
+    Phrase,
+    Some,
+    Token,
+    positive_terms,
+    query_terms,
+)
 from .parser import parse_query
+
+
+@dataclass
+class TermContext:
+    """Per-term compile context handed to the similarity scorer — the Spark
+    analog of the reference's ``term_hits``/query-term metadata a custom
+    ``Similarity`` sees (matches.h:85-91): ``rep`` is the adjacent-duplicate
+    collapse count (queries.cpp:509-515).  The DEFAULT scorer ignores ``rep``
+    exactly like the reference's TrivialBM25Scorer does."""
+
+    term: str
+    idf: float
+    df: int
+    rep: int = 1
+
+
+def default_similarity(ctx: TermContext, freq):
+    """The frozen BM25 contract (functions/bm25.py; similarity.h:165-235)."""
+    return term_score_col(ctx.idf, freq)
+
+
+HITS_TYPE = "array<struct<term:string,tf:int,positions:array<int>>>"
 
 
 @dataclass
@@ -126,8 +159,13 @@ def fold_unknown(node: Node, known: set[str]) -> Node | None:
 
 
 class QueryPlanner:
-    def __init__(self, index: LogicalIndex):
+    def __init__(self, index: LogicalIndex, similarity=None):
+        """``similarity(ctx: TermContext, freq: Column) -> Column`` overrides
+        the scorer (the Similarity extension seam, similarity.h:22-41); the
+        default is the exact reference BM25 contract.  Custom scorers see
+        ``ctx.rep``."""
         self.index = index
+        self.similarity = similarity
 
     def plan(
         self,
@@ -135,6 +173,7 @@ class QueryPlanner:
         k: int = 10,
         doc_filter: DataFrame | None = None,
         block_pruning: bool = True,
+        with_hits: bool = False,
     ) -> DataFrame:
         """Compile to a DataFrame (doc_id long, score double), top-k ordered
         by score DESC, doc_id ASC (the mandatory deterministic tie-break).
@@ -148,8 +187,26 @@ class QueryPlanner:
         provably identical result, skips dead chunks) — but ONLY when the
         driver-side cost gate says the skipped decode work exceeds the fixed
         pruning overhead (the reference's skip-only-when-it-pays economics,
-        lucene_codec.cpp:596-660).  Small-df queries stay single-pass."""
+        lucene_codec.cpp:596-660).  Small-df queries stay single-pass.
+
+        ``with_hits=True`` appends a ``hits`` column —
+        array<struct<term, tf, positions>> of the doc's matched positive
+        terms (the consider(matched_document&) surface,
+        queryexec_ctx.cpp:317-352 / matches.h:76-108) — so snippet/proximity
+        consumers never re-join postings by hand."""
         node = parse_query(query) if isinstance(query, str) else query
+        top = self._plan_topk(node, k, doc_filter, block_pruning)
+        if with_hits:
+            top = self._attach_hits(top, node)
+        return top
+
+    def _plan_topk(
+        self,
+        node: Node | None,
+        k: int,
+        doc_filter: DataFrame | None,
+        block_pruning: bool,
+    ) -> DataFrame:
         if (
             block_pruning
             and node is not None
@@ -172,15 +229,43 @@ class QueryPlanner:
             if (
                 isinstance(node, Or)
                 and doc_filter is None
+                and self.similarity is None  # the chunk bound is BM25-shaped
                 and or_pruning_pays(stats, terms, k)
             ):
                 return pruned_or_topk(spark, self.index, terms, k, node=node)
             if isinstance(node, And) and and_pruning_pays(stats, terms):
-                return rare_and_topk(spark, self.index, node, k, doc_filter)
+                # containment-based — valid under any similarity
+                return rare_and_topk(
+                    spark, self.index, node, k, doc_filter, similarity=self.similarity
+                )
         scored = self.score_all(node)
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _attach_hits(self, topk: DataFrame, node: Node | None) -> DataFrame:
+        empty_hits = F.from_json(F.lit("[]"), HITS_TYPE)
+        if node is None:
+            return topk.withColumn("hits", empty_hits)
+        terms = positive_terms(node)
+        postings = self.index.postings_for(terms)
+        # k is tiny: broadcast the winner ids, collect their matched postings
+        hits = (
+            postings.join(F.broadcast(topk.select("doc_id")), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("term", "tf", "positions"))
+                ).alias("hits")
+            )
+        )
+        return (
+            topk.join(hits, "doc_id", "left")
+            .select(
+                "doc_id", "score", F.coalesce(F.col("hits"), empty_hits).alias("hits")
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
 
     def score_all(self, query: str | Node) -> DataFrame:
         """All matching docs with scores, no ordering/limit (the full
@@ -223,9 +308,15 @@ class QueryPlanner:
         raise TypeError(type(node))
 
     def _compile_token(self, node: Token) -> DataFrame:
-        idf = self._stats.idf(node.term)
+        ctx = TermContext(
+            node.term,
+            self._stats.idf(node.term),
+            self._stats.df(node.term),
+            node.rep,
+        )
+        score = (self.similarity or default_similarity)(ctx, F.col("tf"))
         return self._postings.where(F.col("term") == node.term).select(
-            "doc_id", term_score_col(idf, F.col("tf")).alias("score")
+            "doc_id", score.alias("score")
         )
 
     def _compile_phrase(self, node: Phrase) -> DataFrame:
@@ -251,10 +342,14 @@ class QueryPlanner:
             ],
         )
         pf = F.size(F.filter(F.col("pos_0"), cond))
+        ctx = TermContext(
+            " ".join(node.terms), idf, min(self._stats.df(t) for t in node.terms), 1
+        )
+        score = (self.similarity or default_similarity)(ctx, F.col("pf"))
         return (
             joined.select("doc_id", pf.alias("pf"))
             .where(F.col("pf") > 0)
-            .select("doc_id", term_score_col(idf, F.col("pf")).alias("score"))
+            .select("doc_id", score.alias("score"))
         )
 
     def _compile_nary(self, node: And | Or | Some) -> DataFrame:

@@ -60,3 +60,66 @@ def expand_synonyms(
 
     out = expand(node).normalize()
     return out if out is not None else node
+
+
+def expand_spans(
+    node: Node,
+    synonyms: dict[str, list[str]],
+    max_span: int = 4,
+    max_expansion: int = 64,
+) -> Node:
+    """K-token span rewriting (``queries_rewrite.h:992-1148``): a run of up to
+    ``max_span`` consecutive AND'd tokens whose joined text hits the synonym
+    map becomes ``Or(<original run>, <alternatives>)`` — ``"big apple" ->
+    "nyc"`` yields ``Or(And(big, apple), nyc)``.  Longest span wins (the
+    reference tries K down to 1); single-token expansion is
+    ``expand_synonyms``'s job.  Multi-word alternatives become Phrases (one
+    concept => adjacency).  The same translation-coefficient budget bounds
+    the product of branching factors."""
+    budget = [1]
+
+    def rewrite_children(children: tuple[Node, ...]) -> tuple[Node, ...]:
+        out: list[Node] = []
+        i = 0
+        while i < len(children):
+            c = children[i]
+            if isinstance(c, Token):
+                matched = False
+                for k in range(min(max_span, len(children) - i), 1, -1):
+                    run = children[i : i + k]
+                    if not all(isinstance(x, Token) for x in run):
+                        continue
+                    key = " ".join(x.term for x in run)
+                    alts = [s for s in synonyms.get(key, []) if s != key]
+                    factor = 1 + len(alts)
+                    if alts and budget[0] * factor <= max_expansion:
+                        budget[0] *= factor
+                        alt_nodes = tuple(
+                            Phrase(tuple(a.split())) if " " in a else Token(a)
+                            for a in alts
+                        )
+                        out.append(Or((And(run),) + alt_nodes))
+                        i += k
+                        matched = True
+                        break
+                if matched:
+                    continue
+            out.append(walk(c))
+            i += 1
+        return tuple(out)
+
+    def walk(n: Node) -> Node:
+        if isinstance(n, And):
+            return And(rewrite_children(n.children), n.strict)
+        if isinstance(n, Or):
+            return Or(tuple(walk(c) for c in n.children))
+        if isinstance(n, Some):
+            return Some(tuple(walk(c) for c in n.children), n.k)
+        if isinstance(n, Not):
+            return Not(walk(n.req), n.excl)  # never expand the exclusion side
+        if isinstance(n, ConstTrue):
+            return ConstTrue(walk(n.child))
+        return n
+
+    out = walk(node).normalize()
+    return out if out is not None else node

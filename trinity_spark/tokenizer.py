@@ -14,15 +14,22 @@ no per-row Python in the Spark path):
 3. intra-word apostrophes removed: ``L'Oreal`` -> ``loreal``,
 4. numeric normalization: trailing ``.0+`` dropped (``9.000`` -> ``9``),
    while real decimals (``8.25``) stay single tokens,
-5. tokens are maximal runs of ``[a-z0-9]`` (plus the decimal form),
-6. terms longer than 64 bytes are not indexed
+5. ``word:tail`` operator tokens: an alpha head followed by ``:`` and a
+   domain-ish tail is ONE raw token — ``site:x-box.com``, ``site:.gr``
+   (reference: ``queries.cpp:2153-2163`` consumes the whole region and stores
+   it verbatim via ``l10``); the tail grammar matches the reference exactly:
+   alnum, or ``.`` followed by alnum, or ``-`` between alnums,
+6. tokens are otherwise maximal runs of ``[a-z0-9]`` (plus the decimal form),
+7. terms longer than 64 bytes are not indexed
    (``/root/reference/trinity_limits.h:14``),
-7. positions are 1-based token sequence numbers, capped at 2**14
+8. positions are 1-based token sequence numbers, capped at 2**14
    (``trinity_limits.h:15``; hits past the cap are dropped).
 
-Deliberate deviation (documented): the reference's ``word:tail`` positionless
-tokens (``site:x-box.com`` at position 0) are not special-cased — transcript
-corpora don't use them; a colon simply separates tokens.  Noted in SURVEY §2.8.
+Deliberate deviation (documented): the reference treats ``word:tail`` tokens
+as positionless (position 0 — excluded from phrase adjacency); we assign them
+a normal sequence position like any other token.  Observable difference only
+for phrases written around such operators, which transcript corpora don't
+contain; scoring and boolean semantics are unaffected.  Noted in SURVEY §2.8.
 
 The limits (6)+(7) are applied JVM-side (``F.filter``/``F.slice``) so the
 pandas UDF stays a pure regex pipeline.
@@ -45,7 +52,10 @@ MAX_POSITION = 1 << 14  # trinity_limits.h:15
 _ACRONYM_RE = re.compile(r"(?<![a-z0-9])(?:[a-z0-9]\.){1,}[a-z0-9]\.?(?![a-z0-9])")
 _APOSTROPHE_RE = re.compile(r"(?<=[a-z0-9])['’](?=[a-z0-9])")
 _NUM_NORM_RE = re.compile(r"(?<=\d)\.0+(?!\d)")
-_TOKEN_RE = re.compile(r"\d+\.\d+|[a-z0-9]+")
+# word:tail first (ordered alternation): alpha head, ':', then the reference
+# tail grammar — alnum | '.' followed by alnum | '-' between alnums
+_WORD_TAIL = r"[a-z]+:(?:[a-z0-9]|\.(?=[a-z0-9])|(?<=[a-z0-9])-(?=[a-z0-9]))+"
+_TOKEN_RE = re.compile(_WORD_TAIL + r"|\d+\.\d+|[a-z0-9]+")
 
 
 def _normalize(text: str) -> str:
