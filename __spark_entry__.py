@@ -100,6 +100,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase"] = mk('"table hash"')
     q["bm25_mixed"] = mk('("table hash" OR vector) AND join NOT slow')
 
+    # §2.10 — matched-hits surface (consider(matched_document&),
+    # matches.h:76-108): top-k rows exploded to one row per matched term,
+    # positions CSV'd so the value-hash compare sees them
+    def bm25_hits(spark, sf):
+        from trinity_spark.plans.parser import parse_query
+
+        planner = _index(spark, sf)
+        node = parse_query("join AND merge")
+        scored = planner.score_all(node)
+        top = (
+            scored.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+        hit = planner.attach_hits(top, node)
+        return hit.select("doc_id", "score", F.explode("hits").alias("h")).select(
+            "doc_id",
+            "score",
+            F.col("h.term").alias("term"),
+            F.col("h.tf").cast("long").alias("tf"),
+            F.array_join(F.col("h.positions").cast("array<string>"), ",").alias(
+                "pos_csv"
+            ),
+        )
+
+    q["bm25_hits"] = bm25_hits
+
     # --- training-data pipeline operators (trinity_spark.dataops) ---
 
     def _docs(spark, sf):
@@ -240,6 +267,42 @@ SELECT doc_id, tf FROM toks WHERE term = 'spark'
         "t.term IN ('join','merge')", having="HAVING count(DISTINCT t.term) = 2"
     )
     o["bm25_or"] = _score_sql("t.term IN ('scan','vector')")
+    o["bm25_hits"] = f"""
+WITH {_TOKS}, {_STATS},
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf / (t.tf + {K1}))) AS raw
+  FROM toks t
+  JOIN dfs d ON d.term = t.term
+  CROSS JOIN stats s
+  WHERE t.term IN ('join','merge')
+  GROUP BY t.doc_id
+  HAVING count(DISTINCT t.term) = 2
+),
+top AS (
+  SELECT doc_id, round(raw, 6) AS score FROM scored
+  ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 10
+),
+d2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (
+  SELECT u.doc_id, u.p.term AS term, u.p.pos AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(tk, (t, i) -> struct_pack(term := t, pos := i))) AS p
+    FROM d2
+  ) u
+  WHERE u.p.term <> ''
+),
+hits AS (
+  SELECT p.doc_id, p.term, CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(p.pos AS VARCHAR), ',' ORDER BY p.pos) AS pos_csv
+  FROM pos p JOIN top t ON t.doc_id = p.doc_id
+  WHERE p.term IN ('join','merge')
+  GROUP BY p.doc_id, p.term
+)
+SELECT t.doc_id, t.score, h.term, h.tf, h.pos_csv
+FROM top t JOIN hits h ON h.doc_id = t.doc_id
+"""
     o["bm25_not"] = f"""
 WITH {_TOKS}, {_STATS},
 scored AS (

@@ -238,3 +238,56 @@ def test_minhash_presets_shapes(spark):
             ).collect()
         }
         assert (0, 1) in cands, name  # near-identical docs must collide
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with n_probe = n_lists is exact (every list probed)."""
+    import numpy as np
+
+    from trinity_spark.dataops.similarity import brute_force_topk, ivf_index, ivf_topk
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    query = [float(x) for x in rng.normal(size=8)]
+
+    indexed, cents = ivf_index(df, n_lists=8, iters=2)
+    assert len(cents) == 8
+    want = [(r["vec_id"], r["score"]) for r in brute_force_topk(df, query, k=10).collect()]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_topk(indexed, cents, query, k=10, n_probe=8).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Probing half the lists must still find most of the true top-k (the
+    classic IVF recall/latency trade; exactness is the full-probe test)."""
+    import numpy as np
+
+    from trinity_spark.dataops.similarity import brute_force_topk, ivf_index, ivf_topk
+
+    rng = np.random.default_rng(5)
+    # clustered data so lists are meaningful
+    centers = rng.normal(size=(4, 8)) * 3
+    vecs = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.3])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    query = [float(x) for x in centers[1] + rng.normal(size=8) * 0.1]
+
+    indexed, cents = ivf_index(df, n_lists=8, iters=2)
+    want = {r["vec_id"] for r in brute_force_topk(df, query, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(indexed, cents, query, k=10, n_probe=4).collect()
+    }
+    assert len(want & got) >= 8  # >=80% recall on clustered data
+    # the lists actually partition the data (a probe restricts the scan)
+    list_sizes = {
+        r["list_id"]: r["n"]
+        for r in indexed.groupBy("list_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert len(list_sizes) >= 4 and max(list_sizes.values()) < 400

@@ -256,3 +256,43 @@ def test_tombstones_added_after_merge_read_survive(spark, tmp_path_factory):
     gen = store.add_deletes(spark, [3])
     # the merge above must not have cleared a tombstone it never saw
     assert [d["gen"] for d in store.read_manifest()["deletes"]] == [gen]
+
+
+def test_payload_stream_roundtrip(spark):
+    """Per-hit payloads (codecs.h:191-195 new_hit / runtime.h term_hit):
+    opaque uint64s parallel to positions, varbyte'd into the optional
+    pay_bytes stream; decode_segments(with_payloads=True) reconstructs them;
+    the default decode path never touches the column."""
+    rows = []
+    for t in range(3):
+        for d in range(300):
+            tf = 1 + (d % 3)
+            pos = [p + 1 for p in range(tf)]
+            pay = [((d << 8) | (t << 4) | p) for p in range(tf)]
+            rows.append((f"term{t}", d * 7, tf, pos, pay))
+    df = spark.createDataFrame(
+        rows, "term string, doc_id long, tf int, positions array<int>, payloads array<long>"
+    )
+    blocks = encode_postings(df)
+    back = decode_segments(blocks, with_payloads=True)
+    got = {
+        (r["term"], r["doc_id"]): (list(r["positions"]), list(r["payloads"]))
+        for r in back.collect()
+    }
+    assert len(got) == len(rows)
+    for term, doc_id, tf, pos, pay in rows:
+        assert got[(term, doc_id)] == (pos, pay), (term, doc_id)
+    # payload-free default path: identical logical postings, no payload col
+    plain = decode_segments(blocks)
+    assert plain.columns == ["term", "doc_id", "tf", "positions"]
+    assert plain.count() == len(rows)
+
+
+def test_payload_free_blocks_decode_empty_payloads(spark):
+    """Blocks built without payloads (the fused tokenizer path) decode to
+    empty payload lists under with_payloads=True."""
+    rows = [("a", 1, 2, [1, 2]), ("a", 2, 1, [5])]
+    df = spark.createDataFrame(rows, "term string, doc_id long, tf int, positions array<int>")
+    back = decode_segments(encode_postings(df), with_payloads=True).collect()
+    assert all(list(r["payloads"]) == [] for r in back)
+    assert {(r["term"], r["doc_id"]) for r in back} == {("a", 1), ("a", 2)}

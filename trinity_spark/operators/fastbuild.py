@@ -167,6 +167,13 @@ def _encode_partition(
 
     row_bounds = np.append(bs, n)
     pos_bounds = new_offsets[row_bounds]  # value-index bounds in the pos stream
+    n_blocks = len(bs)
+    # tokenizer hits carry no payloads: an all-empty pay_bytes stream
+    empty_pay = pa.Array.from_buffers(
+        pa.binary(), n_blocks,
+        [None, pa.py_buffer(np.zeros(n_blocks + 1, dtype=np.int32).tobytes()),
+         pa.py_buffer(b"")],
+    )
     return pa.RecordBatch.from_arrays(
         [
             pa.array(np.asarray(uniques, dtype=object)[codes[bs]], type=pa.string()),
@@ -180,10 +187,11 @@ def _encode_partition(
             binary_col(doc_buf, doc_off, row_bounds),
             binary_col(tf_buf, tf_off, row_bounds),
             binary_col(pos_buf, pos_off, pos_bounds),
+            empty_pay,
         ],
         names=[
             "term", "chunk", "block_id", "doc_count", "min_doc_id", "max_doc_id",
-            "max_tf", "sum_tf", "doc_deltas", "tf_bytes", "pos_bytes",
+            "max_tf", "sum_tf", "doc_deltas", "tf_bytes", "pos_bytes", "pay_bytes",
         ],
     )
 

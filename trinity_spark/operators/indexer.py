@@ -157,6 +157,18 @@ class SegmentIndex:
         pruned = self.blocks.where(F.col("term").isin(terms))
         return decode_segments(pruned)
 
+    @property
+    def chunk_bits(self) -> int:
+        """Encode-group chunk width (from build lineage) — the pruning cost
+        gate needs it to estimate chunk counts driver-side."""
+        if not hasattr(self, "_chunk_bits"):
+            bits = {
+                m.lineage.get("chunk_bits", CHUNK_BITS)
+                for m in self.store.segments()
+            } or {CHUNK_BITS}
+            self._chunk_bits = bits.pop() if len(bits) == 1 else CHUNK_BITS
+        return self._chunk_bits
+
     # dictionaries up to this size are cached driver-side after first use —
     # one collect replaces a per-query Spark job (terms.idx-in-memory analog);
     # larger dictionaries fall back to pushdown lookups per query

@@ -19,8 +19,13 @@ never rows).
 
 Schema: postings_segments(term string, chunk long, block_id long,
 doc_count int, min_doc_id long, max_doc_id long, max_tf int, sum_tf long,
-doc_deltas binary, tf_bytes binary, pos_bytes binary) — min/max_doc_id are
-the skiplist keys, max_tf/sum_tf the block-max + dictionary metadata.
+doc_deltas binary, tf_bytes binary, pos_bytes binary, pay_bytes binary) —
+min/max_doc_id are the skiplist keys, max_tf/sum_tf the block-max +
+dictionary metadata.  ``pay_bytes`` is the OPTIONAL per-hit payload stream
+(reference: <=8-byte per-occurrence payloads, ``codecs.h:191-195`` new_hit /
+``runtime.h:8-20`` term_hit.payload): varbyte uint64s parallel to the
+position stream, empty when the app supplied none (transcripts supply none —
+the column exists so the physical format never needs a migration).
 
 This module keeps the shuffle-based encode path (logical postings ->
 blocks), used by merge/compaction for globally optimal block packing; the
@@ -46,16 +51,17 @@ BLOCKS_PER_CHUNK = (1 << CHUNK_BITS) // BLOCK_SIZE
 SEGMENT_SCHEMA = (
     "term string, chunk long, block_id long, doc_count int, min_doc_id long, "
     "max_doc_id long, max_tf int, sum_tf long, "
-    "doc_deltas binary, tf_bytes binary, pos_bytes binary"
+    "doc_deltas binary, tf_bytes binary, pos_bytes binary, pay_bytes binary"
 )
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
+POSTINGS_PAYLOAD_SCHEMA = POSTINGS_SCHEMA + ", payloads array<long>"
 
 
 def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
     """Encode one (term, chunk) group of logical postings into block rows."""
     cols = [
         "term", "chunk", "block_id", "doc_count", "min_doc_id", "max_doc_id",
-        "max_tf", "sum_tf", "doc_deltas", "tf_bytes", "pos_bytes",
+        "max_tf", "sum_tf", "doc_deltas", "tf_bytes", "pos_bytes", "pay_bytes",
     ]
     if len(pdf) == 0:
         return pd.DataFrame(columns=cols)
@@ -66,6 +72,7 @@ def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     positions = pdf["positions"].tolist()
+    payloads = pdf["payloads"].tolist() if "payloads" in pdf.columns else None
 
     rows = []
     for bi, lo in enumerate(range(0, len(pdf), BLOCK_SIZE)):
@@ -78,6 +85,17 @@ def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
         d = flat.copy()
         d[1:] -= flat[:-1]
         d[starts] = flat[starts]  # first position of each doc is absolute
+        pay = b""
+        if payloads is not None:
+            # payloads are opaque uint64s, varbyte'd raw (no delta), parallel
+            # to the position stream; all-or-nothing per block
+            blk = [p for p in payloads[lo:hi] if p is not None]
+            if len(blk) == hi - lo:
+                flat_pay = np.concatenate(
+                    [np.asarray(p, dtype=np.uint64) for p in blk]
+                ) if blk else np.empty(0, dtype=np.uint64)
+                if len(flat_pay) == int(b_tfs.sum()):
+                    pay = encode_varbyte(flat_pay)
         rows.append(
             {
                 "term": term,
@@ -91,13 +109,16 @@ def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
                 "doc_deltas": delta_encode(b_docs),
                 "tf_bytes": encode_varbyte(b_tfs),
                 "pos_bytes": encode_varbyte(d.astype(np.uint64)),
+                "pay_bytes": pay,
             }
         )
     return pd.DataFrame(rows)
 
 
 def encode_postings(postings: DataFrame, chunk_bits: int = CHUNK_BITS) -> DataFrame:
-    """Logical postings -> block rows. One shuffle on (term, chunk)."""
+    """Logical postings -> block rows. One shuffle on (term, chunk).
+    An optional ``payloads array<long>`` input column (per-hit, parallel to
+    positions) is encoded into the ``pay_bytes`` stream."""
     with_chunk = postings.withColumn(
         "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
     )
@@ -129,7 +150,16 @@ def _reset_cumsum(deltas: np.ndarray, starts: np.ndarray, counts: np.ndarray) ->
     return c - np.repeat(base, counts)
 
 
-def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _binary_row_lengths(arr: pa.Array) -> np.ndarray:
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    return np.diff(offs)
+
+
+def _decode_batches(
+    batches: Iterator[pa.RecordBatch], with_payloads: bool = False
+) -> Iterator[pa.RecordBatch]:
     """Block rows -> posting rows, one vectorized pass per Arrow batch.
 
     Mirrors the fused encoder (fastbuild._encode_partition): every varbyte
@@ -138,14 +168,15 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
     doc_count / tf prefix sums (reduceat-style), never a per-row loop.  This
     is the hottest query-side kernel — the reference's equivalent is the
     SIMD-friendly block decode of google_codec.cpp:178-240."""
-    out_schema = pa.schema(
-        [
-            pa.field("term", pa.string()),
-            pa.field("doc_id", pa.int64()),
-            pa.field("tf", pa.int32()),
-            pa.field("positions", pa.list_(pa.int32())),
-        ]
-    )
+    fields = [
+        pa.field("term", pa.string()),
+        pa.field("doc_id", pa.int64()),
+        pa.field("tf", pa.int32()),
+        pa.field("positions", pa.list_(pa.int32())),
+    ]
+    if with_payloads:
+        fields.append(pa.field("payloads", pa.list_(pa.int64())))
+    out_schema = pa.schema(fields)
     for batch in batches:
         if batch.num_rows == 0:
             continue
@@ -173,19 +204,46 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         # term column: arrow take (no Python string materialization)
         row_idx = pa.array(np.repeat(np.arange(batch.num_rows), dc), type=pa.int32())
         terms = batch.column("term").take(row_idx)
-        yield pa.RecordBatch.from_arrays(
-            [
-                terms.cast(pa.string()),
-                pa.array(doc_ids, type=pa.int64()),
-                pa.array(tfs.astype(np.int32), type=pa.int32()),
-                positions_arr,
-            ],
-            schema=out_schema,
+        arrays = [
+            terms.cast(pa.string()),
+            pa.array(doc_ids, type=pa.int64()),
+            pa.array(tfs.astype(np.int32), type=pa.int32()),
+            positions_arr,
+        ]
+        if with_payloads:
+            # a block either carries one payload per hit or none (empty
+            # stream); docs in payload-free blocks get empty lists
+            pay_col = batch.column("pay_bytes")
+            has_pay = _binary_row_lengths(pay_col) > 0  # per block row
+            pay_vals = decode_varbyte(_binary_stream(pay_col)).astype(np.int64)
+            doc_has_pay = np.repeat(has_pay, dc)
+            per_doc = np.where(doc_has_pay, tfs, 0)
+            assert int(per_doc.sum()) == len(pay_vals)
+            pay_offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    pa.array(pay_offsets, type=pa.int32()),
+                    pa.array(pay_vals, type=pa.int64()),
+                )
+            )
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def decode_segments(blocks: DataFrame, with_payloads: bool = False) -> DataFrame:
+    """Block rows -> logical postings (term, doc_id, tf, positions[, payloads]).
+
+    ``with_payloads=True`` adds the per-hit payload column (empty list for
+    hits indexed without payloads) — kept OFF the query hot path: BM25 never
+    reads it, so the default scan doesn't even project pay_bytes."""
+    if with_payloads:
+        sel = blocks.select(
+            "term", "doc_count", "doc_deltas", "tf_bytes", "pos_bytes",
+            F.coalesce(F.col("pay_bytes"), F.lit(b"")).alias("pay_bytes"),
         )
-
-
-def decode_segments(blocks: DataFrame) -> DataFrame:
-    """Block rows -> logical postings (term, doc_id, tf, positions)."""
+        return sel.mapInArrow(
+            lambda it: _decode_batches(it, with_payloads=True),
+            POSTINGS_PAYLOAD_SCHEMA,
+        )
     return blocks.select(
         "term", "doc_count", "doc_deltas", "tf_bytes", "pos_bytes"
     ).mapInArrow(_decode_batches, POSTINGS_SCHEMA)

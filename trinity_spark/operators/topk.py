@@ -52,9 +52,35 @@ from ..plans.ast import Or, Token
 PRUNE_MIN_TAIL_DF = 1 << 22  # OR path: tail below ~4M rows decodes faster flat
 PRUNE_MIN_SKEW = 8.0  # need rare-vs-common contrast for a useful bound
 AND_PRUNE_MIN_DF = 1 << 20  # AND path is cheaper (no pass-1 job): gate lower
+_TF_SAT = 1.0 / (1.0 + K1)  # score of a tf=1 hit as a fraction of idf
 
 
-def or_pruning_pays(stats, terms: list[str], k: int) -> bool:
+def _pruning_feasible(stats, live: list[str], k: int, chunk_bits: int) -> bool:
+    """Can ANY chunk be pruned, estimated driver-side from df alone?
+
+    A term with df >= #chunks is expected in EVERY chunk (uniform spread), so
+    its upper bound taxes every chunk's score bound; a chunk is prunable only
+    if the pass-1 threshold T can exceed the SUM of the ubiquitous terms'
+    idfs.  T is estimated conservatively: walk cheap terms by df ascending
+    (idf descending) until their df saturates k — the k-th pass-1 score is at
+    least the tf=1 score of the last term needed.  (Measured: without this
+    check, a stopword disjunction at 10^6 docs pays two full passes and
+    prunes nothing — every chunk contains every stopword.)"""
+    total_chunks = max(stats.n_docs >> chunk_bits, 1)
+    ubiq_bound = sum(stats.idf(t) for t in live if stats.df(t) >= total_chunks)
+    by_df = sorted(live, key=lambda t: stats.df(t))
+    acc, t_est = 0, 0.0
+    for t in by_df[:-1]:  # the most expensive term never joins pass 1
+        acc += stats.df(t)
+        if acc >= k:
+            t_est = _TF_SAT * stats.idf(t)
+            break
+    return t_est > ubiq_bound
+
+
+def or_pruning_pays(
+    stats, terms: list[str], k: int, chunk_bits: int = 16
+) -> bool:
     """True when block-max pruning of this plain-token disjunction should beat
     the single-pass plan.  Driver-side arithmetic on cached df only."""
     dfs = sorted(stats.df(t) for t in terms if stats.df(t) > 0)
@@ -64,19 +90,27 @@ def or_pruning_pays(stats, terms: list[str], k: int) -> bool:
         return False  # pass 1 cannot saturate k -> T=0 -> no chunks pruned
     if sum(dfs[1:]) < PRUNE_MIN_TAIL_DF:
         return False  # expensive tail too small to pay for the extra job
-    return dfs[-1] >= PRUNE_MIN_SKEW * dfs[0]
+    if dfs[-1] < PRUNE_MIN_SKEW * dfs[0]:
+        return False
+    live = [t for t in terms if stats.df(t) > 0]
+    return _pruning_feasible(stats, live, k, chunk_bits)
 
 
-def and_pruning_pays(stats, terms: list[str]) -> bool:
+def and_pruning_pays(stats, terms: list[str], chunk_bits: int = 16) -> bool:
     """True when restricting an AND to the rarest term's chunks should pay.
     This path has no pass-1 job (the chunk set comes from block metadata in
-    the same action), so only the broadcast-subquery overhead must amortize."""
+    the same action), so only the broadcast-subquery overhead must amortize —
+    but it still needs the rare term ABSENT from most chunks (df below the
+    chunk count), else the restriction keeps everything."""
     dfs = sorted(stats.df(t) for t in terms if stats.df(t) > 0)
     if len(dfs) < 2:
         return False
     if dfs[-1] < AND_PRUNE_MIN_DF:
         return False  # common side small enough to decode flat
-    return dfs[-1] >= PRUNE_MIN_SKEW * dfs[0]
+    if dfs[-1] < PRUNE_MIN_SKEW * dfs[0]:
+        return False
+    total_chunks = max(stats.n_docs >> chunk_bits, 1)
+    return dfs[0] < total_chunks  # rare term must actually skip chunks
 
 
 @dataclass
@@ -101,6 +135,7 @@ class _PrunedView:
         self.field_stats = inner.field_stats
         self.deleted = inner.deleted
         self.postings = inner.postings
+        self.chunk_bits = getattr(inner, "chunk_bits", 16)
 
     def postings_for(self, terms):
         from .segments import decode_segments

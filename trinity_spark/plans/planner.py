@@ -197,7 +197,7 @@ class QueryPlanner:
         node = parse_query(query) if isinstance(query, str) else query
         top = self._plan_topk(node, k, doc_filter, block_pruning)
         if with_hits:
-            top = self._attach_hits(top, node)
+            top = self.attach_hits(top, node)
         return top
 
     def _plan_topk(
@@ -226,14 +226,15 @@ class QueryPlanner:
             # stats come from the driver-side df cache (SegmentIndex) — the
             # gate itself costs no Spark job after the first query
             stats = self.index.stats_for(terms)
+            cb = getattr(self.index, "chunk_bits", 16)
             if (
                 isinstance(node, Or)
                 and doc_filter is None
                 and self.similarity is None  # the chunk bound is BM25-shaped
-                and or_pruning_pays(stats, terms, k)
+                and or_pruning_pays(stats, terms, k, chunk_bits=cb)
             ):
                 return pruned_or_topk(spark, self.index, terms, k, node=node)
-            if isinstance(node, And) and and_pruning_pays(stats, terms):
+            if isinstance(node, And) and and_pruning_pays(stats, terms, chunk_bits=cb):
                 # containment-based — valid under any similarity
                 return rare_and_topk(
                     spark, self.index, node, k, doc_filter, similarity=self.similarity
@@ -243,7 +244,10 @@ class QueryPlanner:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def _attach_hits(self, topk: DataFrame, node: Node | None) -> DataFrame:
+    def attach_hits(self, topk: DataFrame, node: Node | None) -> DataFrame:
+        """Append the ``hits`` column to any (doc_id, score) result frame —
+        public so callers with custom top-k pipelines (rounding, re-ranking)
+        can reuse the matched-terms surface."""
         empty_hits = F.from_json(F.lit("[]"), HITS_TYPE)
         if node is None:
             return topk.withColumn("hits", empty_hits)
