@@ -139,3 +139,24 @@ def test_single_term_falls_back(spark, built):
     rows = [(r["doc_id"], r["score"]) for r in got.collect()]
     assert [d for d, _ in rows] == [d for d, _ in want]
     assert report.total_chunks == 0  # fallback path
+
+
+def test_rare_phrase_and_chunk_restriction_exact(spark, built, monkeypatch):
+    """AND with a rare PHRASE branch (the q_skew shape): any member term of a
+    required branch restricts the whole AND's chunks — exact and visible."""
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.plans.parser import parse_query
+    from trinity_spark.plans.planner import QueryPlanner
+
+    monkeypatch.setattr(topk_mod, "AND_PRUNE_MIN_DF", 1)
+    monkeypatch.setattr(topk_mod, "PRUNE_MIN_SKEW", 1.0)
+    index, corpus = built
+    node = parse_query("the AND zxqv-marker-7")
+    df = QueryPlanner(index).plan(node, k=5)
+    assert "chunk" in _plan_str(df)
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    want = oracle.topk(node, k=5)
+    rows = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(rows, want):
+        assert abs(gs - ws) <= 1e-9

@@ -160,13 +160,13 @@ def rare_and_topk(
     df-ascending lead-iterator AND (exec.cpp:154-170): the rare list drives,
     the common lists are only probed where it has documents.  Metadata-only —
     no pass-1 scoring job; the kept-chunk set is a broadcast subquery."""
+    from ..plans.ast import query_terms
     from ..plans.planner import QueryPlanner
 
-    stats = index.stats_for([c.term for c in node.children])
-    rarest = min(node.children, key=lambda c: stats.df(c.term))
-    kept = (
-        index.blocks.where(F.col("term") == rarest.term).select("chunk").distinct()
-    )
+    terms = query_terms(node)  # every branch is required: any term restricts
+    stats = index.stats_for(terms)
+    rarest = min(terms, key=lambda t: stats.df(t))
+    kept = index.blocks.where(F.col("term") == rarest).select("chunk").distinct()
     view = _PrunedView(index, kept)
     return QueryPlanner(view, similarity=similarity).plan(
         node, k, doc_filter=doc_filter, block_pruning=False

@@ -207,12 +207,21 @@ class QueryPlanner:
         doc_filter: DataFrame | None,
         block_pruning: bool,
     ) -> DataFrame:
+        routable = (
+            isinstance(node, Or)
+            and all(isinstance(c, Token) for c in node.children)
+        ) or (
+            # AND: phrases restrict too — every match contains every member
+            # term of every required branch (the q_skew `stopword AND "rare
+            # phrase"` shape)
+            isinstance(node, And)
+            and all(isinstance(c, (Token, Phrase)) for c in node.children)
+        )
         if (
             block_pruning
             and node is not None
             and getattr(self.index, "blocks", None) is not None
-            and isinstance(node, (Or, And))
-            and all(isinstance(c, Token) for c in node.children)
+            and routable
         ):
             from ..operators.topk import (
                 and_pruning_pays,
@@ -222,7 +231,11 @@ class QueryPlanner:
             )
 
             spark = self.index.postings.sparkSession
-            terms = [c.term for c in node.children]
+            terms = (
+                [c.term for c in node.children]
+                if isinstance(node, Or)
+                else query_terms(node)
+            )
             # stats come from the driver-side df cache (SegmentIndex) — the
             # gate itself costs no Spark job after the first query
             stats = self.index.stats_for(terms)
