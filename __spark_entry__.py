@@ -150,6 +150,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return minhash_signatures(docs, num_hashes=4)
 
+    def dedup_minhash_pairs(spark, sf):
+        # the FULL MinHash->LSH->verify pipeline (signatures entry covers
+        # stage 1; this one proves band bucketing + candidate verification)
+        from trinity_spark.dataops.dedup import minhash_near_duplicates
+
+        docs = _docs(spark, sf).where(
+            F.size(F.split(F.trim("text"), r"\s+")) >= 3
+        )
+        p = minhash_near_duplicates(docs, num_hashes=4, bands=2, threshold=0.5)
+        return p.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
+    def percolator_route(spark, sf):
+        # reverse search (percolator.cpp:1-134): docs x registered queries
+        from trinity_spark.operators.percolator import percolate
+
+        qmap = {
+            "q_and": "join AND merge",
+            "q_or": "scan OR vector",
+            "q_not": "hash NOT join",
+            "q_phrase": '"table hash"',
+        }
+        return percolate(_docs(spark, sf), qmap).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "query_id"
+        )
+
     def dedup_ngram_jaccard(spark, sf):
         from trinity_spark.dataops.dedup import ngram_jaccard_pairs
 
@@ -194,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact_groups"] = dedup_exact_groups
     q["dedup_minhash_signatures"] = dedup_minhash_signatures
+    q["dedup_minhash_pairs"] = dedup_minhash_pairs
+    q["percolator"] = percolator_route
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
     q["dedup_simhash"] = dedup_simhash
     q["text_analysis"] = text_analysis
@@ -429,6 +460,74 @@ SELECT doc_id,
        min(md5('2|' || sh)) AS h2,
        min(md5('3|' || sh)) AS h3
 FROM sh GROUP BY doc_id
+"""
+
+    # full MinHash pipeline: 4 hashes / 2 bands (rows=2), band bucket =
+    # md5(h_a || '|' || h_b) exactly like dedup.lsh_candidate_pairs, then
+    # exact-jaccard verification of candidates at threshold 0.5
+    o["dedup_minhash_pairs"] = f"""
+WITH {_SH},
+sigs AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON b.band = a.band AND b.bucket = a.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.sh) AS inter
+  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+"""
+
+    o["percolator"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+pos AS (
+  SELECT u.doc_id, u.p.term AS term, u.p.pos AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                                 (t, i) -> struct_pack(term := t, pos := i))) AS p
+    FROM documents
+  ) u
+)
+SELECT doc_id, 'q_and' AS query_id FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'join')
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'merge')
+UNION ALL
+SELECT doc_id, 'q_or' FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'scan')
+   OR EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'vector')
+UNION ALL
+SELECT doc_id, 'q_not' FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'hash')
+  AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'join')
+UNION ALL
+SELECT doc_id, 'q_phrase' FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM pos p1 JOIN pos p2
+    ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.doc_id = d.doc_id AND p1.term = 'table' AND p2.term = 'hash')
 """
 
     o["dedup_ngram_jaccard"] = f"""

@@ -134,6 +134,12 @@ def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
     t0 = time.monotonic()
     planner.plan("the OR a OR error OR zxqv", k=10).collect()
     out["q_bmx_pruned_or"] = round(time.monotonic() - t0, 3)
+    # control: the SAME query with routing disabled — gated wall must match
+    # this (the gate's no-penalty property); it is a heavier query than q_or
+    # (two stopwords), so q_or is not the comparison baseline
+    t0 = time.monotonic()
+    planner.plan("the OR a OR error OR zxqv", k=10, block_pruning=False).collect()
+    out["q_bmx_plain_equiv"] = round(time.monotonic() - t0, 3)
     # warm pass: same plans again (plan-construction + scan caches hot)
     warm: dict[str, float] = {}
     for q in qs:
@@ -342,9 +348,14 @@ cold p50 = {r['query_p50_sec']} s, warm p50 = {r.get('query_p50_warm_sec')} s.
 `q_bmx_pruned_or` is the skewed stopword disjunction routed through the
 COST-GATED auto-pruning path (plans/planner.py + operators/topk.py): the gate
 only takes the two-pass block-max plan when the df profile predicts the
-skipped decode work beats the extra-job overhead, so at this sf it stays
-single-pass and costs ~= plain `q_or`; at 10^11+ doc scale the same gate
-routes it through chunk pruning.
+skipped decode work beats the extra-job overhead AND chunk pruning is
+feasible (a term with df >= #chunks sits in every chunk, so stopword bounds
+tax every chunk at this sf). `q_bmx_plain_equiv` is the SAME query with
+routing disabled — the gated wall matches it (zero gate penalty). It is a
+heavier query than `q_or` (two stopwords vs three mid-df terms), so `q_or`
+is not its baseline. At 10^11+ docs the same gate routes it through chunk
+pruning (forced-pruning measurement at 10^6 docs: 2.6x SLOWER than
+single-pass — the gate is what prevents that).
 """)
 
 
