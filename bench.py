@@ -95,6 +95,10 @@ def run_build(cpus: int, n_turns: int, index_dir: str) -> dict:
         spark, turns, SegmentStore(index_dir),
         rows_per_segment=max(n_turns, 1 << 14),
         input_desc=corpus,
+        # virtual docid_map: the translation table is the tiny conv-base
+        # parquet + an arithmetic rule — the build never writes a second
+        # copy of the corpus (at 100 TB the materialized map doubles storage)
+        docid_map_mode="virtual",
     )
     wall = time.monotonic() - t0
     return {
@@ -140,12 +144,18 @@ def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
     t0 = time.monotonic()
     planner.plan("the OR a OR error OR zxqv", k=10, block_pruning=False).collect()
     out["q_bmx_plain_equiv"] = round(time.monotonic() - t0, 3)
-    # warm pass: same plans again (plan-construction + scan caches hot)
+    # warm pass: same plans again (plan-construction + scan caches hot) —
+    # the gated-vs-control comparison is only fair here (whichever of the two
+    # runs first cold pays the page-cache/footer misses for both)
     warm: dict[str, float] = {}
     for q in qs:
         t0 = time.monotonic()
         planner.plan(q["query"], k=q["k"]).collect()
         warm[q["id"]] = round(time.monotonic() - t0, 3)
+    for qid, bp in [("q_bmx_pruned_or", True), ("q_bmx_plain_equiv", False)]:
+        t0 = time.monotonic()
+        planner.plan("the OR a OR error OR zxqv", k=10, block_pruning=bp).collect()
+        warm[qid] = round(time.monotonic() - t0, 3)
     return out, warm
 
 

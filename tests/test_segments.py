@@ -296,3 +296,46 @@ def test_payload_free_blocks_decode_empty_payloads(spark):
     back = decode_segments(encode_postings(df), with_payloads=True).collect()
     assert all(list(r["payloads"]) == [] for r in back)
     assert {(r["term"], r["doc_id"]) for r in back} == {("a", 1), ("a", 2)}
+
+
+def test_virtual_docid_map_build(spark, tmp_path_factory):
+    """docid_map_mode='virtual': no corpus copy on disk — only the conv base
+    table + the arithmetic rule; same segments, same ranks, resumable, and
+    the virtual map reproduces the materialized one exactly."""
+    base = tmp_path_factory.mktemp("virt")
+    corpus = gen_transcripts(800)
+    src = str(base / "input")
+    spark.createDataFrame(corpus).write.parquet(src)
+    turns = spark.read.parquet(src)
+    store = SegmentStore(str(base / "idx"))
+    metas = build_index(
+        spark, turns, store, rows_per_segment=300, input_desc=src,
+        docid_map_mode="virtual",
+    )
+    assert len(metas) == 3
+    assert store.docid_map_mode() == "virtual"
+    assert not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS"))
+
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "error AND timeout", '"connection reset by peer"']:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
+
+    # the virtual map self-loads from the recorded input path and carries the
+    # north-rule per-turn text equality
+    dm = store.read_docid_map(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(dm["doc_id"]) == list(range(800))
+    for doc_id, text in docs_in_stable_order(corpus):
+        assert dm["text"][doc_id] == text
+
+    # resume: a second build sees every segment committed and adds nothing
+    again = build_index(
+        spark, turns, store, rows_per_segment=300, input_desc=src,
+        docid_map_mode="virtual",
+    )
+    assert [m.segment_id for m in again] == [m.segment_id for m in metas]

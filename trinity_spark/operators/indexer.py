@@ -49,8 +49,24 @@ def build_index(
     rows_per_segment: int | None = None,
     input_desc: str = "unknown",
     chunk_bits: int = CHUNK_BITS,
+    docid_map_mode: str = "materialized",
 ) -> list[SegmentMeta]:
-    """Build (or resume) the full index; returns committed segment metas."""
+    """Build (or resume) the full index; returns committed segment metas.
+
+    ``docid_map_mode``:
+    - ``"materialized"`` (default): phase 0 writes the full (turns + doc_id)
+      parquet map — a second copy of the corpus, laid out by doc range when
+      multiple segments will slice it.
+    - ``"virtual"``: phase 0 persists only the per-conversation base table
+      (conv_id, n_turns, base) and the manifest rule ``doc_id = base +
+      turn_idx`` — no corpus copy at all (at 100 TB the materialized map
+      doubles storage).  Segment reads re-derive doc_ids by broadcast-joining
+      the bases onto the ORIGINAL input, with a per-segment conv_id range
+      predicate that pushes down to the input's parquet/Iceberg scan (conv
+      ranges per segment come from one pass over the small conv table).
+      Requires dense 0-based per-conv turn_idx (validated; falls back to
+      materialized otherwise).
+    """
     import os
     import sys
 
@@ -60,27 +76,64 @@ def build_index(
         if prof:
             print(f"PROFILE {msg}: {time.monotonic() - t_from:.1f}s", file=sys.stderr, flush=True)
 
-    # phase 0: docid_map (skipped on resume); n_docs falls out of the conv
-    # aggregation driver-side, so no separate count job runs
+    def _rps(n_docs: int) -> int:
+        if rows_per_segment is not None:
+            return rows_per_segment
+        par = spark.sparkContext.defaultParallelism
+        return max(math.ceil(n_docs / max(par // 8, 2)), 1 << 14)
+
+    # phase 0: docid assignment (skipped on resume); n_docs falls out of the
+    # conv aggregation driver-side, so no separate count job runs
     tp = time.monotonic()
-    if not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS")):
+    seg_conv_bounds: dict[int, tuple[str, str]] = {}
+    if docid_map_mode == "virtual":
+        from .docids import _conv_bases
+
+        if store.docid_map_mode() != "virtual":
+            num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+            bases, n_docs, n_convs, dense = _conv_bases(turns, num_partitions)
+            if not dense:
+                # the arithmetic rule needs dense turn_idx; fall back
+                return build_index(
+                    spark, turns, store, rows_per_segment, input_desc,
+                    chunk_bits, docid_map_mode="materialized",
+                )
+            store.write_conv_bases(bases, n_docs, n_convs, input_desc)
+        n_docs = store.docid_map_count(spark)
+        rows_per_segment = _rps(n_docs)
+        docmap = store.attach_doc_ids(turns)
+        # per-segment conv_id ranges (one job over the small conv table):
+        # segment s covers convs whose [base, base+n) intersects its range
+        r = rows_per_segment
+        spans = store.read_conv_bases(spark).select(
+            "conv_id",
+            F.explode(
+                F.sequence(
+                    (F.col("base") / r).cast("long"),
+                    ((F.col("base") + F.col("n_turns") - 1) / r).cast("long"),
+                )
+            ).alias("seg"),
+        )
+        for row in (
+            spans.groupBy("seg")
+            .agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
+            .collect()
+        ):
+            seg_conv_bounds[int(row["seg"])] = (row["lo"], row["hi"])
+    elif not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS")):
         with_ids, n_docs = assign_doc_ids_counted(turns)
-        if rows_per_segment is None:
-            par = spark.sparkContext.defaultParallelism
-            rows_per_segment = max(math.ceil(n_docs / max(par // 8, 2)), 1 << 14)
+        rows_per_segment = _rps(n_docs)
         # the doc-range layout shuffle only pays when >1 segment will re-read
         # range slices of the map; a single segment scans it all once anyway
         store.write_docid_map(
             with_ids, n_docs=n_docs, layout=n_docs > rows_per_segment
         )
+        docmap = store.read_docid_map(spark)
     else:
         n_docs = store.docid_map_count(spark)
+        docmap = store.read_docid_map(spark)
     _p("docid_map", tp)
-    docmap = store.read_docid_map(spark)
-
-    if rows_per_segment is None:
-        par = spark.sparkContext.defaultParallelism
-        rows_per_segment = max(math.ceil(n_docs / max(par // 8, 2)), 1 << 14)
+    rows_per_segment = _rps(n_docs)
 
     built: list[SegmentMeta] = []
     for lo in range(0, n_docs, rows_per_segment):
@@ -91,6 +144,11 @@ def build_index(
             continue
         t0 = time.monotonic()
         seg_turns = docmap.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        if seg_conv_bounds:
+            # virtual mode: conv_id range predicate pushes down to the INPUT
+            # scan (the computed doc_id filter above cannot)
+            c_lo, c_hi = seg_conv_bounds[lo // rows_per_segment]
+            seg_turns = seg_turns.where(F.col("conv_id").between(c_lo, c_hi))
         _p(f"segment {sid} start", t0)
         # fused tokenize->postings->encode: ONE pass, zero data shuffles;
         # dictionary + stats come off block metadata (also shuffle-light)

@@ -92,6 +92,9 @@ class SegmentStore:
     def docid_map_dir(self) -> str:
         return os.path.join(self.base, "docid_map")
 
+    def conv_bases_dir(self) -> str:
+        return os.path.join(self.base, "conv_bases")
+
     # --- writes ---
 
     def write_docid_map(
@@ -121,6 +124,81 @@ class SegmentStore:
             m = self.read_manifest()
             m["docid_map"] = {"n_docs": int(n_docs)}
             self._write_manifest(m)
+
+    def write_conv_bases(
+        self,
+        bases: DataFrame,
+        n_docs: int,
+        n_convs: int,
+        input_desc: str,
+    ) -> None:
+        """VIRTUAL docid_map: persist only the per-conversation base table
+        (conv_id, n_turns, base) — ~10-100x smaller than the corpus — plus
+        the derivation rule ``doc_id = base + turn_idx`` recorded in the
+        manifest.  At 100 TB the materialized map would DOUBLE the corpus on
+        disk; the conv table is the minimal deterministic checkpoint that
+        reproduces the exact same assignment from the (immutable) input."""
+        bases.write.mode("overwrite").parquet(self.conv_bases_dir())
+        m = self.read_manifest()
+        m["docid_map"] = {
+            "mode": "virtual",
+            "n_docs": int(n_docs),
+            "n_convs": int(n_convs),
+            "input": input_desc,
+            "rule": "doc_id = base + turn_idx (dense per-conv turn_idx)",
+        }
+        self._write_manifest(m)
+
+    def read_conv_bases(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.conv_bases_dir())
+
+    def docid_map_mode(self) -> str:
+        return self.read_manifest().get("docid_map", {}).get("mode", "materialized")
+
+    def attach_doc_ids(self, turns: DataFrame) -> DataFrame:
+        """Virtual-map resolution: join the input to the persisted conv bases
+        and compute doc_id arithmetically (broadcast when the conv table is
+        small).  The result is identical to the materialized map, rebuilt
+        deterministically from the frozen bases."""
+        spark = turns.sparkSession
+        m = self.read_manifest()["docid_map"]
+        bases = self.read_conv_bases(spark).select("conv_id", "base")
+        if m.get("n_convs", 0) <= 1_000_000:
+            bases = F.broadcast(bases)
+        joined = turns.join(bases, "conv_id")
+        doc_id = (F.col("base") + F.col("turn_idx").cast("long")).alias("doc_id")
+        return joined.select(*[F.col(c) for c in turns.columns], doc_id)
+
+    def read_docid_map(self, spark: SparkSession, turns: DataFrame | None = None) -> DataFrame:
+        """The doc_id <-> turn translation table.
+
+        Materialized mode: read the parquet map (plus any NRT slices).
+        Virtual mode: recompute from conv_bases over ``turns`` (the original
+        input frame); when ``turns`` is None the recorded input path is read
+        back — the input is immutable by contract (its descriptor is lineage)."""
+        if self.docid_map_mode() == "virtual":
+            if turns is None:
+                src = self.read_manifest()["docid_map"]["input"]
+                if not os.path.exists(src):
+                    raise ValueError(
+                        "virtual docid_map: pass `turns` (recorded input "
+                        f"descriptor {src!r} is not a readable path)"
+                    )
+                turns = spark.read.parquet(src)
+            out = self.attach_doc_ids(turns)
+            # NRT appends still land as materialized slices — union them in
+            if os.path.exists(self.docid_map_dir()):
+                out = out.unionByName(
+                    spark.read.option("recursiveFileLookup", "true").parquet(
+                        self.docid_map_dir()
+                    ),
+                    allowMissingColumns=True,
+                )
+            return out
+        # materialized: flat batch map files + nrt/<segment_id>/ slices
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            self.docid_map_dir()
+        )
 
     def write_docid_map_slice(self, turns_with_ids: DataFrame, segment_id: str) -> None:
         """NRT micro-batch slice of the docid_map, at a DETERMINISTIC
@@ -155,9 +233,11 @@ class SegmentStore:
         Data writes are idempotent (overwrite) so a crashed attempt is
         invisible until the manifest names the segment — Trinity's
         tmp-then-rename persist (indexer.cpp:286-300)."""
-        # sorted by term: parquet row-group min/max on `term` = dictionary seek
+        # sorted by term: parquet row-group min/max on `term` = dictionary seek.
+        # one write partition per core — par//2 left half the cores idle
+        # through the whole commit phase at low parallelism
         blocks.repartitionByRange(
-            max(blocks.sparkSession.sparkContext.defaultParallelism // 2, 1), "term"
+            max(blocks.sparkSession.sparkContext.defaultParallelism, 2), "term"
         ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
             self.segment_dir(meta.segment_id, "postings")
         )
@@ -231,9 +311,3 @@ class SegmentStore:
             return None
         return spark.read.parquet(*[d["path"] for d in m["deletes"]]).select("doc_id").distinct()
 
-    def read_docid_map(self, spark: SparkSession) -> DataFrame:
-        # recursive: picks up both the batch-build map (flat files) and any
-        # NRT per-segment slices (nrt/<segment_id>/ subdirectories)
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            self.docid_map_dir()
-        )
