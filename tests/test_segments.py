@@ -339,3 +339,68 @@ def test_virtual_docid_map_build(spark, tmp_path_factory):
         docid_map_mode="virtual",
     )
     assert [m.segment_id for m in again] == [m.segment_id for m in metas]
+
+
+def test_with_hits_from_segments(spark, tmp_path_factory):
+    """The matched-hits surface over the PHYSICAL segment path: positions
+    come back through the block decode and match the frozen tokenizer."""
+    from trinity_spark.tokenizer import tokenize_terms_py
+
+    store, corpus = _fresh_index(spark, tmp_path_factory, "hits-seg")
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    rows = planner.plan("error AND timeout", k=5, with_hits=True).collect()
+    assert rows
+    texts = {d: t for d, t in docs_in_stable_order(corpus)}
+    for r in rows:
+        got = {h["term"]: (h["tf"], list(h["positions"])) for h in r["hits"]}
+        assert set(got) == {"error", "timeout"}
+        toks = tokenize_terms_py(texts[r["doc_id"]])
+        for term, (tf, positions) in got.items():
+            want = [p for t, p in toks if t == term]
+            assert positions == want and tf == len(want), (r["doc_id"], term)
+
+
+def test_nrt_append_onto_virtual_store(spark, tmp_path_factory):
+    """NRT micro-segments compose with a virtual-docid_map batch store: the
+    combined map = virtual batch part + materialized NRT slices."""
+    from trinity_spark.streaming.nrt import append_micro_segment
+
+    base = tmp_path_factory.mktemp("virt-nrt")
+    corpus = gen_transcripts(600)
+    src = str(base / "input")
+    spark.createDataFrame(corpus).write.parquet(src)
+    store = SegmentStore(str(base / "idx"))
+    build_index(
+        spark, spark.read.parquet(src), store, rows_per_segment=600,
+        input_desc=src, docid_map_mode="virtual",
+    )
+    extra = gen_transcripts(200, seed=99)
+    meta = append_micro_segment(spark, store, spark.createDataFrame(extra))
+    assert meta.doc_lo == 600 and meta.doc_hi == 800
+
+    dm = store.read_docid_map(spark)
+    assert dm.count() == 800
+    assert dm.select("doc_id").distinct().count() == 800
+
+    docs = docs_in_stable_order(corpus)
+    docs += [(d + 600, t) for d, t in docs_in_stable_order(extra)]
+    oracle = OracleIndex.build(docs)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "error AND timeout"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
+
+
+def test_resume_with_mismatched_rows_per_segment_refuses(spark, tmp_path_factory):
+    """Resuming with a different rows_per_segment would mint overlapping
+    segment ids (duplicate docs); it must fail loudly instead."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "mismatch")
+    with pytest.raises(ValueError, match="rows_per_segment"):
+        build_index(
+            spark, spark.createDataFrame(corpus), store,
+            rows_per_segment=300, input_desc="mismatch",
+        )

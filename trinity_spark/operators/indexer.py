@@ -135,6 +135,16 @@ def build_index(
     _p("docid_map", tp)
     rows_per_segment = _rps(n_docs)
 
+    # resume guard: a different rows_per_segment would mint NEW segment ids
+    # overlapping the committed doc ranges — duplicate documents in the index
+    for prev in store.segments():
+        if prev.segment_id.startswith("seg-") and prev.doc_lo % rows_per_segment:
+            raise ValueError(
+                f"resume with mismatched rows_per_segment={rows_per_segment}: "
+                f"committed segment {prev.segment_id} starts at {prev.doc_lo}; "
+                "pass the original value (or a divisor of every doc_lo)"
+            )
+
     built: list[SegmentMeta] = []
     for lo in range(0, n_docs, rows_per_segment):
         hi = min(lo + rows_per_segment, n_docs)
