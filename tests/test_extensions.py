@@ -266,3 +266,22 @@ def test_span_rewrite_rank_identity(spark):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-9
+
+
+def test_percolate_many_queries_one_pass(spark):
+    """200 registered queries compile into ONE projection (no per-query scan
+    blowup) and route correctly."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = {f"q{i}": f"term{i}" for i in range(197)}  # all misses
+    queries["hit_and"] = "error AND timeout"
+    queries["hit_phrase"] = '"connection reset by peer"'
+    queries["hit_or"] = "gpu OR western"
+    got = sorted((r["doc_id"], r["query_id"]) for r in percolate(docs, queries).collect())
+    assert got == [
+        (0, "hit_and"),
+        (0, "hit_or"),
+        (1, "hit_or"),
+        (2, "hit_phrase"),
+        (3, "hit_and"),
+        (4, "hit_or"),
+    ]

@@ -111,3 +111,37 @@ def test_replay_after_crash_is_idempotent(spark, seeded_store):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) <= 1e-9  # tfs not doubled
+
+
+def test_micro_segment_compaction(spark, seeded_store):
+    """The NRT story end-to-end: several micro-segments pile up, merge
+    compacts them into one, ranks stay oracle-identical."""
+    from trinity_spark.operators.merge import merge_segments
+
+    store, corpus0 = seeded_store
+    batches = [gen_transcripts(100, seed=50 + i) for i in range(3)]
+    for b in batches:
+        append_micro_segment(spark, store, spark.createDataFrame(b))
+    assert len(store.segments()) == 4  # seed + 3 micro
+
+    from trinity_spark.fixtures import docs_in_stable_order
+
+    docs = list(docs_in_stable_order(corpus0))
+    off = len(docs)
+    for b in batches:
+        part = docs_in_stable_order(b)
+        docs += [(d + off, t) for d, t in part]
+        off += len(part)
+    oracle = OracleIndex.build(docs)
+
+    meta = merge_segments(spark, store)
+    assert len(store.segments()) == 1
+    assert meta.docs_cnt == len(docs)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "retry OR backoff", "error AND timeout"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
