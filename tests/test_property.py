@@ -19,7 +19,12 @@ from trinity_spark.oracle import OracleIndex
 from trinity_spark.plans.ast import And, Node, Not, Or, Phrase, Some, Token
 from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
 
-VOCAB = ["error", "timeout", "retry", "gpu", "the", "a", "reset", "peer", "x1", "x2"]
+# includes word:tail operator tokens — they must flow through tokenize ->
+# postings -> query -> oracle as single raw terms (queries.cpp:2153-2163)
+VOCAB = [
+    "error", "timeout", "retry", "gpu", "the", "a", "reset", "peer",
+    "x1", "x2", "site:x-box.com", "lang:en",
+]
 
 terms = st.sampled_from(VOCAB)
 
