@@ -56,3 +56,17 @@ def test_topk_is_take_ordered(index):
     df = QueryPlanner(index).plan("error OR timeout", k=10)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_token_nary_is_single_scan(index):
+    """OR/AND/min-match over plain tokens must decode the blocks ONCE (a
+    CASE-mapped branch id), not once per branch."""
+    from trinity_spark.plans.planner import QueryPlanner
+
+    planner = QueryPlanner(index)
+    for q in ["error OR timeout OR retry", "error AND timeout",
+              "[gpu, cuda, driver] min=2"]:
+        plan = _plan(planner.plan(q, k=10, block_pruning=False))
+        tree = plan.split("\n\n")[0]  # formatted mode: tree, then node details
+        n_scans = tree.count("MapInArrow")
+        assert n_scans == 1, (q, n_scans, tree)

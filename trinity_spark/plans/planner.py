@@ -371,20 +371,47 @@ class QueryPlanner:
 
     def _compile_nary(self, node: And | Or | Some) -> DataFrame:
         children = list(node.children)
-        branches = []
-        required: list[int] = []
-        for i, c in enumerate(children):
-            if isinstance(node, And) and isinstance(c, ConstTrue):
-                branches.append(self._compile(c.child))
-            else:
-                branches.append(self._compile(c))
-                if isinstance(node, And):
-                    required.append(i)
-        n = len(branches)
-        tagged = [
-            b.select("doc_id", F.lit(i).alias("bid"), "score") for i, b in enumerate(branches)
-        ]
-        u = reduce(lambda a, b: a.unionByName(b), tagged)
+        required = [
+            i
+            for i, c in enumerate(children)
+            if isinstance(node, And) and not isinstance(c, ConstTrue)
+        ] if isinstance(node, And) else []
+        n = len(children)
+
+        # all-token fast path: ONE decode of all branches' postings with a
+        # CASE-mapped branch id/score, instead of N unioned scans of the same
+        # blocks (the flattened terms-run of exec.cpp:328-423 literally — one
+        # pass over the merged posting stream)
+        leaves = [c.child if isinstance(c, ConstTrue) else c for c in children]
+        if all(isinstance(t, Token) for t in leaves) and len(
+            {t.term for t in leaves}
+        ) == n:
+            sim = self.similarity or default_similarity
+            bid = F
+            score = F
+            for i, tok in enumerate(leaves):
+                ctx = TermContext(
+                    tok.term, self._stats.idf(tok.term), self._stats.df(tok.term),
+                    tok.rep,
+                )
+                cond = F.col("term") == tok.term
+                bid = bid.when(cond, F.lit(i))
+                score = score.when(cond, sim(ctx, F.col("tf")))
+            u = self._postings.where(
+                F.col("term").isin([t.term for t in leaves])
+            ).select("doc_id", bid.alias("bid"), score.alias("score"))
+        else:
+            branches = []
+            for c in children:
+                if isinstance(node, And) and isinstance(c, ConstTrue):
+                    branches.append(self._compile(c.child))
+                else:
+                    branches.append(self._compile(c))
+            tagged = [
+                b.select("doc_id", F.lit(i).alias("bid"), "score")
+                for i, b in enumerate(branches)
+            ]
+            u = reduce(lambda a, b: a.unionByName(b), tagged)
         agg = u.groupBy("doc_id").agg(
             *[
                 F.max(F.when(F.col("bid") == i, F.col("score"))).alias(f"s{i}")
