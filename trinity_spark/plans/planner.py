@@ -341,30 +341,43 @@ class QueryPlanner:
         idf = 0.0
         for t in node.terms:
             idf += self._stats.idf(t)
-        # df-ascending join order: rarest member first (exec.cpp:154-170)
-        slots = sorted(range(len(node.terms)), key=lambda i: self._stats.df(node.terms[i]))
-        joined = None
-        for slot in slots:
-            p = (
-                self._postings.where(F.col("term") == node.terms[slot])
-                .select("doc_id", F.col("positions").alias(f"pos_{slot}"))
+        # ONE scan of all members' postings + ONE doc_id aggregation building
+        # a term -> positions map, instead of a (k-1)-join chain (each join is
+        # a full shuffle of both sides; the map agg shuffles the same rows
+        # once, and its doc_id key is the same exchange the enclosing n-ary
+        # aggregation uses).  Adjacency stays JVM-side: phrase freq = count of
+        # p in positions(term_0) with term_i's positions containing p+i.
+        uniq = sorted(set(node.terms))
+        g = (
+            self._postings.where(F.col("term").isin(uniq))
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("m")
             )
-            joined = p if joined is None else joined.join(p, "doc_id", "inner")
-        # phrase freq: #positions p in slot0 with term_i at p+i for all i
+            .where(F.size(F.map_keys(F.col("m"))) == len(uniq))
+        )
+        pos = lambda t: F.element_at(F.col("m"), t)  # noqa: E731
         cond = lambda p: reduce(  # noqa: E731
             lambda a, b: a & b,
             [
-                F.array_contains(F.col(f"pos_{i}"), p + F.lit(i))
-                for i in range(1, len(node.terms))
+                F.array_contains(pos(t), p + F.lit(i))
+                for i, t in enumerate(node.terms)
+                if i > 0
             ],
         )
-        pf = F.size(F.filter(F.col("pos_0"), cond))
+        pf = (
+            F.size(F.filter(pos(node.terms[0]), cond))
+            if len(node.terms) > 1
+            else F.size(pos(node.terms[0]))
+        )
         ctx = TermContext(
             " ".join(node.terms), idf, min(self._stats.df(t) for t in node.terms), 1
         )
         score = (self.similarity or default_similarity)(ctx, F.col("pf"))
         return (
-            joined.select("doc_id", pf.alias("pf"))
+            g.select("doc_id", pf.alias("pf"))
             .where(F.col("pf") > 0)
             .select("doc_id", score.alias("score"))
         )
