@@ -34,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TURNS_PER_SF = 10_000_000  # sf0.1 -> 1M turns (headline build + query set)
 # Scaling study uses a FIXED larger corpus regardless of sf: the N-vs-4N
 # efficiency criterion needs the parallel fraction to dominate fixed costs.
-SCALING_TURNS = int(os.environ.get("TRINITY_SCALING_TURNS", "4000000"))
+# 3M turns: the local[1] leg (~3.5 min) keeps the parallel fraction >97% of
+# wall while the whole 2-rep scaling study stays near ten minutes
+SCALING_TURNS = int(os.environ.get("TRINITY_SCALING_TURNS", "3000000"))
 SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "2"))
 # N and 4N parallelism levels for the scaling criterion.  This VM's
 # hypervisor steal varies BY TIME WINDOW (identical runs differ up to ~3x

@@ -64,7 +64,7 @@ def sparkref(spark):
 
 @given(corpus=corpora(), q=asts())
 @settings(
-    max_examples=12,
+    max_examples=int(__import__("os").environ.get("TRINITY_PROP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
