@@ -291,3 +291,35 @@ def test_ivf_partial_probe_recall(spark):
         for r in indexed.groupBy("list_id").count().withColumnRenamed("count", "n").collect()
     }
     assert len(list_sizes) >= 4 and max(list_sizes.values()) < 400
+
+
+def test_ivf_join_assignment_matches_literal(spark):
+    """The broadcast-join list assignment (scale path for large n_lists) must
+    agree with the literal-expression argmax."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trinity_spark.dataops.similarity import (
+        _argmax_cosine,
+        ivf_assign_join,
+        ivf_index,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    _, cents = ivf_index(df, n_lists=6, iters=1)
+
+    lit = {
+        r["vec_id"]: r["list_id"]
+        for r in df.select(
+            "vec_id",
+            _argmax_cosine(F.col("embedding").cast("array<double>"), cents).alias(
+                "list_id"
+            ),
+        ).collect()
+    }
+    joined = {
+        r["vec_id"]: r["list_id"] for r in ivf_assign_join(df, cents).collect()
+    }
+    assert joined == lit

@@ -187,6 +187,35 @@ def ivf_index(
     return v.withColumn("list_id", _argmax_cosine(F.col(vec_col), cents)), cents
 
 
+def ivf_assign_join(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path list assignment: broadcast the centroids as a DataFrame and
+    pick each vector's argmax-cosine list with ``max_by`` — for n_lists in
+    the thousands, where the literal-expression argmax of ``_argmax_cosine``
+    would blow up the plan.  Cost: |vectors| x n_lists comparison rows, all
+    map-side (broadcast join, no shuffle of the vectors); ties break to the
+    higher list id, matching array_max struct ordering."""
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    scored = v.crossJoin(F.broadcast(cdf)).withColumn(
+        "cos_sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.expr("max_by(list_id, struct(cos_sim, list_id))").alias("list_id")
+    )
+    return v.join(best, id_col)
+
+
 def ivf_topk(
     indexed: DataFrame,
     cents: list[list[float]],
