@@ -33,6 +33,39 @@ def test_sparse_turn_idx_fallback(spark):
     _check(spark, pdf, num_partitions=4)
 
 
+def test_duplicate_turn_idx_with_gap_routes_to_fallback(spark):
+    """turn_idx [0, 0, 2, 3] passes the min/max/count screen (min=0, max=n-1,
+    count=n) but is NOT a permutation; the exact distinct-count test must
+    route such convs to the row_number path so doc_ids stay unique — the
+    arithmetic path would mint base+0 twice."""
+    rows = []
+    for c in range(6):
+        idxs = [0, 1, 2, 3] if c % 2 == 0 else [0, 0, 2, 3]
+        for i, t in enumerate(idxs):
+            rows.append(
+                {
+                    "conv_id": f"c{c:03d}",
+                    "turn_idx": t,
+                    "role": "user",
+                    "text": f"msg {c} {i}",
+                    "tool": "",
+                    "ts": pd.Timestamp("2026-01-01"),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    sdf, n = assign_doc_ids_counted(spark.createDataFrame(pdf), 3)
+    got = sdf.toPandas()
+    assert n == len(pdf)
+    assert sorted(got["doc_id"]) == list(range(len(pdf)))  # unique AND dense
+    # each conversation still owns a contiguous doc_id range in conv order
+    by_conv = got.groupby("conv_id")["doc_id"].agg(["min", "max", "count"])
+    base = 0
+    for conv_id in sorted(by_conv.index):
+        r = by_conv.loc[conv_id]
+        assert (r["min"], r["max"], r["count"]) == (base, base + 3, 4), conv_id
+        base += 4
+
+
 def test_single_conversation_many_partitions(spark):
     pdf = gen_transcripts(120)
     pdf = pdf.copy()

@@ -404,3 +404,137 @@ def test_resume_with_mismatched_rows_per_segment_refuses(spark, tmp_path_factory
             spark, spark.createDataFrame(corpus), store,
             rows_per_segment=300, input_desc="mismatch",
         )
+
+
+def test_resume_with_divisor_rows_per_segment_refuses(spark, tmp_path_factory):
+    """A STRICT DIVISOR of every committed doc_lo (200 after building with
+    400) passed the old modulus-only guard but still mints new overlapping
+    segment ids (seg-0-200 vs committed seg-0-400) — duplicate documents.
+    The span check must reject it."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "divisor")
+    with pytest.raises(ValueError, match="rows_per_segment"):
+        build_index(
+            spark, spark.createDataFrame(corpus), store,
+            rows_per_segment=200, input_desc="divisor",
+        )
+
+
+def test_resume_derives_rows_per_segment_from_manifest(spark, tmp_path_factory):
+    """Resume without rows_per_segment derives the committed value from the
+    manifest (segment spans) instead of re-computing a parallelism-dependent
+    default that could mismatch."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "derive")
+    before = [m.segment_id for m in store.segments()]
+    again = build_index(
+        spark, spark.createDataFrame(corpus), store, input_desc="derive"
+    )
+    assert [m.segment_id for m in again] == before
+    assert [m.segment_id for m in store.segments()] == before
+
+
+def test_resume_guard_ignores_nrt_segments(spark, tmp_path_factory):
+    """nrt-append micro-segments start at arbitrary doc_lo (the high-water
+    mark); they must not trip the batch resume guard."""
+    from trinity_spark.streaming.nrt import append_micro_segment
+
+    store, corpus = _fresh_index(spark, tmp_path_factory, "nrt-guard")
+    extra = gen_transcripts(150, seed=41)  # doc range [800, 950): not % 400
+    meta = append_micro_segment(spark, store, spark.createDataFrame(extra))
+    assert meta.doc_lo == 800 and meta.doc_hi == 950
+    # resume of the batch build must neither raise nor add segments
+    before = sorted(m.segment_id for m in store.segments())
+    build_index(
+        spark, spark.createDataFrame(corpus), store,
+        rows_per_segment=400, input_desc="nrt-guard",
+    )
+    assert sorted(m.segment_id for m in store.segments()) == before
+
+
+def test_resume_after_merge_rebuilds_nothing(spark, tmp_path_factory):
+    """After a merge the doc ranges live in a merged-* segment; a resumed
+    batch build must recognize the coverage (not just exact segment ids) and
+    add nothing — rebuilding would duplicate every document."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "postmerge")
+    merge_segments(spark, store)
+    before = [m.segment_id for m in store.segments()]
+    assert before and before[0].startswith("merged-")
+    build_index(
+        spark, spark.createDataFrame(corpus), store,
+        rows_per_segment=400, input_desc="postmerge",
+    )
+    assert [m.segment_id for m in store.segments()] == before
+
+
+def test_merge_preserves_nondefault_chunk_bits(spark, tmp_path_factory):
+    """Segments built with non-default chunk_bits must merge at THAT width:
+    re-encoded blocks and recorded lineage share one chunk geometry, so later
+    merges' tombstone chunk probe and chunk-restricted pruning stay exact."""
+    base = str(tmp_path_factory.mktemp("cbits"))
+    corpus = gen_transcripts(800)
+    store = SegmentStore(base)
+    build_index(
+        spark, spark.createDataFrame(corpus), store, rows_per_segment=400,
+        input_desc="cbits", chunk_bits=8,
+    )
+    kill = 5
+    store.add_deletes(spark, [kill])
+    meta = merge_segments(spark, store)
+    assert meta.lineage["chunk_bits"] == 8
+    # every block (reused AND re-encoded) uses 8-bit chunks; the old default
+    # re-encode would have produced chunk = doc_id >> 16 == 0 everywhere
+    rows = store.read_blocks(spark).select("chunk", "min_doc_id", "max_doc_id").collect()
+    assert any(r["chunk"] > 0 for r in rows)  # 800 docs span chunks 0..3
+    for r in rows:
+        assert r["chunk"] == r["min_doc_id"] >> 8
+        assert r["chunk"] == r["max_doc_id"] >> 8
+    # a second merge's tombstone probe now equi-joins on a consistent chunk
+    store.add_deletes(spark, [700])
+    meta2 = merge_segments(spark, store)
+    assert meta2.lineage["chunk_bits"] == 8
+    oracle = OracleIndex.build(
+        [(d, t) for d, t in docs_in_stable_order(corpus) if d not in (kill, 700)]
+    )
+    oracle.n_docs = 800 - 2
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "error AND timeout"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
+
+
+def test_merge_mixed_chunk_bits_reencodes_everything(spark, tmp_path_factory):
+    """Inputs with DIFFERENT chunk_bits cannot byte-splice into one segment;
+    the merge must disable the byte-reuse fast path and re-encode all blocks
+    at one width, recording that width in lineage."""
+    from trinity_spark.operators.segments import CHUNK_BITS
+    from trinity_spark.streaming.nrt import append_micro_segment
+
+    base = str(tmp_path_factory.mktemp("mixed"))
+    corpus = gen_transcripts(600)
+    store = SegmentStore(base)
+    build_index(
+        spark, spark.createDataFrame(corpus), store, rows_per_segment=600,
+        input_desc="mixed", chunk_bits=8,
+    )
+    extra = gen_transcripts(200, seed=77)
+    append_micro_segment(
+        spark, store, spark.createDataFrame(extra), chunk_bits=12
+    )
+    meta = merge_segments(spark, store)
+    assert meta.lineage["chunk_bits"] == CHUNK_BITS
+    for r in store.read_blocks(spark).select("chunk", "min_doc_id").collect():
+        assert r["chunk"] == r["min_doc_id"] >> CHUNK_BITS
+    docs = docs_in_stable_order(corpus)
+    docs += [(d + 600, t) for d, t in docs_in_stable_order(extra)]
+    oracle = OracleIndex.build(docs)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "retry OR backoff OR timeout"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9

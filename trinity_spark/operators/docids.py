@@ -62,6 +62,11 @@ def _conv_bases(
         F.count(F.lit(1)).alias("n_turns"),
         F.min("turn_idx").alias("min_idx"),
         F.max("turn_idx").alias("max_idx"),
+        # n distinct values + min=0 + max=n-1 + count=n is an EXACT
+        # permutation-of-0..n-1 test; without it, duplicates plus a gap
+        # (e.g. [0, 0, 2]) would pass and the arithmetic doc_id path would
+        # silently mint duplicate ids
+        F.countDistinct("turn_idx").alias("n_distinct"),
     )
     ordered = convs.repartitionByRange(
         num_partitions, "conv_id"
@@ -76,6 +81,7 @@ def _conv_bases(
                 (
                     (F.col("min_idx") != 0)
                     | (F.col("max_idx") != F.col("n_turns") - 1)
+                    | (F.col("n_distinct") != F.col("n_turns"))
                 ).cast("int")
             ).alias("sparse"),
         )
@@ -120,7 +126,16 @@ def _conv_bases(
                 f"expected {expect.get(pid, 0)}"
             )
 
-    bases = ordered.mapInArrow(enumerate_convs, _BASES_SCHEMA)
+    # Eagerly materialize the (small) bases table and cut its lineage so the
+    # cached `ordered` frame can be released NOW instead of leaking a cached
+    # DataFrame per build for the session lifetime.  localCheckpoint blocks
+    # live distributed (executor memory/disk) and are reclaimed by the
+    # ContextCleaner once the frame is unreferenced — unlike .persist(),
+    # which pins the plan in the cache manager forever.
+    bases = ordered.mapInArrow(enumerate_convs, _BASES_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    ordered.unpersist()
     return bases, n_docs, n_convs, dense
 
 

@@ -76,11 +76,62 @@ def build_index(
         if prof:
             print(f"PROFILE {msg}: {time.monotonic() - t_from:.1f}s", file=sys.stderr, flush=True)
 
+    explicit_rps = rows_per_segment is not None
+
     def _rps(n_docs: int) -> int:
-        if rows_per_segment is not None:
-            return rows_per_segment
-        par = spark.sparkContext.defaultParallelism
-        return max(math.ceil(n_docs / max(par // 8, 2)), 1 << 14)
+        """Resolve rows_per_segment, validated against committed segments.
+
+        Resume guard (why this is exact, not heuristic): build segments
+        commit in doc order, so every committed build segment except the
+        last spans exactly the original rows_per_segment — that span IS the
+        recorded value, and any other value (including a strict divisor of
+        every doc_lo, which the old modulus check wrongly accepted) would
+        mint new overlapping segment ids and re-index duplicate documents.
+        On resume the value is derived from the manifest when not passed,
+        and must match when passed.  nrt-append micro-segments have
+        arbitrary doc ranges and are exempt (lineage mode check).
+        """
+        rps = rows_per_segment
+        if rps is None:
+            par = spark.sparkContext.defaultParallelism
+            rps = max(math.ceil(n_docs / max(par // 8, 2)), 1 << 14)
+        build_segs = sorted(
+            (
+                s
+                for s in store.segments()
+                if s.segment_id.startswith("seg-")
+                and s.lineage.get("mode") != "nrt-append"
+            ),
+            key=lambda s: s.doc_lo,
+        )
+        if not build_segs:
+            return rps
+        spans = {s.doc_hi - s.doc_lo for s in build_segs[:-1]}
+        if len(spans) > 1:
+            raise ValueError(
+                "committed build segments have inconsistent doc spans "
+                f"{sorted(spans)}; manifest mixes incompatible builds"
+            )
+        committed = spans.pop() if spans else None
+        if committed is None and build_segs[-1].doc_hi < n_docs:
+            # a single committed segment that is NOT the corpus-final one
+            # must be a full segment, so its span is the original value
+            committed = build_segs[-1].doc_hi - build_segs[-1].doc_lo
+        if committed is not None and committed != rps:
+            if explicit_rps:
+                raise ValueError(
+                    f"resume with rows_per_segment={rps} but committed "
+                    f"segments were built with {committed}; pass that value "
+                    "(or omit it to derive from the manifest on resume)"
+                )
+            rps = committed
+        final = build_segs[-1]
+        if final.doc_lo % rps or (final.doc_hi - final.doc_lo) > rps:
+            raise ValueError(
+                f"committed segment {final.segment_id} is not aligned to "
+                f"rows_per_segment={rps}; pass the original value"
+            )
+        return rps
 
     # phase 0: docid assignment (skipped on resume); n_docs falls out of the
     # conv aggregation driver-side, so no separate count job runs
@@ -135,15 +186,26 @@ def build_index(
     _p("docid_map", tp)
     rows_per_segment = _rps(n_docs)
 
-    # resume guard: a different rows_per_segment would mint NEW segment ids
-    # overlapping the committed doc ranges — duplicate documents in the index
-    for prev in store.segments():
-        if prev.segment_id.startswith("seg-") and prev.doc_lo % rows_per_segment:
-            raise ValueError(
-                f"resume with mismatched rows_per_segment={rows_per_segment}: "
-                f"committed segment {prev.segment_id} starts at {prev.doc_lo}; "
-                "pass the original value (or a divisor of every doc_lo)"
-            )
+    # Coverage-based resume skip (not just exact segment-id match): after a
+    # merge the range lives in a merged-* segment, and nrt appends may tile a
+    # range with differently-sized micro-segments — rebuilding either would
+    # duplicate documents.  A PARTIAL overlap is unresolvable (building would
+    # duplicate the overlapped docs; skipping would drop the rest) -> raise.
+    committed_ranges = sorted((m.doc_lo, m.doc_hi) for m in store.segments())
+
+    def _coverage(lo: int, hi: int) -> str:
+        cur = lo
+        touched = False
+        for a, b in committed_ranges:
+            if b <= lo or a >= hi:
+                continue
+            touched = True
+            if a > cur:
+                return "partial"
+            cur = max(cur, b)
+            if cur >= hi:
+                return "full"
+        return "partial" if touched else "none"
 
     built: list[SegmentMeta] = []
     for lo in range(0, n_docs, rows_per_segment):
@@ -152,6 +214,14 @@ def build_index(
         if store.has_segment(sid):
             built.append(next(s for s in store.segments() if s.segment_id == sid))
             continue
+        cov = _coverage(lo, hi)
+        if cov == "full":
+            continue  # already indexed under other segment ids (merge / nrt)
+        if cov == "partial":
+            raise ValueError(
+                f"doc range [{lo}, {hi}) partially overlaps committed "
+                "segments; refusing to build duplicate documents"
+            )
         t0 = time.monotonic()
         seg_turns = docmap.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         if seg_conv_bounds:

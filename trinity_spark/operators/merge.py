@@ -100,22 +100,28 @@ def merge_segments(
             )
             in_range = deletes.where(cond)
 
+    # One chunk width per output segment: re-encoded blocks use the inputs'
+    # common chunk_bits so reused + re-encoded blocks share one geometry and
+    # the recorded lineage chunk_bits stays exact (later merges' tombstone
+    # chunk probe and chunk-restricted pruning depend on it).  Mixed-width
+    # inputs disable the byte-reuse fast path entirely — everything is
+    # decoded and re-encoded at the default width.
+    cb = _merge_chunk_bits(metas)
+    out_bits = cb if cb is not None else CHUNK_BITS
     full = F.col("doc_count") == BLOCK_SIZE
-    if in_range is not None:
-        cb = _merge_chunk_bits(metas)
+    if cb is None:
+        reused = blocks.where(F.lit(False))
+        rest = blocks
+    elif in_range is not None:
         tomb = in_range.select(
             F.col("doc_id").alias("_t_doc"),
-            *(
-                [F.shiftright(F.col("doc_id"), cb).alias("_t_chunk")]
-                if cb is not None
-                else []
-            ),
+            F.shiftright(F.col("doc_id"), cb).alias("_t_chunk"),
         )
-        probe = (F.col("_t_doc") >= F.col("min_doc_id")) & (
-            F.col("_t_doc") <= F.col("max_doc_id")
+        probe = (
+            (F.col("chunk") == F.col("_t_chunk"))
+            & (F.col("_t_doc") >= F.col("min_doc_id"))
+            & (F.col("_t_doc") <= F.col("max_doc_id"))
         )
-        if cb is not None:
-            probe = (F.col("chunk") == F.col("_t_chunk")) & probe
         reused = blocks.where(full).join(F.broadcast(tomb), probe, "left_anti")
         rest = blocks.where(~full).unionByName(
             blocks.where(full).join(F.broadcast(tomb), probe, "left_semi")
@@ -142,7 +148,9 @@ def merge_segments(
     rest_postings = rest_postings.persist()
 
     docs_cnt = sum(m.docs_cnt for m in metas) - n_deleted
-    new_blocks = reused.unionByName(encode_postings(rest_postings)).persist()
+    new_blocks = reused.unionByName(
+        encode_postings(rest_postings, chunk_bits=out_bits)
+    ).persist()
     # dictionary + stats off block METADATA — reused blocks are never decoded
     term_dict = term_dict_from_blocks(new_blocks)
     stats = field_stats_from_blocks(new_blocks, docs_cnt=docs_cnt)
@@ -157,7 +165,7 @@ def merge_segments(
         lineage={
             "merged_from": ids,
             "deletes_applied": n_deleted,
-            "chunk_bits": _merge_chunk_bits(metas) or CHUNK_BITS,
+            "chunk_bits": out_bits,
             "engine_version": __version__,
         },
         metrics={},
