@@ -37,7 +37,7 @@ TURNS_PER_SF = 10_000_000  # sf0.1 -> 1M turns (headline build + query set)
 # 3M turns: the local[1] leg (~3.5 min) keeps the parallel fraction >97% of
 # wall while the whole 2-rep scaling study stays near ten minutes
 SCALING_TURNS = int(os.environ.get("TRINITY_SCALING_TURNS", "3000000"))
-SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "2"))
+SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "4"))
 # N and 4N parallelism levels for the scaling criterion.  This VM's
 # hypervisor steal varies BY TIME WINDOW (identical runs differ up to ~3x
 # across windows, while runs a few minutes apart are coherent), and the
@@ -66,9 +66,10 @@ def _corpus_path(n_turns: int) -> str:
     return write_transcripts(os.path.join(BENCH_ROOT, f"corpus_{n_turns}"), n_turns)
 
 
-def run_build(cpus: int, n_turns: int, index_dir: str) -> dict:
+def run_build(cpus: int, n_turns: int, index_dir: str, chunk_bits: int | None = None) -> dict:
     """One timed build in THIS process (call in a fresh JVM per measurement)."""
     from trinity_spark.operators.indexer import build_index
+    from trinity_spark.operators.segments import CHUNK_BITS
     from trinity_spark.session import get_spark
     from trinity_spark.sources.store import SegmentStore
 
@@ -97,6 +98,7 @@ def run_build(cpus: int, n_turns: int, index_dir: str) -> dict:
         spark, turns, SegmentStore(index_dir),
         rows_per_segment=max(n_turns, 1 << 14),
         input_desc=corpus,
+        chunk_bits=chunk_bits if chunk_bits is not None else CHUNK_BITS,
         # virtual docid_map: the translation table is the tiny conv-base
         # parquet + an arithmetic rule — the build never writes a second
         # copy of the corpus (at 100 TB the materialized map doubles storage)
@@ -110,6 +112,66 @@ def run_build(cpus: int, n_turns: int, index_dir: str) -> dict:
         "turns_per_sec": round(n_turns / wall, 1),
         "segments": len(metas),
     }
+
+
+def run_pruning_win(cpus: int, index_dir: str) -> dict:
+    """Gate-OPEN evidence: a query whose df profile opens the default gate,
+    measured pruned vs plain on the SAME index — pruned must win.
+
+    Query: ``qqrareanchor OR the OR a OR to OR of`` over the 3M-turn corpus —
+    a mid-rare anchor (df ~60, saturates k with a high idf) plus four
+    stopwords (tail df ~5.7M >= the 4M gate threshold).  The index is built
+    with chunk_bits=10 so #chunks (~2930) >> anchor df — the scaled-down
+    proxy for the production geometry (10^12 docs at chunk_bits=16 gives
+    1.5e7 chunks vs any rare term's df).  Chunks without the anchor bound
+    below the pass-1 threshold and are pruned; the stopword posting lists
+    are mostly never decoded."""
+    from trinity_spark.operators.indexer import SegmentIndex
+    from trinity_spark.operators.topk import pruned_or_topk
+    from trinity_spark.plans.parser import parse_query
+    from trinity_spark.plans.planner import QueryPlanner
+    from trinity_spark.session import get_spark
+    from trinity_spark.sources.store import SegmentStore
+
+    spark = get_spark(f"bench_prune_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    index = SegmentIndex(spark, SegmentStore(index_dir))
+    planner = QueryPlanner(index)
+    planner.plan("zzzwarmupnonterm", k=1).collect()
+    q = "qqrareanchor OR the OR a OR to OR of"
+    node = parse_query(q)
+    terms = [t.strip() for t in q.split(" OR ")]
+    # untimed: chunk-count report + rank-identity of the two paths
+    res, rep = pruned_or_topk(spark, index, terms, 10, return_report=True, node=node)
+    pruned_rows = [(r["doc_id"], r["score"]) for r in res.collect()]
+    plain_rows = [
+        (r["doc_id"], r["score"])
+        for r in planner.plan(node, k=10, block_pruning=False).collect()
+    ]
+    identical = pruned_rows == plain_rows
+    out = {
+        "query": q,
+        "chunk_bits": index.chunk_bits,
+        "total_chunks": rep.total_chunks,
+        "kept_chunks": rep.kept_chunks,
+        "threshold": round(rep.threshold, 3),
+        "rank_identical": identical,
+        "walls": {},
+    }
+    for label, bp in [("pruned", True), ("plain", False)]:
+        walls = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            planner.plan(node, k=10, block_pruning=bp).collect()
+            walls.append(round(time.monotonic() - t0, 3))
+        out["walls"][label] = walls
+        if label == "pruned":
+            out["gate"] = planner.last_route.get("gate")
+            out["routed_path"] = planner.last_route.get("path")
+    out["win"] = round(
+        min(out["walls"]["plain"]) / max(min(out["walls"]["pruned"]), 1e-9), 2
+    )
+    return out
 
 
 def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
@@ -140,6 +202,9 @@ def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
     t0 = time.monotonic()
     planner.plan("the OR a OR error OR zxqv", k=10).collect()
     out["q_bmx_pruned_or"] = round(time.monotonic() - t0, 3)
+    # the artifact-visible gate decision: "gate closed -> byte-identical
+    # single-pass plan" is PROVEN here, not inferred from matched walls
+    gates = {"q_bmx_pruned_or": dict(planner.last_route)}
     # control: the SAME query with routing disabled — gated wall must match
     # this (the gate's no-penalty property); it is a heavier query than q_or
     # (two stopwords), so q_or is not the comparison baseline
@@ -158,7 +223,12 @@ def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         planner.plan("the OR a OR error OR zxqv", k=10, block_pruning=bp).collect()
         warm[qid] = round(time.monotonic() - t0, 3)
-    return out, warm
+    # routed path per reference query (cheap driver metadata, shows which
+    # queries took the rare-AND chunk restriction etc.)
+    for q in qs:
+        planner.plan(q["query"], k=q["k"])  # plan only, no execution
+        gates[q["id"]] = {"path": planner.last_route.get("path")}
+    return out, warm, gates
 
 
 def main() -> None:
@@ -167,10 +237,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--turns", type=int, default=None)
     ap.add_argument("--index-dir", default=None)
+    ap.add_argument("--chunk-bits", type=int, default=None)
     args = ap.parse_args()
 
     if args.build_only:
-        res = run_build(args.cpus, args.turns, args.index_dir)
+        res = run_build(args.cpus, args.turns, args.index_dir, args.chunk_bits)
         print("BENCH_BUILD " + json.dumps(res))
         return
 
@@ -181,14 +252,17 @@ def main() -> None:
     os.makedirs(BENCH_ROOT, exist_ok=True)
     _corpus_path(n_turns)  # generate once so no run pays generation cost
 
-    def sub_build(c: int, turns: int | None = None) -> dict:
+    def sub_build(c: int, turns: int | None = None, chunk_bits: int | None = None,
+                  tag: str = "") -> dict:
         n_t = turns or n_turns
-        idx = os.path.join(BENCH_ROOT, f"index_c{c}_{n_t}")
+        idx = os.path.join(BENCH_ROOT, f"index_c{c}_{n_t}{tag}")
         env = dict(os.environ, TRINITY_DRIVER_MEM="16g")
+        cmd = [sys.executable, os.path.abspath(__file__), "--build-only",
+               "--cpus", str(c), "--turns", str(n_t), "--index-dir", idx]
+        if chunk_bits is not None:
+            cmd += ["--chunk-bits", str(chunk_bits)]
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--build-only",
-             "--cpus", str(c), "--turns", str(n_t), "--index-dir", idx],
-            capture_output=True, text=True, timeout=3600, env=env,
+            cmd, capture_output=True, text=True, timeout=3600, env=env,
         )
         for line in p.stdout.splitlines():
             if line.startswith("BENCH_BUILD "):
@@ -240,13 +314,18 @@ def main() -> None:
             f"local{lo}": best_lo,
             f"local{hi}": best_hi,
             "parallelism_ratio": ratio,
-            # Hypervisor steal is strictly ADDITIVE to wall time, so each
-            # leg's minimum wall over reps estimates its steal-free wall; the
-            # ratio of the minima is the steal-free efficiency estimate.
-            # (Per-pair same-window ratios are reported below for
-            # transparency — a pair whose high-core leg caught steal shows a
-            # depressed ratio, never an inflated one.)
+            # HEADLINE = median of the per-pair same-window efficiencies
+            # (each rep runs its two legs back-to-back, so each pair shares
+            # one hypervisor-steal window; the median over >=4 reps is robust
+            # to a single steal-hit leg and, unlike a min-wall ratio, cannot
+            # go superlinear from residual steal in the low-core minimum).
             "efficiency": round(
+                statistics.median(p["eff"] for p in pairs), 3
+            ),
+            # secondary estimate: ratio of per-leg minimum walls (steal is
+            # additive, so minima approximate steal-free walls — but the two
+            # minima may come from different time windows)
+            "efficiency_minwall": round(
                 best_hi["turns_per_sec"] / (ratio * best_lo["turns_per_sec"]), 3
             ),
             # the per-segment build phase is the unit that repeats ~1000x at
@@ -256,17 +335,33 @@ def main() -> None:
                 str(lo): best_lo["seg_wall"], str(hi): best_hi["seg_wall"]
             },
             "segment_phase_efficiency": round(
-                best_lo["seg_wall"] / (ratio * best_hi["seg_wall"]), 3
+                statistics.median(p["seg_eff"] for p in pairs), 3
             ),
-            "efficiency_paired_median": round(
-                statistics.median(p["eff"] for p in pairs), 3
+            "segment_phase_efficiency_minwall": round(
+                best_lo["seg_wall"] / (ratio * best_hi["seg_wall"]), 3
             ),
             "pair_efficiencies": pairs,
             "all_walls": {str(c): [r["wall_sec"] for r in rs] for c, rs in runs.items()},
             "scaling_turns": SCALING_TURNS,
         }
 
-    qtimes, qwarm = run_queries(cpus, os.path.join(BENCH_ROOT, f"index_c{cpus}_{n_turns}"))
+    qtimes, qwarm, gates = run_queries(
+        cpus, os.path.join(BENCH_ROOT, f"index_c{cpus}_{n_turns}")
+    )
+    # gate-OPEN evidence (pruned beats plain where the default gate opens):
+    # 3M-turn corpus, chunk_bits=10 (see run_pruning_win docstring)
+    pruning_win = {}
+    if os.environ.get("TRINITY_BENCH_PRUNE_WIN", "1") != "0":
+        from trinity_spark.fixtures import write_transcripts
+
+        win_turns = SCALING_TURNS
+        write_transcripts(
+            os.path.join(BENCH_ROOT, f"corpus_{win_turns}"), win_turns
+        )
+        sub_build(cpus, win_turns, chunk_bits=10, tag="_cb10")
+        pruning_win = run_pruning_win(
+            cpus, os.path.join(BENCH_ROOT, f"index_c{cpus}_{win_turns}_cb10")
+        )
     total = build_main["wall_sec"] + sum(qtimes.values())
     result = {
         "metric": "index_build_plus_queryset_sec",
@@ -277,6 +372,7 @@ def main() -> None:
         "sf": sf,
         "build": build_main,
         "scaling": scaling,
+        "pruning": {"gates": gates, "gate_open_win": pruning_win},
         "query_p50_sec": round(statistics.median(qtimes.values()), 3),
         "query_p50_warm_sec": round(statistics.median(qwarm.values()), 3),
     }
@@ -304,22 +400,23 @@ def _write_bench_md(r: dict) -> None:
             f"| local[{lo['cpus']}] | {lo['turns']} | {lo['wall_sec']} | {lo['turns_per_sec']} | {sph.get(str(lo['cpus']))} |\n"
             f"| local[{hi['cpus']}] | {hi['turns']} | {hi['wall_sec']} | {hi['turns_per_sec']} | {sph.get(str(hi['cpus']))} |\n\n"
             f"**End-to-end scaling efficiency (N={lo['cpus']} -> 4N={hi['cpus']} cores)** = "
-            f"throughput_{hi['cpus']} / ({sc['parallelism_ratio']:.0f} x throughput_{lo['cpus']}) = "
-            f"**{sc['efficiency']}**.\n\n"
+            f"median of per-pair same-window efficiencies = **{sc['efficiency']}** "
+            f"(per-pair: {[p['eff'] for p in sc.get('pair_efficiencies', [])]}; "
+            f"min-wall-ratio secondary estimate {sc.get('efficiency_minwall')}).\n\n"
             f"**Segment-build-phase efficiency** (the unit that repeats ~1000x at 10^12 "
             f"turns; the one-time docid-assignment phase amortizes and is resumable) = "
-            f"**{sc.get('segment_phase_efficiency')}** (target >= 0.8).\n\n"
+            f"median **{sc.get('segment_phase_efficiency')}** (target >= 0.8; per-pair "
+            f"{[p['seg_eff'] for p in sc.get('pair_efficiencies', [])]}).\n\n"
             f"Protocol: same job, same input ({sc.get('scaling_turns')} turns), two JVM "
             f"sizes — the sandbox proxy for the N vs 4N executor criterion. This "
             f"shared VM's hypervisor steal varies by time window (identical runs "
-            f"differ up to ~3x across windows) and is strictly ADDITIVE to wall "
-            f"time, so each leg's minimum wall over {len(sc.get('all_walls', {}).get(str(lo['cpus']), []))} "
-            f"reps estimates its steal-free wall and the headline efficiency is "
-            f"the ratio of those minima. Per-pair same-window ratios (each rep "
-            f"runs its legs back-to-back): "
-            f"{[p['eff'] for p in sc.get('pair_efficiencies', [])]} "
-            f"(median {sc.get('efficiency_paired_median')}) — steal on a "
-            f"high-core leg only depresses these, never inflates. Pair "
+            f"differ up to ~3x across windows), so each rep runs its two legs "
+            f"back-to-back (one steal window per pair) and the HEADLINE is the "
+            f"median of the {len(sc.get('pair_efficiencies', []))} per-pair "
+            f"ratios — robust to a single steal-hit leg, and unlike a min-wall "
+            f"ratio it cannot go superlinear from residual steal in the low-core "
+            f"minimum. Steal on a high-core leg only depresses a pair ratio, "
+            f"never inflates it. Pair "
             f"({lo['cpus']},{hi['cpus']}) is used because per-thread contention "
             f"grows with thread count on this oversubscribed host (measured "
             f"same-window 2->4 eff 0.99 while 8-thread legs are depressed) — the "
@@ -365,10 +462,45 @@ feasible (a term with df >= #chunks sits in every chunk, so stopword bounds
 tax every chunk at this sf). `q_bmx_plain_equiv` is the SAME query with
 routing disabled — the gated wall matches it (zero gate penalty). It is a
 heavier query than `q_or` (two stopwords vs three mid-df terms), so `q_or`
-is not its baseline. At 10^11+ docs the same gate routes it through chunk
-pruning (forced-pruning measurement at 10^6 docs: 2.6x SLOWER than
-single-pass — the gate is what prevents that).
+is not its baseline.
+
+## Pruning gate evidence (both sides)
+
+{_pruning_md(r.get('pruning', {}))}
 """)
+
+
+def _pruning_md(p: dict) -> str:
+    if not p:
+        return "(not measured this run)"
+    g = (p.get("gates") or {}).get("q_bmx_pruned_or") or {}
+    gate = g.get("gate") or {}
+    lines = [
+        "**Gate CLOSED side** — `q_bmx_pruned_or` routed path: "
+        f"`{g.get('path')}` (so the timed plan is byte-identical to the "
+        "control, by construction). Gate reason: "
+        f"\"{gate.get('reason')}\" (tail_df={gate.get('tail_df')}, "
+        f"threshold={gate.get('min_tail_df')}).",
+        "",
+    ]
+    w = p.get("gate_open_win") or {}
+    if w:
+        wg = w.get("gate") or {}
+        lines += [
+            f"**Gate OPEN side** — `{w.get('query')}` on the "
+            f"{w.get('total_chunks')}-chunk chunk_bits={w.get('chunk_bits')} "
+            "index (the scaled-down geometry proxy: #chunks >> rare-term df, "
+            "as at 10^12 docs with chunk_bits=16): routed "
+            f"`{w.get('routed_path')}` (gate reason: \"{wg.get('reason')}\"), "
+            f"kept {w.get('kept_chunks')}/{w.get('total_chunks')} chunks at "
+            f"threshold {w.get('threshold')}, rank_identical="
+            f"{w.get('rank_identical')}. Walls (3 reps): pruned "
+            f"{(w.get('walls') or {}).get('pruned')} vs plain "
+            f"{(w.get('walls') or {}).get('plain')} -> pruned is "
+            f"**{w.get('win')}x** faster. The stopword posting lists are "
+            "mostly never decoded — the economics the gate predicts.",
+        ]
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,29 @@ def test_topk_is_take_ordered(index):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_mixed_tree_is_single_scan_single_agg(index):
+    """Phrase-bearing / NOT-bearing boolean trees (the q_mixed shape) compile
+    to ONE block decode + ONE doc_id aggregation evaluated over a per-doc
+    term map — no per-branch aggregations and no anti-join exchange."""
+    from trinity_spark.plans.planner import QueryPlanner
+
+    planner = QueryPlanner(index)
+    for q in [
+        '("rate limit" OR throttle) AND api NOT sandbox',
+        '"connection reset by peer" AND error',
+        "error NOT test",
+        '[gpu, "rate limit", cuda] min=2',
+    ]:
+        plan = _plan(planner.plan(q, k=10, block_pruning=False))
+        tree = plan.split("\n\n")[0]
+        assert tree.count("MapInArrow") == 1, (q, tree)
+        # exactly one aggregation pair (partial + final) keyed on doc_id
+        n_aggs = tree.count("HashAggregate")  # matches ObjectHashAggregate too
+        assert n_aggs <= 2, (q, n_aggs, tree)
+        assert "Join" not in tree, (q, tree)
+        assert "BatchEvalPython" not in plan
+
+
 def test_token_nary_is_single_scan(index):
     """OR/AND/min-match over plain tokens must decode the blocks ONCE (a
     CASE-mapped branch id), not once per branch."""

@@ -102,6 +102,83 @@ def test_word_tail_spark_parity(spark):
     assert got == want
 
 
+def test_word_tail_positionless():
+    """word:tail operator tokens carry position 0 (codecs.h:191-195) while
+    still consuming their sequence slot — neighbors keep their distances."""
+    assert tokenize_terms_py("alpha site:x-box.com beta") == [
+        ("alpha", 1),
+        ("site:x-box.com", 0),
+        ("beta", 3),
+    ]
+
+
+def test_phrase_excludes_positionless_oracle():
+    from trinity_spark.oracle import OracleIndex
+    from trinity_spark.plans.parser import parse_query
+
+    docs = [
+        (0, "alpha site:x.com beta"),   # operator between: NOT adjacent
+        (1, "alpha beta"),              # truly adjacent
+        (2, "alpha site:x.com"),        # phrase THROUGH the operator
+    ]
+    oracle = OracleIndex.build(docs)
+    assert [d for d, _ in oracle.topk(parse_query('"alpha beta"'), 10)] == [1]
+    assert oracle.topk(parse_query('"alpha site:x.com"'), 10) == []
+    # boolean/tf semantics unaffected: the operator term still scores
+    assert [d for d, _ in oracle.topk(parse_query("site:x.com"), 10)] == [0, 2]
+
+
+def test_phrase_excludes_positionless_engine(spark):
+    """Engine matches the oracle on phrases around/through operator tokens —
+    the last reference-parity deviation from round 2, now closed."""
+    import pandas as pd
+
+    from trinity_spark.operators.build import (
+        build_field_stats,
+        build_postings,
+        build_term_dict,
+        tokenize_turns,
+    )
+    from trinity_spark.operators.docids import assign_doc_ids
+    from trinity_spark.oracle import OracleIndex
+    from trinity_spark.plans.parser import parse_query
+    from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+
+    texts = [
+        "alpha site:x.com beta gamma",
+        "alpha beta gamma",
+        "alpha site:x.com",
+        "site:x.com alpha beta",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts),
+            "text": texts,
+        }
+    )
+    turns = assign_doc_ids(spark.createDataFrame(pdf), num_partitions=2)
+    postings = build_postings(tokenize_turns(turns))
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, len(texts))
+    )
+    planner = QueryPlanner(index)
+    oracle = OracleIndex.build(list(enumerate(texts)))
+    for q in [
+        '"alpha beta"',
+        '"alpha site:x.com"',
+        '"site:x.com alpha"',
+        '"beta gamma"',
+        'site:x.com AND alpha',
+    ]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9, q
+
+
 def test_word_tail_end_to_end_searchable(spark):
     """A word:tail token indexes and queries as one unit."""
     import pandas as pd

@@ -131,6 +131,35 @@ def test_rare_and_chunk_restriction_exact(spark, built, monkeypatch):
         assert abs(gs - ws) <= 1e-9
 
 
+def test_gate_report_and_last_route_surface(spark, built, monkeypatch):
+    """plan() records the routing decision + the gate's df-derived reasons in
+    planner.last_route — the artifact benchmarks print so 'gate closed,
+    identical single-pass plan' is provable, not inferred."""
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.plans.planner import QueryPlanner
+
+    index, _ = built
+    planner = QueryPlanner(index)
+    planner.plan("error OR timeout", k=10)
+    r = planner.last_route
+    assert r["path"] == "single_pass"
+    assert r["gate"]["type"] == "or_block_max"
+    assert r["gate"]["open"] is False
+    assert "tail df" in r["gate"]["reason"]
+    # forced-open profile routes and reports the pruned path
+    monkeypatch.setattr(topk_mod, "PRUNE_MIN_TAIL_DF", 1)
+    monkeypatch.setattr(topk_mod, "PRUNE_MIN_SKEW", 1.0)
+    planner.plan("qqfluxcapacitor OR zxqv OR the", k=5)
+    r = planner.last_route
+    assert r["path"] == "pruned_or"
+    assert r["gate"]["open"] is True
+    # AND gate reports its own type
+    planner.plan("the AND error", k=5)
+    r = planner.last_route
+    assert r["gate"]["type"] == "and_chunk_restrict"
+    assert r["path"] in ("single_pass", "rare_and")
+
+
 def test_single_term_falls_back(spark, built):
     index, corpus = built
     oracle = OracleIndex.build(docs_in_stable_order(corpus))

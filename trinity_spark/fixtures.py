@@ -37,6 +37,11 @@ _TOPIC = [
 _PHRASE = "connection reset by peer"
 _RARE_PHRASE = "zxqv-marker-7"
 _RARE_TOKEN = "qqfluxcapacitor"
+# mid-rare anchor spread uniformly over the doc space (df ~ n/50k, >= 12):
+# rare enough for a high idf, frequent enough to saturate top-k — the term
+# that makes `anchor OR stopwords` block-max-prunable (its chunks bound high,
+# stopword-only chunks bound low)
+_ANCHOR_TOKEN = "qqrareanchor"
 
 _ROLES = np.array(["user", "assistant", "tool"])
 _TOOLS = np.array(["bash", "search", "python", "browser"])
@@ -90,6 +95,10 @@ def gen_transcripts(n_turns: int, seed: int = SEED) -> pd.DataFrame:
     plant(int(n * 0.41) + 1, _RARE_TOKEN + " " + _RARE_TOKEN)
     # skew pairing: rare marker co-occurring with the top stopword
     plant(int(n * 0.61) + 1, "the " + _RARE_PHRASE + " the")
+    # mid-rare anchor, uniformly spread so its chunks tile the doc space
+    n_anchor = max(12, n // 50_000)
+    for i in range(n_anchor):
+        plant((i * n) // n_anchor + 3, _ANCHOR_TOKEN)
 
     ts = pd.Timestamp("2026-01-01", tz=None).value // 1000 + np.cumsum(
         rng.integers(1, 120, size=n)
@@ -110,7 +119,8 @@ def write_transcripts(path: str, n_turns: int, seed: int = SEED) -> str:
     """Write the corpus as parquet; returns the file path (idempotent)."""
     os.makedirs(path, exist_ok=True)
     out = os.path.join(path, "transcripts.parquet")
-    marker = os.path.join(path, f"_gen_{n_turns}_{seed}.json")
+    # v2: anchor-token planting added — bump invalidates stale caches
+    marker = os.path.join(path, f"_gen_{n_turns}_{seed}_v2.json")
     if os.path.exists(out) and os.path.exists(marker):
         return out
     df = gen_transcripts(n_turns, seed)

@@ -29,12 +29,21 @@ POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
 
 
 def tokenize_turns(turns: DataFrame, text_col: str = "text") -> DataFrame:
-    """turns(doc_id, text, ...) -> hits(doc_id, term, pos); pos is 1-based."""
+    """turns(doc_id, text, ...) -> hits(doc_id, term, pos); pos is the
+    1-based slot index — except word:tail operator tokens, which are
+    positionless (pos 0, codecs.h:191-195) while still consuming their slot."""
     toks = turns.select("doc_id", tokens_column(F.col(text_col)).alias("toks"))
     return toks.select(
         "doc_id",
         F.posexplode("toks").alias("pos0", "term"),
-    ).select("doc_id", "term", (F.col("pos0") + 1).cast("int").alias("pos"))
+    ).select(
+        "doc_id",
+        "term",
+        F.when(F.col("term").contains(":"), F.lit(0))
+        .otherwise(F.col("pos0") + 1)
+        .cast("int")
+        .alias("pos"),
+    )
 
 
 def build_postings(hits: DataFrame) -> DataFrame:

@@ -68,6 +68,11 @@ def _batch_postings(doc_ids: np.ndarray, token_lists: pd.Series) -> pa.RecordBat
     positions = positions[cap]
     if len(doc_rep) == 0:
         return None
+    # 4) word:tail operator tokens are positionless (pos 0, codecs.h:191-195)
+    # but still consume their slot — distances around them are preserved
+    op = flat_terms.str.contains(":", regex=False).to_numpy()
+    if op.any():
+        positions = np.where(op, 0, positions)
 
     codes, uniques = pd.factorize(flat_terms, sort=False)
     order = np.lexsort((positions, codes, doc_rep))

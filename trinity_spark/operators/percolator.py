@@ -32,6 +32,10 @@ def _predicate(node: Node, toks: Column) -> Column:
     if isinstance(node, Token):
         return F.array_contains(toks, node.term)
     if isinstance(node, Phrase):
+        if any(":" in t for t in node.terms):
+            # word:tail members are positionless (codecs.h:191-195): a phrase
+            # through them can never adjacency-match — same as the engine
+            return F.lit(False)
         n = len(node.terms)
         # positions 0..size-n; toks[i+j] must equal terms[j] for all j.
         # (sequence(0, negative) counts DOWN, so guard short docs first)

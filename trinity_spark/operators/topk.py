@@ -78,39 +78,89 @@ def _pruning_feasible(stats, live: list[str], k: int, chunk_bits: int) -> bool:
     return t_est > ubiq_bound
 
 
+def or_gate_report(stats, terms: list[str], k: int, chunk_bits: int = 16) -> dict:
+    """Gate decision + the df-derived reasons, all driver-side arithmetic on
+    cached df (no Spark job).  The dict is surfaced by QueryPlanner.last_route
+    so a bench artifact can SHOW "gate closed, single-pass plan" instead of a
+    reviewer inferring it from matched walls."""
+    dfs = sorted(stats.df(t) for t in terms if stats.df(t) > 0)
+    rep = {
+        "open": False,
+        "reason": "",
+        "live_terms": len(dfs),
+        "tail_df": sum(dfs[1:]) if len(dfs) > 1 else 0,
+        "min_tail_df": PRUNE_MIN_TAIL_DF,
+        "skew": round(dfs[-1] / dfs[0], 1) if dfs and dfs[0] else None,
+    }
+    if len(dfs) < 2:
+        rep["reason"] = "fewer than two live terms: nothing to prune against"
+    elif sum(dfs[:-1]) < k:
+        rep["reason"] = "pass-1 cannot saturate k -> T=0 -> no chunks pruned"
+    elif sum(dfs[1:]) < PRUNE_MIN_TAIL_DF:
+        rep["reason"] = (
+            f"tail df {sum(dfs[1:])} < {PRUNE_MIN_TAIL_DF}: decode work the "
+            "pruned plan could skip is too small to pay the extra pass-1 job"
+        )
+    elif dfs[-1] < PRUNE_MIN_SKEW * dfs[0]:
+        rep["reason"] = "insufficient rare-vs-common df contrast"
+    else:
+        live = [t for t in terms if stats.df(t) > 0]
+        if not _pruning_feasible(stats, live, k, chunk_bits):
+            rep["reason"] = (
+                "no chunk can be pruned: ubiquitous terms (df >= #chunks) "
+                "bound every chunk above the estimated threshold"
+            )
+        else:
+            rep["open"] = True
+            rep["reason"] = "pruning predicted to beat single-pass"
+    return rep
+
+
 def or_pruning_pays(
     stats, terms: list[str], k: int, chunk_bits: int = 16
 ) -> bool:
     """True when block-max pruning of this plain-token disjunction should beat
     the single-pass plan.  Driver-side arithmetic on cached df only."""
-    dfs = sorted(stats.df(t) for t in terms if stats.df(t) > 0)
-    if len(dfs) < 2:
-        return False  # nothing to prune against
-    if sum(dfs[:-1]) < k:
-        return False  # pass 1 cannot saturate k -> T=0 -> no chunks pruned
-    if sum(dfs[1:]) < PRUNE_MIN_TAIL_DF:
-        return False  # expensive tail too small to pay for the extra job
-    if dfs[-1] < PRUNE_MIN_SKEW * dfs[0]:
-        return False
-    live = [t for t in terms if stats.df(t) > 0]
-    return _pruning_feasible(stats, live, k, chunk_bits)
+    return or_gate_report(stats, terms, k, chunk_bits)["open"]
 
 
-def and_pruning_pays(stats, terms: list[str], chunk_bits: int = 16) -> bool:
-    """True when restricting an AND to the rarest term's chunks should pay.
+def and_gate_report(stats, terms: list[str], chunk_bits: int = 16) -> dict:
+    """Gate decision + reasons for the rare-term AND chunk restriction.
     This path has no pass-1 job (the chunk set comes from block metadata in
     the same action), so only the broadcast-subquery overhead must amortize —
     but it still needs the rare term ABSENT from most chunks (df below the
     chunk count), else the restriction keeps everything."""
     dfs = sorted(stats.df(t) for t in terms if stats.df(t) > 0)
-    if len(dfs) < 2:
-        return False
-    if dfs[-1] < AND_PRUNE_MIN_DF:
-        return False  # common side small enough to decode flat
-    if dfs[-1] < PRUNE_MIN_SKEW * dfs[0]:
-        return False
     total_chunks = max(stats.n_docs >> chunk_bits, 1)
-    return dfs[0] < total_chunks  # rare term must actually skip chunks
+    rep = {
+        "open": False,
+        "reason": "",
+        "live_terms": len(dfs),
+        "max_df": dfs[-1] if dfs else 0,
+        "min_df": dfs[0] if dfs else 0,
+        "total_chunks": total_chunks,
+    }
+    if len(dfs) < 2:
+        rep["reason"] = "fewer than two live terms"
+    elif dfs[-1] < AND_PRUNE_MIN_DF:
+        rep["reason"] = (
+            f"common side df {dfs[-1]} < {AND_PRUNE_MIN_DF}: decodes faster flat"
+        )
+    elif dfs[-1] < PRUNE_MIN_SKEW * dfs[0]:
+        rep["reason"] = "insufficient rare-vs-common df contrast"
+    elif dfs[0] >= total_chunks:
+        rep["reason"] = (
+            f"rarest df {dfs[0]} >= {total_chunks} chunks: restriction keeps "
+            "every chunk"
+        )
+    else:
+        rep["open"] = True
+        rep["reason"] = "rare-term chunk restriction predicted to pay"
+    return rep
+
+
+def and_pruning_pays(stats, terms: list[str], chunk_bits: int = 16) -> bool:
+    return and_gate_report(stats, terms, chunk_bits)["open"]
 
 
 @dataclass

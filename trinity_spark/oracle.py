@@ -87,10 +87,13 @@ class OracleIndex:
         out: dict[int, float] = {}
         for d in docs:
             later = [set(p[d]) for p in plists[1:]]
+            # position-0 hits (word:tail operator tokens) never anchor a
+            # phrase (codecs.h:191-195 positionless contract); pos+i+1 >= 2
+            # for pos > 0, so a 0 in a later member's set can never match
             pf = sum(
                 1
                 for pos in plists[0][d]
-                if all((pos + i + 1) in s for i, s in enumerate(later))
+                if pos > 0 and all((pos + i + 1) in s for i, s in enumerate(later))
             )
             if pf > 0:
                 out[d] = idf * (pf / (pf + K1))

@@ -158,6 +158,20 @@ def fold_unknown(node: Node, known: set[str]) -> Node | None:
     raise TypeError(type(node))
 
 
+def _map_compilable(node: Node) -> bool:
+    """True when every leaf is a Token/Phrase — i.e. the whole tree can be
+    evaluated from one per-doc term map (the single-aggregation path)."""
+    if isinstance(node, (Token, Phrase)):
+        return True
+    if isinstance(node, (And, Or, Some)):
+        return all(_map_compilable(c) for c in node.children)
+    if isinstance(node, Not):
+        return _map_compilable(node.req) and _map_compilable(node.excl)
+    if isinstance(node, ConstTrue):
+        return _map_compilable(node.child)
+    return False
+
+
 class QueryPlanner:
     def __init__(self, index: LogicalIndex, similarity=None):
         """``similarity(ctx: TermContext, freq: Column) -> Column`` overrides
@@ -166,6 +180,10 @@ class QueryPlanner:
         ``ctx.rep``."""
         self.index = index
         self.similarity = similarity
+        # routing decision of the LAST plan() call — {"path": ..., "gate":
+        # {...}} — so benchmarks/operators can PROVE "gate closed, identical
+        # single-pass plan" instead of readers inferring it from walls
+        self.last_route: dict = {"path": None, "gate": None}
 
     def plan(
         self,
@@ -195,6 +213,7 @@ class QueryPlanner:
         queryexec_ctx.cpp:317-352 / matches.h:76-108) — so snippet/proximity
         consumers never re-join postings by hand."""
         node = parse_query(query) if isinstance(query, str) else query
+        self.last_route = {"path": "single_pass", "gate": None}
         top = self._plan_topk(node, k, doc_filter, block_pruning)
         if with_hits:
             top = self.attach_hits(top, node)
@@ -224,8 +243,8 @@ class QueryPlanner:
             and routable
         ):
             from ..operators.topk import (
-                and_pruning_pays,
-                or_pruning_pays,
+                and_gate_report,
+                or_gate_report,
                 pruned_or_topk,
                 rare_and_topk,
             )
@@ -244,14 +263,26 @@ class QueryPlanner:
                 isinstance(node, Or)
                 and doc_filter is None
                 and self.similarity is None  # the chunk bound is BM25-shaped
-                and or_pruning_pays(stats, terms, k, chunk_bits=cb)
             ):
-                return pruned_or_topk(spark, self.index, terms, k, node=node)
-            if isinstance(node, And) and and_pruning_pays(stats, terms, chunk_bits=cb):
-                # containment-based — valid under any similarity
-                return rare_and_topk(
-                    spark, self.index, node, k, doc_filter, similarity=self.similarity
-                )
+                rep = or_gate_report(stats, terms, k, chunk_bits=cb)
+                self.last_route = {
+                    "path": "pruned_or" if rep["open"] else "single_pass",
+                    "gate": dict(rep, type="or_block_max"),
+                }
+                if rep["open"]:
+                    return pruned_or_topk(spark, self.index, terms, k, node=node)
+            if isinstance(node, And):
+                rep = and_gate_report(stats, terms, chunk_bits=cb)
+                self.last_route = {
+                    "path": "rare_and" if rep["open"] else "single_pass",
+                    "gate": dict(rep, type="and_chunk_restrict"),
+                }
+                if rep["open"]:
+                    # containment-based — valid under any similarity
+                    return rare_and_topk(
+                        spark, self.index, node, k, doc_filter,
+                        similarity=self.similarity,
+                    )
         scored = self.score_all(node)
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
@@ -300,10 +331,157 @@ class QueryPlanner:
         self._stats = stats
         # one postings scan, pushed-down to the live terms, reused by all branches
         self._postings = self.index.postings_for(query_terms(node))
-        scored = self._compile(node)
+        if (
+            not isinstance(node, Token)
+            and not self._is_distinct_token_nary(node)
+            and _map_compilable(node)
+        ):
+            # whole-tree single-aggregation path: ONE scan + ONE doc_id agg
+            # evaluates the entire boolean tree (phrases, NOT, nesting)
+            scored = self._compile_map(node)
+        else:
+            scored = self._compile(node)
         if self.index.deleted is not None:
             scored = scored.join(self.index.deleted, "doc_id", "left_anti")
         return scored
+
+    @staticmethod
+    def _is_distinct_token_nary(node: Node) -> bool:
+        """Single n-ary over distinct plain tokens — stays on the CASE-mapped
+        (bid, score) path, whose shuffle rows are narrower than the
+        term->struct map the general path aggregates."""
+        if not isinstance(node, (And, Or, Some)):
+            return False
+        leaves = [
+            c.child if isinstance(c, ConstTrue) else c for c in node.children
+        ]
+        return all(isinstance(t, Token) for t in leaves) and len(
+            {t.term for t in leaves}
+        ) == len(leaves)
+
+    # --- whole-tree single-aggregation compiler -----------------------------
+    #
+    # The generalization of the single-scan n-ary frame (VERDICT r2 #5): for
+    # ANY tree whose leaves are Token/Phrase, aggregate each doc's matched
+    # postings ONCE into a term -> (tf, positions) map, then evaluate the
+    # whole boolean tree (match predicate + left-to-right float64 score sum,
+    # the docset_iterators_scorers.cpp:8-243 contract) as pure JVM column
+    # expressions over that map.  A `("rate limit" OR throttle) AND api NOT
+    # sandbox` query becomes one MapInArrow decode + one hash aggregation +
+    # a projection — no per-branch aggregations, no anti-join exchange.
+    # Positions ride the shuffle only for phrase member terms (nulled
+    # otherwise), so token-only branches stay narrow.
+
+    def _compile_map(self, node: Node) -> DataFrame:
+        phrase_members: set[str] = set()
+
+        def walk(n: Node) -> None:
+            if isinstance(n, Phrase):
+                phrase_members.update(n.terms)
+            elif isinstance(n, (And, Or, Some)):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Not):
+                walk(n.req)
+                walk(n.excl)
+            elif isinstance(n, ConstTrue):
+                walk(n.child)
+
+        walk(node)
+        pos_src = (
+            F.when(F.col("term").isin(sorted(phrase_members)), F.col("positions"))
+            if phrase_members
+            else F.lit(None).cast("array<int>")
+        )
+        entry = F.struct(
+            F.col("term").alias("key"),
+            F.struct(F.col("tf").alias("tf"), pos_src.alias("positions")).alias(
+                "value"
+            ),
+        )
+        g = self._postings.groupBy("doc_id").agg(
+            F.map_from_entries(F.collect_list(entry)).alias("m")
+        )
+        present, score = self._map_expr(node, F.col("m"))
+        return g.where(present).select("doc_id", score.alias("score"))
+
+    def _map_expr(self, node: Node, m):
+        """(present bool Column, score double Column) for ``node`` evaluated
+        against the per-doc term map ``m``.  ``present`` is never NULL; score
+        columns are only consumed under a matching ``present`` guard."""
+        sim = self.similarity or default_similarity
+        if isinstance(node, Token):
+            ent = F.element_at(m, node.term)
+            ctx = TermContext(
+                node.term,
+                self._stats.idf(node.term),
+                self._stats.df(node.term),
+                node.rep,
+            )
+            return ent.isNotNull(), sim(ctx, ent["tf"])
+        if isinstance(node, Phrase):
+            idf = 0.0
+            for t in node.terms:  # fixed phrase-order float64 sum
+                idf += self._stats.idf(t)
+            pos = lambda t: F.element_at(m, t)["positions"]  # noqa: E731
+            # (p > 0): position-0 hits (word:tail operators) never anchor a
+            # phrase — the codecs.h:191-195 positionless contract
+            cond = lambda p: reduce(  # noqa: E731
+                lambda a, b: a & b,
+                [p > 0]
+                + [
+                    F.array_contains(pos(t), p + F.lit(i))
+                    for i, t in enumerate(node.terms)
+                    if i > 0
+                ],
+            )
+            pf = F.size(F.filter(pos(node.terms[0]), cond))
+            have_all = reduce(
+                lambda a, b: a & b,
+                [F.element_at(m, t).isNotNull() for t in sorted(set(node.terms))],
+            )
+            ctx = TermContext(
+                " ".join(node.terms),
+                idf,
+                min(self._stats.df(t) for t in node.terms),
+                1,
+            )
+            return have_all & (pf > 0), sim(ctx, pf)
+        if isinstance(node, And):
+            parts = []
+            req_present = []
+            for c in node.children:
+                if isinstance(c, ConstTrue):
+                    p, s = self._map_expr(c.child, m)
+                    parts.append(F.coalesce(F.when(p, s), F.lit(0.0)))
+                else:
+                    p, s = self._map_expr(c, m)
+                    req_present.append(p)
+                    parts.append(s)
+            if not req_present:  # all-optional AND matches nothing (oracle)
+                return F.lit(False), F.lit(0.0)
+            present = reduce(lambda a, b: a & b, req_present)
+            return present, reduce(lambda a, b: a + b, parts)
+        if isinstance(node, (Or, Some)):
+            ps = [self._map_expr(c, m) for c in node.children]
+            score = reduce(
+                lambda a, b: a + b,
+                [F.coalesce(F.when(p, s), F.lit(0.0)) for p, s in ps],
+            )
+            if isinstance(node, Some):
+                matched = reduce(
+                    lambda a, b: a + b, [p.cast("int") for p, _ in ps]
+                )
+                return matched >= node.k, score
+            return reduce(lambda a, b: a | b, [p for p, _ in ps]), score
+        if isinstance(node, Not):
+            p_req, s_req = self._map_expr(node.req, m)
+            p_excl, _ = self._map_expr(node.excl, m)
+            return p_req & ~p_excl, s_req
+        if isinstance(node, ConstTrue):
+            # outside an AND an optional matches nothing by itself (oracle)
+            return F.lit(False), F.lit(0.0)
+        raise TypeError(type(node))
 
     # --- node compilers: every result is (doc_id long, score double) ---
 
@@ -359,9 +537,12 @@ class QueryPlanner:
             .where(F.size(F.map_keys(F.col("m"))) == len(uniq))
         )
         pos = lambda t: F.element_at(F.col("m"), t)  # noqa: E731
+        # (p > 0): position-0 hits (word:tail operators) never anchor a
+        # phrase — the codecs.h:191-195 positionless contract
         cond = lambda p: reduce(  # noqa: E731
             lambda a, b: a & b,
-            [
+            [p > 0]
+            + [
                 F.array_contains(pos(t), p + F.lit(i))
                 for i, t in enumerate(node.terms)
                 if i > 0

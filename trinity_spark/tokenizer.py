@@ -25,11 +25,15 @@ no per-row Python in the Spark path):
 8. positions are 1-based token sequence numbers, capped at 2**14
    (``trinity_limits.h:15``; hits past the cap are dropped).
 
-Deliberate deviation (documented): the reference treats ``word:tail`` tokens
-as positionless (position 0 — excluded from phrase adjacency); we assign them
-a normal sequence position like any other token.  Observable difference only
-for phrases written around such operators, which transcript corpora don't
-contain; scoring and boolean semantics are unaffected.  Noted in SURVEY §2.8.
+Position-0 semantics (reference parity): ``word:tail`` operator tokens are
+POSITIONLESS — indexed at position 0, the convention the reference prescribes
+for special tokens (``/root/reference/codecs.h:191-195`` "where position
+makes no sense, use position 0").  They still occupy their slot in the
+sequence (the tokens around them keep their distances), still count toward
+tf/df/BM25, but are excluded from phrase adjacency: a position-0 hit never
+anchors or extends a phrase match (the planner and oracle both guard
+``pos > 0``), so a phrase containing or spanning an operator token behaves
+exactly like the reference.
 
 The limits (6)+(7) are applied JVM-side (``F.filter``/``F.slice``) so the
 pandas UDF stays a pure regex pipeline.
@@ -77,14 +81,25 @@ def tokenize_py(text: str | None) -> list[str]:
     return _TOKEN_RE.findall(_normalize(text))
 
 
+def is_positionless(term: str) -> bool:
+    """word:tail operator tokens are positionless (indexed at position 0).
+    ':' can only appear in a word_tail match, so the test is exact."""
+    return ":" in term
+
+
 def tokenize_terms_py(text: str | None) -> list[tuple[str, int]]:
     """(term, position) pairs with the reference limits applied.
 
-    Position is the 1-based index in the *post-length-filter* stream —
-    the same contract the Spark path implements with filter+slice+posexplode.
+    Position is the 1-based slot index in the *post-length-filter* stream;
+    word:tail operator tokens report position 0 (positionless,
+    codecs.h:191-195) while still consuming their slot — the tokens around
+    them keep their distances.
     """
     toks = [t for t in tokenize_py(text) if len(t) <= MAX_TERM_LENGTH]
-    return [(t, i + 1) for i, t in enumerate(toks[:MAX_POSITION])]
+    return [
+        (t, 0 if is_positionless(t) else i + 1)
+        for i, t in enumerate(toks[:MAX_POSITION])
+    ]
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
