@@ -323,3 +323,58 @@ def test_ivf_join_assignment_matches_literal(spark):
         r["vec_id"]: r["list_id"] for r in ivf_assign_join(df, cents).collect()
     }
     assert joined == lit
+
+
+def test_ivf_scalable_training_no_driver_means(spark):
+    """ivf_index_scalable trains at n_lists=512, dim=256 with the Lloyd
+    update kept in Spark (the r2 VERDICT driver-bottleneck item): centroids
+    stay a DataFrame all the way; full-probe top-k is still exact."""
+    import numpy as np
+
+    from trinity_spark.dataops.similarity import (
+        brute_force_topk,
+        ivf_index_scalable,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, n = 256, 600
+    vecs = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    indexed, cdf = ivf_index_scalable(df, n_lists=512, iters=1)
+    rows = cdf.collect()  # O(n_lists x dim), query-time probe selection only
+    assert len(rows) == 512
+    assert all(len(r["centroid"]) == dim for r in rows)
+    assert indexed.count() == n
+    # full probe == brute force (exactness preserved by the scalable path)
+    cents = [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["list_id"])]
+    query = [float(x) for x in rng.normal(size=dim)]
+    want = [
+        (r["vec_id"], r["score"]) for r in brute_force_topk(df, query, k=5).collect()
+    ]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_topk(indexed, cents, query, k=5, n_probe=512).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_scalable_matches_literal_training(spark):
+    """On well-separated clusters the scalable trainer converges to the same
+    assignment as the literal-expression ivf_index."""
+    import numpy as np
+
+    from trinity_spark.dataops.similarity import ivf_index, ivf_index_scalable
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.2])
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a, _ = ivf_index(df, n_lists=4, iters=2)
+    b, _ = ivf_index_scalable(df, n_lists=4, iters=2)
+    la = {r["vec_id"]: r["list_id"] for r in a.collect()}
+    lb = {r["vec_id"]: r["list_id"] for r in b.collect()}
+    assert la == lb

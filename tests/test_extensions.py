@@ -89,13 +89,27 @@ def test_intersection_counts(spark):
 
 
 def test_expand_synonyms_budget():
+    from trinity_spark.plans.ast import RewriteCtx
+
     node = parse_query("error AND timeout")
     syn = {"error": ["failure", "fault"], "timeout": ["deadline"]}
     out = expand_synonyms(node, syn, max_expansion=64)
+    # alternatives carry rewrite provenance (src + translation coefficient)
     assert out == And(
         (
-            Or((Token("error"), Token("failure"), Token("fault"))),
-            Or((Token("timeout"), Token("deadline"))),
+            Or(
+                (
+                    Token("error"),
+                    Token("failure", rewrite=RewriteCtx("error", 1.0, 1)),
+                    Token("fault", rewrite=RewriteCtx("error", 1.0, 1)),
+                )
+            ),
+            Or(
+                (
+                    Token("timeout"),
+                    Token("deadline", rewrite=RewriteCtx("timeout", 1.0, 1)),
+                )
+            ),
         )
     )
     # tiny budget: nothing expands
@@ -103,7 +117,12 @@ def test_expand_synonyms_budget():
     # phrase-level synonym
     p = parse_query('"rate limit"')
     out2 = expand_synonyms(p, {"rate limit": ["throttle cap"]})
-    assert out2 == Or((Phrase(("rate", "limit")), Phrase(("throttle", "cap"))))
+    assert out2 == Or(
+        (
+            Phrase(("rate", "limit")),
+            Phrase(("throttle", "cap"), rewrite=RewriteCtx("rate limit", 1.0, 2)),
+        )
+    )
 
 
 def test_expanded_query_rank_matches_oracle(spark):
@@ -209,15 +228,58 @@ def test_rep_visible_to_custom_similarity(spark):
         assert abs(boosted[d] - 2.0 * s) <= 1e-9  # scorer saw rep=2
 
 
+def test_rewrite_provenance_reaches_scorer(spark):
+    """expand_synonyms/expand_spans provenance rides TermContext into a custom
+    similarity (exec.cpp:553-657 query_term_ctx): a scorer can down-weight
+    synonym-matched terms — weight 0 makes the expanded query score exactly
+    like the original for docs containing the original term."""
+    from pyspark.sql import functions as F
+
+    from trinity_spark.plans.planner import default_similarity
+
+    index = _tiny_index(spark)
+    node = expand_synonyms(parse_query("error"), {"error": ["peer"]})
+    seen = {}
+
+    def down_weight(ctx, freq):
+        seen[ctx.term] = (
+            ctx.rewrite_source,
+            ctx.translation_coefficient,
+            ctx.src_seq_size,
+        )
+        w = 0.0 if ctx.rewrite_source is not None else 1.0
+        return F.lit(w) * default_similarity(ctx, freq)
+
+    rows = QueryPlanner(index, similarity=down_weight).plan(node, k=5).collect()
+    assert seen["error"] == (None, 1.0, 1)
+    assert seen["peer"] == ("error", 1.0, 1)
+    # docs matching only the synonym survive as matches but score 0; docs
+    # with the original term score exactly the single-term BM25
+    base = {
+        r["doc_id"]: r["score"]
+        for r in QueryPlanner(index).plan("error", k=5).collect()
+    }
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(base) <= set(got)
+    for d, s in base.items():
+        assert abs(got[d] - s) <= 1e-9
+    assert got[2] == 0.0  # doc 2 has only "peer"
+
+
 def test_span_rewrite_shapes():
     """K-token span rewrite (queries_rewrite.h:992-1148): "big apple" -> nyc
     produces Or(And(big, apple), nyc); budget bounds expansion."""
     from trinity_spark.plans.rewrite import expand_spans
 
+    from trinity_spark.plans.ast import RewriteCtx
+
     node = parse_query("big apple pie")
     out = expand_spans(node, {"big apple": ["nyc"]})
+    # the generated alternative carries rewrite provenance: source text +
+    # translation coefficient min(2,1)/max(2,1) = 0.5 (queries.h:402-407)
+    nyc = Token("nyc", rewrite=RewriteCtx("big apple", 0.5, 2))
     assert out == And(
-        (Or((And((Token("big"), Token("apple"))), Token("nyc"))), Token("pie"))
+        (Or((And((Token("big"), Token("apple"))), nyc)), Token("pie"))
     )
     # longest span wins
     out3 = expand_spans(
@@ -229,7 +291,7 @@ def test_span_rewrite_shapes():
             Or(
                 (
                     And((Token("big"), Token("apple"), Token("pie"))),
-                    Token("dessert"),
+                    Token("dessert", rewrite=RewriteCtx("big apple pie", 1 / 3, 3)),
                 )
             ),
             Token("now"),
@@ -240,7 +302,10 @@ def test_span_rewrite_shapes():
     assert outp == parse_query("nyc trip")
     outm = expand_spans(parse_query("big apple"), {"big apple": ["new york"]})
     assert outm == Or(
-        (And((Token("big"), Token("apple"))), Phrase(("new", "york")))
+        (
+            And((Token("big"), Token("apple"))),
+            Phrase(("new", "york"), rewrite=RewriteCtx("big apple", 1.0, 2)),
+        )
     )
     # budget: expansion refused when the coefficient would blow the cap
     capped = expand_spans(parse_query("big apple"), {"big apple": ["nyc"]}, max_expansion=1)

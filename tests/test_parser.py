@@ -82,3 +82,45 @@ def test_mixed_nested():
 def test_empty_query():
     assert parse_query("") is None
     assert parse_query("!!!") is None
+
+
+def test_query_trim_keep_first():
+    """MaxQueryTokens trim (queries.cpp:1503-1526): tokens past the cap are
+    dropped keep-first at parse time; a phrase counts its member terms."""
+    from trinity_spark.plans.ast import query_terms
+    from trinity_spark.plans.parser import MAX_QUERY_TOKENS
+
+    node = parse_query(" OR ".join(f"w{i:04d}" for i in range(50)), max_tokens=10)
+    assert node == Or(tuple(Token(f"w{i:04d}") for i in range(10)))
+    # a phrase counts its members; the AND collapses around the dropped token
+    assert parse_query('"a b c" AND d', max_tokens=3) == Phrase(("a", "b", "c"))
+    # default cap bounds a pathological query
+    big = " ".join(f"t{i}" for i in range(MAX_QUERY_TOKENS + 500))
+    n = parse_query(big)
+    assert len(query_terms(n)) == MAX_QUERY_TOKENS
+
+
+def test_trimmed_pathological_query_plans(spark):
+    """A huge disjunction is trimmed to a bounded expression that the planner
+    compiles and executes."""
+    from trinity_spark.operators.build import (
+        build_field_stats,
+        build_postings,
+        build_term_dict,
+        tokenize_turns,
+    )
+    from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+
+    docs = [(0, "w0001 alpha"), (1, "w0002 beta"), (2, "w9999 unrelated")]
+    pdf = spark.createDataFrame(docs, "doc_id long, text string")
+    postings = build_postings(tokenize_turns(pdf))
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, 3)
+    )
+    q = " OR ".join(f"w{i:04d}" for i in range(5000))
+    node = parse_query(q, max_tokens=256)
+    from trinity_spark.plans.ast import query_terms
+
+    assert len(query_terms(node)) == 256
+    got = {r["doc_id"] for r in QueryPlanner(index).plan(node, k=10).collect()}
+    assert got == {0, 1}  # w0001/w0002 kept, w9999 is beyond the cap anyway

@@ -298,6 +298,59 @@ def test_payload_free_blocks_decode_empty_payloads(spark):
     assert {(r["term"], r["doc_id"]) for r in back} == {("a", 1), ("a", 2)}
 
 
+def test_payloads_in_hits_surface(spark, tmp_path_factory):
+    """Indexed per-hit payloads round-trip to plan(with_hits=True,
+    with_payloads=True) for top-k winners (runtime.h:8-20 term_hit.payload,
+    materialized per match in queryexec_ctx.cpp:317-352) — no hand join."""
+    from trinity_spark.operators.build import (
+        field_stats_from_blocks,
+        term_dict_from_blocks,
+    )
+
+    base = str(tmp_path_factory.mktemp("payhits"))
+    store = SegmentStore(base)
+    rows = []
+    n_docs = 40
+    for d in range(n_docs):
+        tf = 1 + (d % 3)
+        rows.append(
+            ("alpha", d, tf, [p + 1 for p in range(tf)],
+             [(d << 8) | p for p in range(tf)])
+        )
+        if d % 2 == 0:
+            rows.append(("beta", d, 1, [99], [d * 7 + 1]))
+    df = spark.createDataFrame(
+        rows,
+        "term string, doc_id long, tf int, positions array<int>, payloads array<long>",
+    )
+    blocks = encode_postings(df)
+    from trinity_spark.sources.store import SegmentMeta
+
+    meta = SegmentMeta(
+        segment_id=f"seg-{0:014d}-{n_docs:014d}", generation=0,
+        doc_lo=0, doc_hi=n_docs, docs_cnt=n_docs,
+    )
+    store.commit_segment(
+        blocks, term_dict_from_blocks(blocks),
+        field_stats_from_blocks(blocks, docs_cnt=n_docs), meta,
+    )
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    out = planner.plan("alpha AND beta", k=5, with_hits=True, with_payloads=True)
+    got = out.collect()
+    assert got
+    for r in got:
+        d = r["doc_id"]
+        hits = {h["term"]: h for h in r["hits"]}
+        assert set(hits) == {"alpha", "beta"}
+        tf = 1 + (d % 3)
+        assert list(hits["alpha"]["payloads"]) == [(d << 8) | p for p in range(tf)]
+        assert list(hits["alpha"]["positions"]) == [p + 1 for p in range(tf)]
+        assert list(hits["beta"]["payloads"]) == [d * 7 + 1]
+    # payload-free default surface is unchanged
+    plain = planner.plan("alpha AND beta", k=5, with_hits=True).collect()
+    assert "payloads" not in plain[0]["hits"][0].asDict()
+
+
 def test_virtual_docid_map_build(spark, tmp_path_factory):
     """docid_map_mode='virtual': no corpus copy on disk — only the conv base
     table + the arithmetic rule; same segments, same ranks, resumable, and

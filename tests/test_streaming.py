@@ -51,6 +51,114 @@ def test_batch_append(spark, seeded_store):
             assert abs(gs - ws) <= 1e-9  # stats summed across micro-segments
 
 
+def test_replace_documents_flow(spark, seeded_store):
+    """One-call update (indexer.h:181-206): the old version is tombstoned and
+    the new one indexed in ONE manifest commit; queries see only the new
+    version pre- AND post-merge; docs_cnt stays exact."""
+    import pandas as pd
+
+    from trinity_spark.fixtures import docs_in_stable_order
+    from trinity_spark.operators.merge import merge_segments
+    from trinity_spark.streaming.nrt import replace_documents
+    from trinity_spark.tokenizer import tokenize_terms_py
+
+    store, corpus0 = seeded_store
+    docs0 = docs_in_stable_order(corpus0)
+    s = corpus0.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    old_id = 7
+    key = (s["conv_id"][old_id], int(s["turn_idx"][old_id]))
+    old_term = next(t for t, _ in tokenize_terms_py(docs0[old_id][1]))
+    new_text = "replaced qqreplacemarker version with error inside"
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "turn_idx": [key[1]],
+            "role": ["user"],
+            "text": [new_text],
+            "tool": [""],
+            "ts": [s["ts"][old_id]],
+        }
+    )
+    meta = replace_documents(spark, store, spark.createDataFrame(pdf))
+    assert meta.doc_lo == N0 and meta.docs_cnt == 1
+    assert meta.lineage["replace"] is True
+    # atomic: the tombstone generation was committed WITH the segment
+    m = store.read_manifest()
+    assert m["deletes"] and m["deletes"][-1]["gen"] == meta.metrics["tombstone_gen"]
+    assert meta.generation == meta.metrics["tombstone_gen"] - 1
+
+    # pre-merge: rank identity with the old doc masked but still in df/N
+    docs = docs0 + [(N0, new_text)]
+    oracle = OracleIndex.build(docs, deleted={old_id})
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["qqreplacemarker", "error", "error AND timeout", old_term]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9, q
+    # the old version is invisible
+    assert old_id not in [
+        r["doc_id"] for r in planner.plan(old_term, k=N0 + 1).collect()
+    ]
+    assert [r["doc_id"] for r in planner.plan("qqreplacemarker", k=5).collect()] == [N0]
+
+    # post-merge: tombstone applied physically, docs_cnt exact
+    merged = merge_segments(spark, store)
+    assert merged.docs_cnt == N0  # N0 + 1 new - 1 replaced
+    assert store.read_manifest()["deletes"] == []
+    oracle2 = OracleIndex.build([(d, t) for d, t in docs if d != old_id])
+    oracle2.n_docs = N0
+    planner2 = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["qqreplacemarker", "error", old_term]:
+        node = parse_query(q)
+        want = oracle2.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner2.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9, q
+
+
+def test_replace_documents_insert_and_rereplace(spark, seeded_store):
+    """A key with no live version is a plain insert; replacing an
+    already-replaced key masks the previous replacement too."""
+    import pandas as pd
+
+    from trinity_spark.streaming.nrt import replace_documents
+
+    store, _ = seeded_store
+
+    def batch(text):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "conv_id": ["conv-brandnew"],
+                    "turn_idx": [0],
+                    "role": ["user"],
+                    "text": [text],
+                    "tool": [""],
+                    "ts": [pd.Timestamp("2026-02-01")],
+                }
+            )
+        )
+
+    m1 = replace_documents(spark, store, batch("first qqversionone"))
+    assert m1.doc_lo == N0
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    assert [r["doc_id"] for r in planner.plan("qqversionone", k=5).collect()] == [N0]
+
+    m2 = replace_documents(spark, store, batch("second qqversiontwo"))
+    assert m2.doc_lo == N0 + 1
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    assert planner.plan("qqversionone", k=5).collect() == []  # v1 masked
+    assert [r["doc_id"] for r in planner.plan("qqversiontwo", k=5).collect()] == [
+        N0 + 1
+    ]
+
+
 def test_structured_streaming_ingest(spark, seeded_store, tmp_path):
     store, corpus0 = seeded_store
     corpus1 = gen_transcripts(N1, seed=99)

@@ -155,12 +155,13 @@ def ivf_index(
     Spark job: assign (JVM expression argmax) + per-dimension mean via
     posexplode/groupBy.  Returns (vectors + ``list_id``, centroids).
 
-    Scale notes: centroids live in the plan as literals, which is the right
-    call up to a few hundred lists (expression size ~ n_lists x dim); beyond
-    that, assignment should become a broadcast join + exploded argmin, and at
-    10^9+ vectors the list assignment is computed once and the table is
-    written partitioned/clustered BY list_id so a query's probes touch only
-    its lists' files — the IVF promise in storage-pruning form."""
+    Scale notes: centroids live in the plan as literals and the Lloyd update
+    collects n_lists x dim mean cells per round — the right call up to a few
+    hundred lists.  Past that use ``ivf_index_scalable`` (broadcast-join
+    assignment + in-Spark update, no driver materialization); at 10^9+
+    vectors the list assignment is computed once and the table is written
+    partitioned/clustered BY list_id so a query's probes touch only its
+    lists' files — the IVF promise in storage-pruning form."""
     v = vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
     init = (
         v.withColumn("_h", F.md5(F.col(id_col).cast("string")))
@@ -187,6 +188,21 @@ def ivf_index(
     return v.withColumn("list_id", _argmax_cosine(F.col(vec_col), cents)), cents
 
 
+def _assign_with_cdf(
+    v: DataFrame, cdf: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Broadcast-join argmax-cosine list assignment against a (list_id,
+    centroid) DataFrame; ties break to the higher list id, matching
+    ``_argmax_cosine``'s array_max struct ordering."""
+    scored = v.crossJoin(F.broadcast(cdf)).withColumn(
+        "cos_sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.expr("max_by(list_id, struct(cos_sim, list_id))").alias("list_id")
+    )
+    return v.join(best, id_col)
+
+
 def ivf_assign_join(
     vectors: DataFrame,
     cents: list[list[float]],
@@ -197,8 +213,7 @@ def ivf_assign_join(
     pick each vector's argmax-cosine list with ``max_by`` — for n_lists in
     the thousands, where the literal-expression argmax of ``_argmax_cosine``
     would blow up the plan.  Cost: |vectors| x n_lists comparison rows, all
-    map-side (broadcast join, no shuffle of the vectors); ties break to the
-    higher list id, matching array_max struct ordering."""
+    map-side (broadcast join, no shuffle of the vectors)."""
     spark = vectors.sparkSession
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -207,13 +222,71 @@ def ivf_assign_join(
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    scored = v.crossJoin(F.broadcast(cdf)).withColumn(
-        "cos_sim", cosine(F.col(vec_col), F.col("centroid"))
+    return _assign_with_cdf(v, cdf, id_col, vec_col)
+
+
+def ivf_index_scalable(
+    vectors: DataFrame,
+    n_lists: int = 256,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF k-means with the Lloyd UPDATE step kept in Spark — the large-
+    n_lists·dim path (``ivf_index`` collects n_lists x dim mean rows to the
+    driver per round, which becomes a driver bottleneck past ~10^6 cells).
+
+    Centroids live as a (list_id, centroid array<double>) DataFrame for the
+    whole training loop: assignment is the ``ivf_assign_join`` broadcast
+    argmax, the update re-assembles per-list mean vectors with
+    posexplode -> avg -> collect_list(struct(pos, m)) sorted by pos — no
+    driver materialization at any round.  Each round's centroid table is
+    eagerly localCheckpoint'ed (n_lists rows, distributed) to cut lineage.
+    Empty lists keep their previous centroid.
+
+    Returns (vectors + list_id, centroids DataFrame).  Query-time probe
+    selection still needs the centroids once driver-side —
+    ``cdf.collect()`` — which is O(n_lists * dim) independent of data size.
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    best = scored.groupBy(id_col).agg(
-        F.expr("max_by(list_id, struct(cos_sim, list_id))").alias("list_id")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_h", id_col)  # n_lists rows: 1-partition window is fine
+    cdf = (
+        v.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("list_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return v.join(best, id_col)
+    for _ in range(iters):
+        assigned = _assign_with_cdf(v, cdf, id_col, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        new_cdf = means.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        cdf = (
+            cdf.select("list_id", F.col("centroid").alias("_old"))
+            .join(new_cdf, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce(F.col("centroid"), F.col("_old")).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _assign_with_cdf(v, cdf, id_col, vec_col), cdf
 
 
 def ivf_topk(

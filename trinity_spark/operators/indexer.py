@@ -295,6 +295,13 @@ class SegmentIndex:
         pruned = self.blocks.where(F.col("term").isin(terms))
         return decode_segments(pruned)
 
+    def postings_with_payloads_for(self, terms: list[str]) -> DataFrame:
+        """Like postings_for but with the per-hit payload stream decoded
+        (runtime.h:8-20 term_hit.payload) — used by the winners-only hits
+        surface, never by the scoring scan."""
+        pruned = self.blocks.where(F.col("term").isin(terms))
+        return decode_segments(pruned, with_payloads=True)
+
     @property
     def chunk_bits(self) -> int:
         """Encode-group chunk width (from build lineage) — the pruning cost

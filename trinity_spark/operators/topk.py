@@ -192,6 +192,11 @@ class _PrunedView:
 
         return decode_segments(self.blocks.where(F.col("term").isin(terms)))
 
+    def postings_with_payloads_for(self, terms):
+        # hits/payloads must come from the FULL index: a winner doc's matched
+        # terms are not restricted to the kept chunks' blocks
+        return self._inner.postings_with_payloads_for(terms)
+
     def stats_for(self, terms):
         return self._inner.stats_for(terms)
 

@@ -24,9 +24,25 @@ class Node:
 
 
 @dataclass(frozen=True)
+class RewriteCtx:
+    """Provenance of a rewrite-generated node (``/root/reference/
+    queries.h:395-418`` rewrite_ctx): ``src`` is the original query text the
+    node was expanded from, ``translation_coefficient`` =
+    min(src_tokens, dst_tokens) / max(src_tokens, dst_tokens) (queries.h:
+    402-407), ``src_seq_size`` the original token-run length.  Rides into
+    ``TermContext`` so a custom similarity can down-weight rewritten terms —
+    the exec.cpp:553-657 query_term_ctx capability."""
+
+    src: str
+    translation_coefficient: float = 1.0
+    src_seq_size: int = 1
+
+
+@dataclass(frozen=True)
 class Token(Node):
     term: str
     rep: int = 1  # adjacent-duplicate collapse (queries.cpp:509-515); not scored
+    rewrite: RewriteCtx | None = None
 
     def normalize(self):
         return self if self.term else None
@@ -35,12 +51,13 @@ class Token(Node):
 @dataclass(frozen=True)
 class Phrase(Node):
     terms: tuple[str, ...]
+    rewrite: RewriteCtx | None = None
 
     def normalize(self):
         if not self.terms:
             return None
         if len(self.terms) == 1:
-            return Token(self.terms[0])
+            return Token(self.terms[0], rewrite=self.rewrite)
         return self
 
 

@@ -221,11 +221,57 @@ class _Neg(Node):
         self.child = child
 
 
-def parse_query(q: str) -> Node | None:
-    """Parse a query string; returns a normalized AST or None (empty query)."""
+MAX_QUERY_TOKENS = 8192  # trinity_limits.h:13
+
+
+def trim_query(node: Node | None, max_tokens: int = MAX_QUERY_TOKENS) -> Node | None:
+    """Keep-first token trim (``/root/reference/queries.cpp:1503-1526``
+    query::trim): walk leaves left-to-right counting tokens (a phrase counts
+    its member terms); leaves past the cap are dropped (set_dummy analog) and
+    the tree re-normalized — so a pathological 10^5-token query can never
+    reach the planner and build an unbounded expression."""
+    if node is None:
+        return None
+    count = [0]
+
+    def walk(n: Node) -> Node | None:
+        if isinstance(n, Token):
+            count[0] += 1
+            return n if count[0] <= max_tokens else None
+        if isinstance(n, Phrase):
+            count[0] += len(n.terms)
+            return n if count[0] <= max_tokens else None
+        if isinstance(n, And):
+            kids = [k for k in (walk(c) for c in n.children) if k is not None]
+            return And(tuple(kids), n.strict) if kids else None
+        if isinstance(n, Or):
+            kids = [k for k in (walk(c) for c in n.children) if k is not None]
+            return Or(tuple(kids)) if kids else None
+        if isinstance(n, Some):
+            kids = [k for k in (walk(c) for c in n.children) if k is not None]
+            return Some(tuple(kids), n.k) if kids else None
+        if isinstance(n, Not):
+            req = walk(n.req)
+            if req is None:
+                return None
+            excl = walk(n.excl)
+            return Not(req, excl) if excl is not None else req
+        if isinstance(n, ConstTrue):
+            c = walk(n.child)
+            return ConstTrue(c) if c is not None else None
+        raise TypeError(type(n))
+
+    out = walk(node)
+    return out.normalize() if out is not None else None
+
+
+def parse_query(q: str, max_tokens: int = MAX_QUERY_TOKENS) -> Node | None:
+    """Parse a query string; returns a normalized AST or None (empty query).
+    Queries over ``max_tokens`` tokens are trimmed keep-first at parse time
+    (queries.cpp:1503-1526)."""
     node = _Parser(_lex(q)).parse_expr()
     if node is None:
         return None
     if isinstance(node, _Neg):
         raise QueryParseError("query cannot start with '-'")
-    return node.normalize()
+    return trim_query(node.normalize(), max_tokens)

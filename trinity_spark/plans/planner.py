@@ -57,13 +57,31 @@ class TermContext:
     """Per-term compile context handed to the similarity scorer — the Spark
     analog of the reference's ``term_hits``/query-term metadata a custom
     ``Similarity`` sees (matches.h:85-91): ``rep`` is the adjacent-duplicate
-    collapse count (queries.cpp:509-515).  The DEFAULT scorer ignores ``rep``
-    exactly like the reference's TrivialBM25Scorer does."""
+    collapse count (queries.cpp:509-515).  ``rewrite_source`` /
+    ``translation_coefficient`` / ``src_seq_size`` carry rewrite provenance
+    (``queries.h:395-418`` rewrite_ctx, collected into query_term_ctx by
+    exec.cpp:553-657): None/1.0/1 for user-typed terms; for terms generated
+    by ``plans.rewrite`` expansion they identify the source text and the
+    min/max token-count ratio, so an app scorer can down-weight
+    synonym-matched terms.  The DEFAULT scorer ignores all of these exactly
+    like the reference's TrivialBM25Scorer does."""
 
     term: str
     idf: float
     df: int
     rep: int = 1
+    rewrite_source: str | None = None
+    translation_coefficient: float = 1.0
+    src_seq_size: int = 1
+
+
+def _rw(ctx: TermContext, node) -> TermContext:
+    rw = getattr(node, "rewrite", None)
+    if rw is not None:
+        ctx.rewrite_source = rw.src
+        ctx.translation_coefficient = rw.translation_coefficient
+        ctx.src_seq_size = rw.src_seq_size
+    return ctx
 
 
 def default_similarity(ctx: TermContext, freq):
@@ -72,6 +90,9 @@ def default_similarity(ctx: TermContext, freq):
 
 
 HITS_TYPE = "array<struct<term:string,tf:int,positions:array<int>>>"
+HITS_PAYLOAD_TYPE = (
+    "array<struct<term:string,tf:int,positions:array<int>,payloads:array<bigint>>>"
+)
 
 
 @dataclass
@@ -192,6 +213,7 @@ class QueryPlanner:
         doc_filter: DataFrame | None = None,
         block_pruning: bool = True,
         with_hits: bool = False,
+        with_payloads: bool = False,
     ) -> DataFrame:
         """Compile to a DataFrame (doc_id long, score double), top-k ordered
         by score DESC, doc_id ASC (the mandatory deterministic tie-break).
@@ -211,12 +233,16 @@ class QueryPlanner:
         array<struct<term, tf, positions>> of the doc's matched positive
         terms (the consider(matched_document&) surface,
         queryexec_ctx.cpp:317-352 / matches.h:76-108) — so snippet/proximity
-        consumers never re-join postings by hand."""
+        consumers never re-join postings by hand.  ``with_payloads=True``
+        additionally surfaces each hit's per-occurrence payload stream
+        (runtime.h:8-20 term_hit.payload, materialized per match in
+        queryexec_ctx.cpp:317-352) — read for winner docs only, so the
+        pay_bytes column never touches the scoring scan."""
         node = parse_query(query) if isinstance(query, str) else query
         self.last_route = {"path": "single_pass", "gate": None}
         top = self._plan_topk(node, k, doc_filter, block_pruning)
         if with_hits:
-            top = self.attach_hits(top, node)
+            top = self.attach_hits(top, node, with_payloads=with_payloads)
         return top
 
     def _plan_topk(
@@ -288,22 +314,42 @@ class QueryPlanner:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def attach_hits(self, topk: DataFrame, node: Node | None) -> DataFrame:
+    def attach_hits(
+        self, topk: DataFrame, node: Node | None, with_payloads: bool = False
+    ) -> DataFrame:
         """Append the ``hits`` column to any (doc_id, score) result frame —
         public so callers with custom top-k pipelines (rounding, re-ranking)
-        can reuse the matched-terms surface."""
-        empty_hits = F.from_json(F.lit("[]"), HITS_TYPE)
+        can reuse the matched-terms surface.  ``with_payloads=True`` adds each
+        hit's ``payloads array<long>`` (parallel to positions; empty for hits
+        indexed without payloads), decoded from the physical pay_bytes stream
+        for winner docs only."""
+        empty_hits = F.from_json(
+            F.lit("[]"), HITS_PAYLOAD_TYPE if with_payloads else HITS_TYPE
+        )
         if node is None:
             return topk.withColumn("hits", empty_hits)
         terms = positive_terms(node)
-        postings = self.index.postings_for(terms)
+        if with_payloads:
+            pf = getattr(self.index, "postings_with_payloads_for", None)
+            if pf is not None:
+                postings = pf(terms)
+            else:
+                postings = self.index.postings_for(terms)
+                if "payloads" not in postings.columns:
+                    postings = postings.withColumn(
+                        "payloads", F.array().cast("array<long>")
+                    )
+            struct_cols = ("term", "tf", "positions", "payloads")
+        else:
+            postings = self.index.postings_for(terms)
+            struct_cols = ("term", "tf", "positions")
         # k is tiny: broadcast the winner ids, collect their matched postings
         hits = (
             postings.join(F.broadcast(topk.select("doc_id")), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(
                 F.sort_array(
-                    F.collect_list(F.struct("term", "tf", "positions"))
+                    F.collect_list(F.struct(*struct_cols))
                 ).alias("hits")
             )
         )
@@ -412,11 +458,14 @@ class QueryPlanner:
         sim = self.similarity or default_similarity
         if isinstance(node, Token):
             ent = F.element_at(m, node.term)
-            ctx = TermContext(
-                node.term,
-                self._stats.idf(node.term),
-                self._stats.df(node.term),
-                node.rep,
+            ctx = _rw(
+                TermContext(
+                    node.term,
+                    self._stats.idf(node.term),
+                    self._stats.df(node.term),
+                    node.rep,
+                ),
+                node,
             )
             return ent.isNotNull(), sim(ctx, ent["tf"])
         if isinstance(node, Phrase):
@@ -440,11 +489,14 @@ class QueryPlanner:
                 lambda a, b: a & b,
                 [F.element_at(m, t).isNotNull() for t in sorted(set(node.terms))],
             )
-            ctx = TermContext(
-                " ".join(node.terms),
-                idf,
-                min(self._stats.df(t) for t in node.terms),
-                1,
+            ctx = _rw(
+                TermContext(
+                    " ".join(node.terms),
+                    idf,
+                    min(self._stats.df(t) for t in node.terms),
+                    1,
+                ),
+                node,
             )
             return have_all & (pf > 0), sim(ctx, pf)
         if isinstance(node, And):
@@ -503,11 +555,14 @@ class QueryPlanner:
         raise TypeError(type(node))
 
     def _compile_token(self, node: Token) -> DataFrame:
-        ctx = TermContext(
-            node.term,
-            self._stats.idf(node.term),
-            self._stats.df(node.term),
-            node.rep,
+        ctx = _rw(
+            TermContext(
+                node.term,
+                self._stats.idf(node.term),
+                self._stats.df(node.term),
+                node.rep,
+            ),
+            node,
         )
         score = (self.similarity or default_similarity)(ctx, F.col("tf"))
         return self._postings.where(F.col("term") == node.term).select(
@@ -553,8 +608,11 @@ class QueryPlanner:
             if len(node.terms) > 1
             else F.size(pos(node.terms[0]))
         )
-        ctx = TermContext(
-            " ".join(node.terms), idf, min(self._stats.df(t) for t in node.terms), 1
+        ctx = _rw(
+            TermContext(
+                " ".join(node.terms), idf, min(self._stats.df(t) for t in node.terms), 1
+            ),
+            node,
         )
         score = (self.similarity or default_similarity)(ctx, F.col("pf"))
         return (
@@ -584,9 +642,12 @@ class QueryPlanner:
             bid = F
             score = F
             for i, tok in enumerate(leaves):
-                ctx = TermContext(
-                    tok.term, self._stats.idf(tok.term), self._stats.df(tok.term),
-                    tok.rep,
+                ctx = _rw(
+                    TermContext(
+                        tok.term, self._stats.idf(tok.term),
+                        self._stats.df(tok.term), tok.rep,
+                    ),
+                    tok,
                 )
                 cond = F.col("term") == tok.term
                 bid = bid.when(cond, F.lit(i))

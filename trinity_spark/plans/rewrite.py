@@ -14,7 +14,27 @@ translation coefficient — would exceed ``max_expansion``.
 
 from __future__ import annotations
 
-from ..plans.ast import And, ConstTrue, Node, Not, Or, Phrase, Some, Token
+from ..plans.ast import And, ConstTrue, Node, Not, Or, Phrase, RewriteCtx, Some, Token
+
+
+def _ctx(src: str, alt: str) -> RewriteCtx:
+    """Provenance for one alternative: translation coefficient =
+    min(src_tokens, dst_tokens) / max(src_tokens, dst_tokens)
+    (queries.h:402-407); src_seq_size = the original run length."""
+    ns, nd = len(src.split()), max(len(alt.split()), 1)
+    return RewriteCtx(
+        src=src,
+        translation_coefficient=min(ns, nd) / max(ns, nd),
+        src_seq_size=ns,
+    )
+
+
+def _alt_node(src: str, alt: str) -> Node:
+    ctx = _ctx(src, alt)
+    words = alt.split()
+    if len(words) > 1:
+        return Phrase(tuple(words), rewrite=ctx)
+    return Token(alt, rewrite=ctx)
 
 
 def expand_synonyms(
@@ -22,7 +42,11 @@ def expand_synonyms(
     synonyms: dict[str, list[str]],
     max_expansion: int = 64,
 ) -> Node:
-    """Expand tokens through the synonym map under a global budget."""
+    """Expand tokens through the synonym map under a global budget.  Every
+    generated alternative carries ``RewriteCtx`` provenance (source text +
+    translation coefficient), which the planner forwards to the similarity
+    scorer via ``TermContext`` — the exec.cpp:553-657 rewrite-aware-scoring
+    capability."""
     budget = [1]  # running product of branching factors
 
     def expand(n: Node) -> Node:
@@ -31,7 +55,7 @@ def expand_synonyms(
             factor = 1 + len(alts)
             if alts and budget[0] * factor <= max_expansion:
                 budget[0] *= factor
-                return Or((n,) + tuple(Token(a) for a in alts))
+                return Or((n,) + tuple(_alt_node(n.term, a) for a in alts))
             return n
         if isinstance(n, Phrase):
             # phrase-level alternatives: whole-phrase synonyms keyed by the
@@ -41,9 +65,7 @@ def expand_synonyms(
             factor = 1 + len(alts)
             if alts and budget[0] * factor <= max_expansion:
                 budget[0] *= factor
-                return Or(
-                    (n,) + tuple(Phrase(tuple(a.split())) for a in alts)
-                )
+                return Or((n,) + tuple(_alt_node(key, a) for a in alts))
             return n
         if isinstance(n, And):
             return And(tuple(expand(c) for c in n.children), n.strict)
@@ -94,10 +116,7 @@ def expand_spans(
                     factor = 1 + len(alts)
                     if alts and budget[0] * factor <= max_expansion:
                         budget[0] *= factor
-                        alt_nodes = tuple(
-                            Phrase(tuple(a.split())) if " " in a else Token(a)
-                            for a in alts
-                        )
+                        alt_nodes = tuple(_alt_node(key, a) for a in alts)
                         out.append(Or((And(run),) + alt_nodes))
                         i += k
                         matched = True

@@ -222,6 +222,26 @@ class SegmentStore:
             return int(m["docid_map"]["n_docs"])
         return self.read_docid_map(spark).count()
 
+    def _write_segment_data(
+        self,
+        blocks: DataFrame,
+        term_dict: DataFrame,
+        field_stats: DataFrame,
+        segment_id: str,
+    ) -> None:
+        # sorted by term: parquet row-group min/max on `term` = dictionary seek.
+        # one write partition per core — par//2 left half the cores idle
+        # through the whole commit phase at low parallelism
+        blocks.repartitionByRange(
+            max(blocks.sparkSession.sparkContext.defaultParallelism, 2), "term"
+        ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
+            self.segment_dir(segment_id, "postings")
+        )
+        term_dict.write.mode("overwrite").parquet(self.segment_dir(segment_id, "term_dict"))
+        field_stats.write.mode("overwrite").parquet(
+            self.segment_dir(segment_id, "field_stats")
+        )
+
     def commit_segment(
         self,
         blocks: DataFrame,
@@ -233,24 +253,45 @@ class SegmentStore:
         Data writes are idempotent (overwrite) so a crashed attempt is
         invisible until the manifest names the segment — Trinity's
         tmp-then-rename persist (indexer.cpp:286-300)."""
-        # sorted by term: parquet row-group min/max on `term` = dictionary seek.
-        # one write partition per core — par//2 left half the cores idle
-        # through the whole commit phase at low parallelism
-        blocks.repartitionByRange(
-            max(blocks.sparkSession.sparkContext.defaultParallelism, 2), "term"
-        ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
-            self.segment_dir(meta.segment_id, "postings")
-        )
-        term_dict.write.mode("overwrite").parquet(self.segment_dir(meta.segment_id, "term_dict"))
-        field_stats.write.mode("overwrite").parquet(
-            self.segment_dir(meta.segment_id, "field_stats")
-        )
+        self._write_segment_data(blocks, term_dict, field_stats, meta.segment_id)
         m = self.read_manifest()
         m["segments"] = [s for s in m["segments"] if s["segment_id"] != meta.segment_id]
         meta.generation = m["next_generation"]
         m["next_generation"] += 1
         m["segments"].append(meta.__dict__)
         self._write_manifest(m)
+
+    def commit_segment_with_deletes(
+        self,
+        blocks: DataFrame,
+        term_dict: DataFrame,
+        field_stats: DataFrame,
+        meta: SegmentMeta,
+        deletes_df: DataFrame,
+    ) -> int:
+        """Segment commit + tombstone set in ONE atomic manifest write — the
+        document-replace primitive (reference ``indexer.h:181-206``
+        insert/update/erase; the new source's masked set vetoes the OLDER
+        versions, ``index_source.h:191-238``).  A crash before the manifest
+        write leaves both the new segment and the tombstones invisible; after
+        it, both are visible — no window where the new version exists without
+        the old one masked (or vice versa).  Returns the tombstone generation.
+        """
+        self._write_segment_data(blocks, term_dict, field_stats, meta.segment_id)
+        m = self.read_manifest()
+        seg_gen = m["next_generation"]
+        del_gen = seg_gen + 1  # tombstones are the NEWER generation: they veto
+        path = os.path.join(self.base, "deletes", f"{del_gen}.parquet")
+        deletes_df.select(F.col("doc_id").cast("long")).withColumn(
+            "gen", F.lit(del_gen)
+        ).write.mode("overwrite").parquet(path)
+        m["segments"] = [s for s in m["segments"] if s["segment_id"] != meta.segment_id]
+        meta.generation = seg_gen
+        m["next_generation"] = del_gen + 1
+        m["segments"].append(meta.__dict__)
+        m["deletes"].append({"gen": del_gen, "path": path})
+        self._write_manifest(m)
+        return del_gen
 
     def retire_segments(self, segment_ids: list[str]) -> None:
         """Drop merged-away segments from the manifest (the merge retention
