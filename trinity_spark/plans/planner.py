@@ -409,20 +409,30 @@ class QueryPlanner:
     #
     # The generalization of the single-scan n-ary frame (VERDICT r2 #5): for
     # ANY tree whose leaves are Token/Phrase, aggregate each doc's matched
-    # postings ONCE into a term -> (tf, positions) map, then evaluate the
-    # whole boolean tree (match predicate + left-to-right float64 score sum,
-    # the docset_iterators_scorers.cpp:8-243 contract) as pure JVM column
-    # expressions over that map.  A `("rate limit" OR throttle) AND api NOT
-    # sandbox` query becomes one MapInArrow decode + one hash aggregation +
-    # a projection — no per-branch aggregations, no anti-join exchange.
-    # Positions ride the shuffle only for phrase member terms (nulled
-    # otherwise), so token-only branches stay narrow.
+    # postings ONCE, then evaluate the whole boolean tree (match predicate +
+    # left-to-right float64 score sum, the docset_iterators_scorers.cpp:8-243
+    # contract) as pure JVM column expressions.  A `("rate limit" OR
+    # throttle) AND api NOT sandbox` query becomes one MapInArrow decode +
+    # one hash aggregation + a projection — no per-branch aggregations, no
+    # anti-join exchange.
+    #
+    # HYBRID aggregation (measured: a pure collect_list map agg was ~2x
+    # slower than the CASE path on stopword-heavy trees — ObjectHashAggregate
+    # builds per-row structs for every posting): token leaves aggregate as
+    # narrow ``max(when(term=t, score))`` columns exactly like the n-ary fast
+    # path, and ONLY phrase-member terms enter the term->positions map
+    # (collect_list skips the nulls of non-member rows), so the object-agg
+    # payload is bounded by the phrase members' (usually rare) postings.
 
     def _compile_map(self, node: Node) -> DataFrame:
         phrase_members: set[str] = set()
+        token_leaves: list[Token] = []  # distinct by (term, rep, rewrite)
 
         def walk(n: Node) -> None:
-            if isinstance(n, Phrase):
+            if isinstance(n, Token):
+                if n not in token_leaves:
+                    token_leaves.append(n)
+            elif isinstance(n, Phrase):
                 phrase_members.update(n.terms)
             elif isinstance(n, (And, Or, Some)):
                 for c in n.children:
@@ -434,40 +444,50 @@ class QueryPlanner:
                 walk(n.child)
 
         walk(node)
-        pos_src = (
-            F.when(F.col("term").isin(sorted(phrase_members)), F.col("positions"))
-            if phrase_members
-            else F.lit(None).cast("array<int>")
-        )
-        entry = F.struct(
-            F.col("term").alias("key"),
-            F.struct(F.col("tf").alias("tf"), pos_src.alias("positions")).alias(
-                "value"
-            ),
-        )
-        g = self._postings.groupBy("doc_id").agg(
-            F.map_from_entries(F.collect_list(entry)).alias("m")
-        )
-        present, score = self._map_expr(node, F.col("m"))
+        sim = self.similarity or default_similarity
+        aggs = []
+        tokcols: dict[Token, int] = {}
+        for i, tok in enumerate(token_leaves):
+            tokcols[tok] = i
+            ctx = _rw(
+                TermContext(
+                    tok.term, self._stats.idf(tok.term),
+                    self._stats.df(tok.term), tok.rep,
+                ),
+                tok,
+            )
+            cond = F.col("term") == tok.term
+            aggs.append(F.max(F.when(cond, sim(ctx, F.col("tf")))).alias(f"s{i}"))
+            # presence separately: a custom similarity may legally score 0/null
+            aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"p{i}"))
+        if phrase_members:
+            entry = F.when(
+                F.col("term").isin(sorted(phrase_members)),
+                F.struct(
+                    F.col("term").alias("key"),
+                    F.struct(
+                        F.col("tf").alias("tf"),
+                        F.col("positions").alias("positions"),
+                    ).alias("value"),
+                ),
+            )
+            # collect_list drops nulls: non-member rows add nothing
+            aggs.append(F.map_from_entries(F.collect_list(entry)).alias("m"))
+        g = self._postings.groupBy("doc_id").agg(*aggs)
+        self._tokcols = tokcols
+        present, score = self._map_expr(node, F.col("m") if phrase_members else None)
         return g.where(present).select("doc_id", score.alias("score"))
 
     def _map_expr(self, node: Node, m):
         """(present bool Column, score double Column) for ``node`` evaluated
-        against the per-doc term map ``m``.  ``present`` is never NULL; score
-        columns are only consumed under a matching ``present`` guard."""
+        against the hybrid aggregation frame: token leaves read their
+        (s{i}, p{i}) columns, phrases read the member-term map ``m``.
+        ``present`` is never NULL; score columns are only consumed under a
+        matching ``present`` guard."""
         sim = self.similarity or default_similarity
         if isinstance(node, Token):
-            ent = F.element_at(m, node.term)
-            ctx = _rw(
-                TermContext(
-                    node.term,
-                    self._stats.idf(node.term),
-                    self._stats.df(node.term),
-                    node.rep,
-                ),
-                node,
-            )
-            return ent.isNotNull(), sim(ctx, ent["tf"])
+            i = self._tokcols[node]
+            return F.col(f"p{i}").isNotNull(), F.col(f"s{i}")
         if isinstance(node, Phrase):
             idf = 0.0
             for t in node.terms:  # fixed phrase-order float64 sum
