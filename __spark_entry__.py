@@ -268,6 +268,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
     q["percolator"] = percolator_route
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    # duplicate-CLUSTER resolution: exact n-gram-Jaccard pairs -> connected
+    # components (min-id label propagation) — the canonical-doc-selection
+    # step after pair generation; oracle = DuckDB recursive-CTE closure
+    def dedup_components(spark, sf):
+        from trinity_spark.dataops.dedup import (
+            connected_components,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _docs(spark, sf).where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        return connected_components(pairs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+        )
+
+    q["dedup_components"] = dedup_components
     q["dedup_simhash"] = dedup_simhash
     q["text_analysis"] = text_analysis
     q["ann_cosine_topk"] = ann_topk
@@ -606,6 +624,37 @@ FROM cand c
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
+"""
+
+    # transitive closure of the ngram-jaccard pair graph, component = min
+    # reachable id (exactly connected_components' fixpoint)
+    o["dedup_components"] = f"""
+WITH RECURSIVE {_SH},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.sh) AS inter
+  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component
+FROM reach GROUP BY id
 """
 
     # 64-bit SimHash: bits 0..31 from md5 hex chars 1-8, bits 32..63 from

@@ -378,3 +378,37 @@ def test_ivf_scalable_matches_literal_training(spark):
     la = {r["vec_id"]: r["list_id"] for r in a.collect()}
     lb = {r["vec_id"]: r["list_id"] for r in b.collect()}
     assert la == lb
+
+
+def test_connected_components_and_resolve(spark):
+    """Cluster resolution over near-dup pairs: min-id components, canonical
+    selection, singletons keep themselves; a 6-link chain converges."""
+    from trinity_spark.dataops.dedup import connected_components, resolve_duplicates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                     10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 5, 6, 7]], "doc_id long, text string"
+    )
+    small = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    res = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in resolve_duplicates(docs, small).collect()
+    }
+    assert res == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True),
+        5: (5, True), 6: (5, False), 7: (7, True),
+    }
+    # deduplicated corpus = canonical rows only
+    kept = sorted(
+        r["doc_id"] for r in resolve_duplicates(docs, small).where("is_canonical").collect()
+    )
+    assert kept == [1, 4, 5, 7]

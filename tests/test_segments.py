@@ -298,6 +298,31 @@ def test_payload_free_blocks_decode_empty_payloads(spark):
     assert {(r["term"], r["doc_id"]) for r in back} == {("a", 1), ("a", 2)}
 
 
+def test_gc_removes_only_unreferenced(spark, tmp_path_factory):
+    """store.gc() deletes merged-away segment dirs + retired tombstone files
+    and NOTHING the manifest still references; queries unaffected."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "gc")
+    store.add_deletes(spark, [5])
+    meta = merge_segments(spark, store)  # retires inputs + the tombstone gen
+    seg_root = os.path.join(store.base, "segments")
+    assert len(os.listdir(seg_root)) == 3  # 2 retired dirs + 1 merged
+    removed = store.gc()
+    assert len(removed["segments"]) == 2  # the two retired input segments
+    assert len(removed["deletes"]) == 1  # the retired tombstone file
+    assert os.listdir(seg_root) == [meta.segment_id]
+    # second pass is a no-op; index still answers correctly
+    assert store.gc() == {"segments": [], "deletes": []}
+    oracle = OracleIndex.build(
+        [(d, t) for d, t in docs_in_stable_order(corpus) if d != 5]
+    )
+    oracle.n_docs = len(corpus) - 1
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    node = parse_query("error")
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
 def test_payloads_in_hits_surface(spark, tmp_path_factory):
     """Indexed per-hit payloads round-trip to plan(with_hits=True,
     with_payloads=True) for top-k winners (runtime.h:8-20 term_hit.payload,

@@ -198,6 +198,88 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- duplicate-cluster resolution --------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, component): component = smallest doc_id
+    transitively reachable through the pair graph — the cluster-resolution
+    step a real dedup pipeline needs after pair generation (pick one canonical
+    doc per duplicate cluster, drop the rest).
+
+    Min-label propagation: each round every vertex takes the min of its own
+    label and its neighbors' labels; converges in O(cluster diameter) rounds.
+    Near-dup clusters are shallow (a dup of a dup of X is usually also a
+    direct dup of X), so a handful of rounds suffices; a pathological
+    10^2-link chain still converges within ``max_iterations`` and anything
+    deeper raises rather than returning partial clusters.  All data stays
+    distributed — the driver coordinates only a changed-count per round, and
+    each round's label table is eagerly localCheckpoint'ed to cut lineage.
+    Scale shape: per round, one shuffle join (edges x labels, both keyed by
+    id) + one min-aggregation — both AQE-skew-safe.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            nbr = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nmin"))
+            )
+            joined = labels.join(nbr, labels["id"] == nbr["dst"], "left").select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("ch"),
+            ).localCheckpoint(eager=True)
+            changed = joined.agg(
+                F.sum(F.col("ch").cast("int")).alias("n")
+            ).first()["n"]
+            labels = joined.select("id", "comp")
+            if not changed:
+                return labels.select(
+                    F.col("id").alias("doc_id"), F.col("comp").alias("component")
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(pathologically deep duplicate chain); raise max_iterations"
+        )
+    finally:
+        edges.unpersist()
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-doc selection over the whole corpus: every doc gets its
+    duplicate-cluster ``component`` (its own id when it has no duplicates)
+    and ``is_canonical`` (the cluster's smallest id survives — the
+    deterministic keep-first policy).  ``docs.where(is_canonical)`` IS the
+    deduplicated corpus."""
+    comps = connected_components(pairs, id_a="id_a", id_b="id_b")
+    out = docs.join(comps, docs[id_col] == comps["doc_id"], "left").select(
+        docs[id_col],
+        F.coalesce(F.col("component"), docs[id_col]).alias("component"),
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 64  # 64-bit: halves collision noise vs 32-bit at 10^10 docs

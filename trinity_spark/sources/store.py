@@ -346,6 +346,37 @@ class SegmentStore:
             *[self.segment_dir(s.segment_id, "field_stats") for s in metas]
         )
 
+    def gc(self) -> dict[str, list[str]]:
+        """Physically remove data no snapshot references: segment directories
+        retired by merges and tombstone files whose generation was retired by
+        a full merge (the reference's deferred reclamation — merge.cpp's
+        retention verdict marks, actual deletion is the app's GC pass; in
+        Iceberg terms this is expire_snapshots + remove_orphan_files).
+
+        Safe by construction: the manifest is read ONCE and only paths absent
+        from it are deleted, so a concurrent commit can at worst make this
+        pass conservative (skip), never destructive."""
+        import shutil
+
+        m = self.read_manifest()
+        live_segments = {s["segment_id"] for s in m["segments"]}
+        live_deletes = {os.path.abspath(d["path"]) for d in m["deletes"]}
+        removed: dict[str, list[str]] = {"segments": [], "deletes": []}
+        seg_root = os.path.join(self.base, "segments")
+        if os.path.isdir(seg_root):
+            for name in sorted(os.listdir(seg_root)):
+                if name not in live_segments:
+                    shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                    removed["segments"].append(name)
+        del_root = os.path.join(self.base, "deletes")
+        if os.path.isdir(del_root):
+            for name in sorted(os.listdir(del_root)):
+                p = os.path.abspath(os.path.join(del_root, name))
+                if p not in live_deletes:
+                    (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+                    removed["deletes"].append(name)
+        return removed
+
     def read_deletes(self, spark: SparkSession) -> DataFrame | None:
         m = self.read_manifest()
         if not m["deletes"]:
