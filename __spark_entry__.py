@@ -286,6 +286,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_components"] = dedup_components
+
+    # composed curation pipeline (gates -> exact dedup), auditable reasons
+    def curate_corpus(spark, sf):
+        from trinity_spark.dataops.curate import curate
+
+        return curate(
+            _docs(spark, sf), min_tokens=5, min_quality=0.3,
+            languages=("en",), near_dup_threshold=None,
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality", "lang",
+            F.col("component").cast("long").alias("component"),
+            "keep", "reason",
+        )
+
+    q["curate_corpus"] = curate_corpus
     q["dedup_simhash"] = dedup_simhash
     q["text_analysis"] = text_analysis
     q["ann_cosine_topk"] = ann_topk
@@ -738,6 +755,72 @@ SELECT s.doc_id,
          6) AS quality,
        coalesce(f.fingerprint, 0) AS fingerprint
 FROM scored s LEFT JOIN fp f ON f.doc_id = s.doc_id
+"""
+
+    # composed curation (gates -> exact dedup) with auditable reasons; the
+    # near-dup stage is proven separately by dedup_components
+    o["curate_corpus"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_intersect(toks, {en})) AS sc_en,
+         len(list_intersect(toks, {de})) AS sc_de,
+         len(list_intersect(toks, {fr})) AS sc_fr,
+         len(list_intersect(toks, {es})) AS sc_es
+  FROM base
+),
+metr AS (
+  SELECT doc_id, text, n_tokens,
+         round(
+           0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN n_chars > 0
+               THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars
+               ELSE 1.0 END)
+           + 0.3 * least(CASE WHEN n_tokens > 0
+               THEN CAST(sc_en AS DOUBLE) / least(n_tokens, 10)
+               ELSE 0.0 END, 1.0),
+           6) AS quality,
+         CASE
+           WHEN sc_es > greatest(sc_en, sc_de, sc_fr) THEN 'es'
+           WHEN sc_fr > greatest(sc_en, sc_de) AND sc_fr >= sc_es THEN 'fr'
+           WHEN sc_de > sc_en AND sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+           WHEN sc_en > 0 AND sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+           ELSE 'und'
+         END AS lang
+  FROM scored
+),
+gated AS (
+  SELECT *,
+         CASE
+           WHEN n_tokens < 5 THEN 'too_short'
+           WHEN quality < 0.3 THEN 'low_quality'
+           WHEN lang <> 'en' THEN 'lang'
+           ELSE ''
+         END AS gate_reason
+  FROM metr
+),
+canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS canon_id
+  FROM gated WHERE gate_reason = ''
+  GROUP BY md5(text)
+)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       g.quality, g.lang,
+       CAST(g.doc_id AS BIGINT) AS component,
+       (CASE WHEN g.gate_reason = '' AND g.doc_id = c.canon_id THEN ''
+             WHEN g.gate_reason = '' THEN 'exact_dup'
+             ELSE g.gate_reason END) = '' AS keep,
+       CASE WHEN g.gate_reason = '' AND g.doc_id = c.canon_id THEN ''
+            WHEN g.gate_reason = '' THEN 'exact_dup'
+            ELSE g.gate_reason END AS reason
+FROM gated g LEFT JOIN canon c ON c.h = md5(g.text)
 """
 
     # float64 parity with the Spark side: dataops/similarity.py casts the

@@ -412,3 +412,36 @@ def test_connected_components_and_resolve(spark):
         r["doc_id"] for r in resolve_duplicates(docs, small).where("is_canonical").collect()
     )
     assert kept == [1, 4, 5, 7]
+
+
+def test_curate_pipeline(spark):
+    """Composed curation: gate order, exact-dup canonical, near-dup cluster,
+    auditable reasons; where(keep) is the curated corpus."""
+    from trinity_spark.dataops.curate import curate
+
+    good = "the quick brown fox jumps over the lazy dog again and again for fun"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                  # keep (canonical)
+            (1, "tiny"),                                # too_short
+            (2, "a b c d e f !!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"),  # low_quality
+            (3, "der die und das ist nicht ein ich mit zu heute morgen abend"),  # lang (de)
+            (4, good),                                  # exact_dup of 0
+            (5, good + " with one extra tail word here"),  # near_dup of 0
+            (6, "completely different content that is long enough to pass the gates easily and it has the stopwords for quality"),  # keep
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["reason"], r["component"])
+        for r in curate(docs, near_dup_threshold=0.5, min_quality=0.25).collect()
+    }
+    assert out[0] == (True, "", 0)
+    assert out[1][1] == "too_short"
+    assert out[2][1] == "low_quality"
+    assert out[3][1] == "lang"
+    assert out[4][1] == "exact_dup"
+    assert out[5] == (False, "near_dup", 0)
+    assert out[6] == (True, "", 6)
+    kept = sorted(d for d, (k, _, _) in out.items() if k)
+    assert kept == [0, 6]

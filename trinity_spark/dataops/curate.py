@@ -1,0 +1,127 @@
+"""One-call corpus curation: quality gates + dedup with per-doc verdicts.
+
+The composition a training-data pipeline actually runs — per-document
+metrics, structural gates, exact dedup, optional near-dup cluster resolution
+— ordered so the cheap single-pass gates run first and the (shuffling) dedup
+stages see only survivors.  Every document comes back with a ``keep``
+verdict and a ``reason`` naming the FIRST gate it failed ('' when kept), so
+rejected data is auditable instead of silently vanishing — at 100 TB the
+drop-reason histogram is the pipeline's primary health metric.
+
+Scale shape: stage 1 is a fused projection (zero shuffle); exact dedup is
+one shuffle on md5(text) with map-side combine; near-dup runs the banded
+LSH/shingle machinery from ``dedup`` over gate-survivors only and resolves
+clusters with distributed label propagation.  Nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import connected_components, ngram_jaccard_pairs
+from .textstats import language_id, quality_score, token_count
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 1 << 20,
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] | None = ("en",),
+    near_dup_threshold: float | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Annotate every document with metrics + a keep/reason verdict.
+
+    Gate order (first failure wins the ``reason``):
+    ``too_short`` / ``too_long`` -> ``low_quality`` -> ``lang`` ->
+    ``exact_dup`` (md5(text) groups; smallest id is canonical) ->
+    ``near_dup`` (only when ``near_dup_threshold`` is set: shingle-Jaccard
+    pairs over survivors, connected components, smallest id per cluster
+    survives).
+
+    Returns docs + n_tokens, quality, lang, component (near-dup cluster id or
+    own id), keep boolean, reason string.  ``df.where("keep")`` is the
+    curated corpus.
+    """
+    t = F.col(text_col)
+    annotated = docs.select(
+        F.col(id_col),
+        t,
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang"),
+    )
+
+    gate = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+    )
+    if languages is not None:
+        gate = gate.when(
+            ~F.col("lang").isin(list(languages)), F.lit("lang")
+        )
+    annotated = annotated.withColumn("reason", F.coalesce(gate, F.lit("")))
+
+    # exact dedup among gate-survivors: one shuffle on the content hash
+    survivors = annotated.where(F.col("reason") == "")
+    canon = (
+        survivors.groupBy(F.md5(t).alias("_h"))
+        .agg(F.min(id_col).alias("_canon"))
+    )
+    annotated = (
+        annotated.join(
+            survivors.select(F.col(id_col), F.md5(t).alias("_h")).join(
+                canon, "_h"
+            ).select(id_col, "_canon"),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "reason",
+            F.when(
+                (F.col("reason") == "") & (F.col(id_col) != F.col("_canon")),
+                F.lit("exact_dup"),
+            ).otherwise(F.col("reason")),
+        )
+        .drop("_canon")
+    )
+
+    annotated = annotated.withColumn("component", F.col(id_col))
+    if near_dup_threshold is not None:
+        nd_survivors = annotated.where(F.col("reason") == "").select(id_col, text_col)
+        pairs = ngram_jaccard_pairs(
+            nd_survivors, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n, threshold=near_dup_threshold,
+        )
+        comps = connected_components(pairs).select(
+            F.col("doc_id").alias("_cc_id"),
+            F.col("component").alias("_cc_comp"),
+        )
+        annotated = (
+            annotated.join(comps, annotated[id_col] == F.col("_cc_id"), "left")
+            .drop("_cc_id")
+            .withColumn(
+                "component",
+                F.when(
+                    (F.col("reason") == "") & F.col("_cc_comp").isNotNull(),
+                    F.col("_cc_comp"),
+                ).otherwise(F.col(id_col)),
+            )
+            .drop("_cc_comp")
+            .withColumn(
+                "reason",
+                F.when(
+                    (F.col("reason") == "") & (F.col("component") != F.col(id_col)),
+                    F.lit("near_dup"),
+                ).otherwise(F.col("reason")),
+            )
+        )
+    return annotated.select(
+        id_col, "n_tokens", "quality", "lang", "component",
+        (F.col("reason") == "").alias("keep"), "reason",
+    )
