@@ -350,3 +350,55 @@ def test_percolate_many_queries_one_pass(spark):
         (3, "hit_and"),
         (4, "hit_or"),
     ]
+
+
+def test_attach_snippets(spark):
+    """Snippets: token window around the first matched position, exact slot
+    alignment (incl. positionless operator tokens occupying their slot)."""
+    docs = [
+        (0, "aaa bbb ccc ddd error eee fff ggg hhh"),
+        (1, "error at the very start of this one"),
+        (2, "x1 x2 site:x.com error x3 x4"),
+        (3, "no match here at all in this document"),
+    ]
+    index = _tiny_index(spark, docs)
+    planner = QueryPlanner(index)
+    top = planner.plan("error", k=10, with_hits=True)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["snippet"] for r in planner.attach_snippets(top, ddf, window=2).collect()}
+    assert out[0] == "ccc ddd error eee fff"
+    assert out[1] == "error at the very start"  # clamped at doc head
+    # operator token consumes slot 3; error is slot 4 -> window covers it
+    assert out[2] == "x2 site:x.com error x3 x4"
+    assert 3 not in out
+    # phrase-aware anchor: window centers on the ACTUAL phrase match, not an
+    # earlier independent occurrence of a member term
+    pdocs = [(0, "reset the machine then saw connection reset by peer today")]
+    pindex = _tiny_index(spark, pdocs)
+    pplanner = QueryPlanner(pindex)
+    q = '"connection reset by peer"'
+    ptop = pplanner.plan(q, k=5, with_hits=True)
+    pddf = spark.createDataFrame(pdocs, "doc_id long, text string")
+    psnip = pplanner.attach_snippets(ptop, pddf, node=q, window=3).collect()
+    assert psnip[0]["snippet"] == "machine then saw connection reset by peer"
+
+
+def test_segment_index_refresh_after_append(spark, tmp_path_factory):
+    """A SegmentIndex snapshot is frozen at open; refresh() picks up NRT
+    appends (stats AND postings)."""
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.indexer import SegmentIndex, build_index
+    from trinity_spark.sources.store import SegmentStore
+    from trinity_spark.streaming.nrt import append_micro_segment
+
+    base = str(tmp_path_factory.mktemp("refresh"))
+    store = SegmentStore(base)
+    build_index(
+        spark, spark.createDataFrame(gen_transcripts(300)), store,
+        rows_per_segment=300, input_desc="refresh",
+    )
+    index = SegmentIndex(spark, store)
+    n0 = index.stats_for([]).n_docs
+    append_micro_segment(spark, store, spark.createDataFrame(gen_transcripts(100, seed=3)))
+    assert index.stats_for([]).n_docs == n0  # frozen snapshot (documented)
+    assert index.refresh().stats_for([]).n_docs == n0 + 100

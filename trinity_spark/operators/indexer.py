@@ -319,6 +319,16 @@ class SegmentIndex:
     # larger dictionaries fall back to pushdown lookups per query
     TERM_DICT_CACHE_MAX = 2_000_000
 
+    def refresh(self) -> "SegmentIndex":
+        """Re-read the manifest after new commits (NRT appends, merges,
+        replaces) — a SegmentIndex snapshot is otherwise frozen at open time
+        (stale df/N caches would skew idf after appends).  Returns self."""
+        self.__init__(self.spark, self.store)
+        for attr in ("_n_docs", "_df_cache", "_chunk_bits"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
+
     def stats_for(self, terms: list[str]):
         from ..plans.planner import IndexStats
 

@@ -361,6 +361,96 @@ class QueryPlanner:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def attach_snippets(
+        self,
+        hit_rows: DataFrame,
+        docs: DataFrame,
+        node: Node | str | None = None,
+        window: int = 5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Append a ``snippet`` column to a ``plan(with_hits=True)`` result:
+        the token window (±``window``) around the anchor position of each
+        winner doc — the app-layer highlighting the reference's materialized
+        per-match hits exist for (``runtime.h:8-20``,
+        ``queryexec_ctx.cpp:317-352``; Trinity leaves rendering to the app).
+
+        Anchor: when ``node`` (the query) is passed and contains phrases, the
+        first ACTUAL phrase-match position (re-derived from the hits' per-term
+        position lists with the same adjacency test the engine matched with);
+        otherwise the first matched term position.  All JVM-side: winners
+        broadcast into the docs scan, the doc is re-tokenized with the frozen
+        tokenizer, and the snippet is an array slice around the hit slot (hit
+        positions ARE slot indices, so alignment is exact — including around
+        positionless operator tokens, which occupy their slot).
+        Position-0-only matches fall back to the document head."""
+        from ..tokenizer import tokens_column
+
+        winners = docs.join(
+            F.broadcast(hit_rows.select(F.col("doc_id").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        ).select(F.col(id_col).alias("doc_id"), tokens_column(F.col(text_col)).alias("_toks"))
+        anchors = []
+        if node is not None:
+            node = parse_query(node) if isinstance(node, str) else node
+            phrases: list[Phrase] = []
+
+            def walk(n: Node) -> None:
+                if isinstance(n, Phrase):
+                    phrases.append(n)
+                elif isinstance(n, (And, Or, Some)):
+                    for c in n.children:
+                        walk(c)
+                elif isinstance(n, Not):
+                    walk(n.req)  # exclusion side never matched
+                elif isinstance(n, ConstTrue):
+                    walk(n.child)
+
+            walk(node)
+            if phrases:
+                m = F.map_from_entries(
+                    F.transform(
+                        F.col("hits"),
+                        lambda h: F.struct(
+                            h["term"].alias("key"), h["positions"].alias("value")
+                        ),
+                    )
+                )
+                for ph in phrases:
+                    pos = lambda t: F.element_at(m, t)  # noqa: E731
+                    cond = lambda p: reduce(  # noqa: E731
+                        lambda a, b: a & b,
+                        [p > 0]
+                        + [
+                            F.array_contains(pos(t), p + F.lit(i))
+                            for i, t in enumerate(ph.terms)
+                            if i > 0
+                        ],
+                    )
+                    anchors.append(
+                        F.array_min(F.filter(pos(ph.terms[0]), cond))
+                    )
+        first_pos = F.array_min(
+            F.filter(
+                F.flatten(F.col("hits.positions")), lambda p: p > 0
+            )
+        )
+        anchor = F.coalesce(*anchors, first_pos, F.lit(1))
+        start = F.greatest(anchor - window, F.lit(1))
+        return (
+            hit_rows.join(winners, "doc_id", "left")
+            .withColumn(
+                "snippet",
+                F.concat_ws(
+                    " ", F.slice(F.coalesce(F.col("_toks"), F.array()), start, 2 * window + 1)
+                ),
+            )
+            .drop("_toks")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def score_all(self, query: str | Node) -> DataFrame:
         """All matching docs with scores, no ordering/limit (the full
         MatchedIndexDocumentsFilter::consider stream, matches.h:139-186)."""
