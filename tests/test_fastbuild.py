@@ -41,3 +41,24 @@ def test_fast_edge_cases(spark):
     terms = {t for t, *_ in fast}
     assert {"ibm", "9", "loreal", "ok", "y", "a", "b"} <= terms
     assert "x" * 70 not in terms
+
+
+def test_build_scopes_fine_scan_splits(spark, tmp_path):
+    """build_index applies its build-tuned 4 MiB scan splits via a runtime
+    conf that is RESTORED afterwards — query scans in the same session must
+    keep their own (auto-sized) split planning."""
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.indexer import build_index
+    from trinity_spark.sources.store import SegmentStore
+
+    key = "spark.sql.files.maxPartitionBytes"
+    spark.conf.set(key, "33554432")
+    try:
+        build_index(
+            spark, spark.createDataFrame(gen_transcripts(300)),
+            SegmentStore(str(tmp_path / "idx")), rows_per_segment=300,
+            input_desc="conf-scope",
+        )
+        assert spark.conf.get(key) == "33554432"
+    finally:
+        spark.conf.unset(key)

@@ -81,6 +81,22 @@ def test_mixed_tree_is_single_scan_single_agg(index):
         assert "BatchEvalPython" not in plan
 
 
+def test_token_only_query_skips_position_stream(index):
+    """A query with no phrase must not read pos_bytes (the largest stream) —
+    the docs/freqs-only decode, visible as parquet column pruning."""
+    from trinity_spark.plans.planner import QueryPlanner
+
+    planner = QueryPlanner(index)
+    for q in ["error OR timeout OR retry", "error AND timeout", "error NOT test"]:
+        plan = _plan(planner.plan(q, k=10, block_pruning=False))
+        read = plan.split("ReadSchema")[1][:400]
+        assert "pos_bytes" not in read, (q, read)
+        assert "doc_deltas" in read and "tf_bytes" in read, (q, read)
+    # and a phrase query still reads it
+    plan = _plan(planner.plan('"rate limit"', k=10, block_pruning=False))
+    assert "pos_bytes" in plan.split("ReadSchema")[1][:400]
+
+
 def test_token_nary_is_single_scan(index):
     """OR/AND/min-match over plain tokens must decode the blocks ONCE (a
     CASE-mapped branch id), not once per branch."""

@@ -70,6 +70,40 @@ def build_index(
     import os
     import sys
 
+    # Build-scoped fine scan splits: the fused tokenize/encode pass is
+    # CPU-bound at ~1s/MiB-compressed, so 4 MiB splits keep the last wave
+    # short at every core count (a 330 MB corpus = 84 tasks instead of 21;
+    # ragged-tail waste at 4 cores drops ~12% -> ~1% — this IS the measured
+    # scaling-efficiency fix).  Scoped here (runtime conf, restored in the
+    # finally below) because the same setting shreds QUERY scans into
+    # hundreds of tiny tasks of pure scheduling overhead.
+    _mpb_key = "spark.sql.files.maxPartitionBytes"
+    _mpb_old = spark.conf.get(_mpb_key, None)
+    spark.conf.set(_mpb_key, "4194304")
+    try:
+        return _build_index_inner(
+            spark, turns, store, rows_per_segment, input_desc, chunk_bits,
+            docid_map_mode,
+        )
+    finally:
+        if _mpb_old is None:
+            spark.conf.unset(_mpb_key)
+        else:
+            spark.conf.set(_mpb_key, _mpb_old)
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    turns: DataFrame,
+    store: SegmentStore,
+    rows_per_segment: int | None,
+    input_desc: str,
+    chunk_bits: int,
+    docid_map_mode: str,
+) -> list[SegmentMeta]:
+    import os
+    import sys
+
     prof = os.environ.get("TRINITY_PROFILE") == "1"
 
     def _p(msg: str, t_from: float) -> None:
@@ -291,9 +325,14 @@ class SegmentIndex:
         # full logical view (lazy; only touched if a caller scans everything)
         self.postings = decode_segments(self.blocks)
 
-    def postings_for(self, terms: list[str]) -> DataFrame:
+    def postings_for(
+        self, terms: list[str], with_positions: bool = True
+    ) -> DataFrame:
+        """``with_positions=False`` = the docs/freqs-only decode: pos_bytes
+        (the largest stream) is pruned from the parquet scan — token-only
+        BM25 queries never touch it."""
         pruned = self.blocks.where(F.col("term").isin(terms))
-        return decode_segments(pruned)
+        return decode_segments(pruned, with_positions=with_positions)
 
     def postings_with_payloads_for(self, terms: list[str]) -> DataFrame:
         """Like postings_for but with the per-hit payload stream decoded

@@ -55,6 +55,7 @@ SEGMENT_SCHEMA = (
 )
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
 POSTINGS_PAYLOAD_SCHEMA = POSTINGS_SCHEMA + ", payloads array<long>"
+POSTINGS_NOPOS_SCHEMA = "term string, doc_id long, tf int"
 
 
 def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
@@ -158,7 +159,9 @@ def _binary_row_lengths(arr: pa.Array) -> np.ndarray:
 
 
 def _decode_batches(
-    batches: Iterator[pa.RecordBatch], with_payloads: bool = False
+    batches: Iterator[pa.RecordBatch],
+    with_payloads: bool = False,
+    with_positions: bool = True,
 ) -> Iterator[pa.RecordBatch]:
     """Block rows -> posting rows, one vectorized pass per Arrow batch.
 
@@ -167,13 +170,20 @@ def _decode_batches(
     concatenated binary buffers; per-block structure is recovered from
     doc_count / tf prefix sums (reduceat-style), never a per-row loop.  This
     is the hottest query-side kernel — the reference's equivalent is the
-    SIMD-friendly block decode of google_codec.cpp:178-240."""
+    SIMD-friendly block decode of google_codec.cpp:178-240.
+
+    ``with_positions=False`` skips the position stream entirely — the
+    pos_bytes column (the LARGEST stream) is then never read, never
+    decompressed, never decoded: the docs-only iterator mode of the
+    reference codecs (google_codec.cpp skips hits when the query needs only
+    doc/freq)."""
     fields = [
         pa.field("term", pa.string()),
         pa.field("doc_id", pa.int64()),
         pa.field("tf", pa.int32()),
-        pa.field("positions", pa.list_(pa.int32())),
     ]
+    if with_positions:
+        fields.append(pa.field("positions", pa.list_(pa.int32())))
     if with_payloads:
         fields.append(pa.field("payloads", pa.list_(pa.int64())))
     out_schema = pa.schema(fields)
@@ -192,15 +202,6 @@ def _decode_batches(
         # tfs: one decode, one value per posting
         tfs = decode_varbyte(_binary_stream(batch.column("tf_bytes"))).astype(np.int64)
         assert len(tfs) == n_postings
-        # positions: one decode, resets at each doc's first position
-        pos_deltas = decode_varbyte(_binary_stream(batch.column("pos_bytes")))
-        doc_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-        flat = _reset_cumsum(pos_deltas, doc_starts, tfs)
-        offsets = np.concatenate((doc_starts, [len(flat)])).astype(np.int32)
-        positions_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            pa.array(flat.astype(np.int32), type=pa.int32()),
-        )
         # term column: arrow take (no Python string materialization)
         row_idx = pa.array(np.repeat(np.arange(batch.num_rows), dc), type=pa.int32())
         terms = batch.column("term").take(row_idx)
@@ -208,8 +209,19 @@ def _decode_batches(
             terms.cast(pa.string()),
             pa.array(doc_ids, type=pa.int64()),
             pa.array(tfs.astype(np.int32), type=pa.int32()),
-            positions_arr,
         ]
+        if with_positions:
+            # positions: one decode, resets at each doc's first position
+            pos_deltas = decode_varbyte(_binary_stream(batch.column("pos_bytes")))
+            doc_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            flat = _reset_cumsum(pos_deltas, doc_starts, tfs)
+            offsets = np.concatenate((doc_starts, [len(flat)])).astype(np.int32)
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(flat.astype(np.int32), type=pa.int32()),
+                )
+            )
         if with_payloads:
             # a block either carries one payload per hit or none (empty
             # stream); docs in payload-free blocks get empty lists
@@ -229,12 +241,22 @@ def _decode_batches(
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
 
-def decode_segments(blocks: DataFrame, with_payloads: bool = False) -> DataFrame:
-    """Block rows -> logical postings (term, doc_id, tf, positions[, payloads]).
+def decode_segments(
+    blocks: DataFrame,
+    with_payloads: bool = False,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Block rows -> logical postings (term, doc_id, tf[, positions][, payloads]).
 
     ``with_payloads=True`` adds the per-hit payload column (empty list for
     hits indexed without payloads) — kept OFF the query hot path: BM25 never
-    reads it, so the default scan doesn't even project pay_bytes."""
+    reads it, so the default scan doesn't even project pay_bytes.
+
+    ``with_positions=False`` drops the position column AND its physical
+    pos_bytes stream from the scan projection entirely (parquet column
+    pruning) — the docs/freqs-only decode a token-only BM25 query needs;
+    pos_bytes is the largest stream, so this roughly halves the bytes a
+    positional-free query touches."""
     if with_payloads:
         sel = blocks.select(
             "term", "doc_count", "doc_deltas", "tf_bytes", "pos_bytes",
@@ -243,6 +265,13 @@ def decode_segments(blocks: DataFrame, with_payloads: bool = False) -> DataFrame
         return sel.mapInArrow(
             lambda it: _decode_batches(it, with_payloads=True),
             POSTINGS_PAYLOAD_SCHEMA,
+        )
+    if not with_positions:
+        return blocks.select(
+            "term", "doc_count", "doc_deltas", "tf_bytes"
+        ).mapInArrow(
+            lambda it: _decode_batches(it, with_positions=False),
+            POSTINGS_NOPOS_SCHEMA,
         )
     return blocks.select(
         "term", "doc_count", "doc_deltas", "tf_bytes", "pos_bytes"

@@ -187,10 +187,13 @@ class _PrunedView:
         self.postings = inner.postings
         self.chunk_bits = getattr(inner, "chunk_bits", 16)
 
-    def postings_for(self, terms):
+    def postings_for(self, terms, with_positions: bool = True):
         from .segments import decode_segments
 
-        return decode_segments(self.blocks.where(F.col("term").isin(terms)))
+        return decode_segments(
+            self.blocks.where(F.col("term").isin(terms)),
+            with_positions=with_positions,
+        )
 
     def postings_with_payloads_for(self, terms):
         # hits/payloads must come from the FULL index: a winner doc's matched

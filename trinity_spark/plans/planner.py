@@ -124,9 +124,16 @@ class LogicalIndex:
         self.field_stats = field_stats
         self.deleted = deleted
 
-    def postings_for(self, terms: list[str]) -> DataFrame:
-        # isin -> parquet/Iceberg predicate pushdown does the "term seek"
-        return self.postings.where(F.col("term").isin(terms))
+    def postings_for(
+        self, terms: list[str], with_positions: bool = True
+    ) -> DataFrame:
+        # isin -> parquet/Iceberg predicate pushdown does the "term seek";
+        # logical postings are already materialized, so with_positions only
+        # narrows the projection (the physical pruning lives in SegmentIndex)
+        cols = ["term", "doc_id", "tf"] + (
+            ["positions"] if with_positions else []
+        )
+        return self.postings.where(F.col("term").isin(terms)).select(*cols)
 
     def stats_for(self, terms: list[str]) -> IndexStats:
         n_docs = self.field_stats.agg(F.sum("docs_cnt")).collect()[0][0] or 0
@@ -177,6 +184,18 @@ def fold_unknown(node: Node, known: set[str]) -> Node | None:
         c = fold_unknown(node.child, known)
         return ConstTrue(c) if c is not None else None
     raise TypeError(type(node))
+
+
+def _has_phrase(node: Node) -> bool:
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, (And, Or, Some)):
+        return any(_has_phrase(c) for c in node.children)
+    if isinstance(node, Not):
+        return _has_phrase(node.req) or _has_phrase(node.excl)
+    if isinstance(node, ConstTrue):
+        return _has_phrase(node.child)
+    return False
 
 
 def _map_compilable(node: Node) -> bool:
@@ -465,8 +484,15 @@ class QueryPlanner:
         if node is None:
             return empty
         self._stats = stats
-        # one postings scan, pushed-down to the live terms, reused by all branches
-        self._postings = self.index.postings_for(query_terms(node))
+        # one postings scan, pushed-down to the live terms, reused by all
+        # branches; positions (the largest stream) are only decoded when a
+        # phrase actually needs them — token-only queries run docs/freqs-only
+        needs_pos = _has_phrase(node)
+        qts = query_terms(node)
+        try:
+            self._postings = self.index.postings_for(qts, with_positions=needs_pos)
+        except TypeError:  # duck-typed custom index views without the kwarg
+            self._postings = self.index.postings_for(qts)
         if (
             not isinstance(node, Token)
             and not self._is_distinct_token_nary(node)

@@ -48,12 +48,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("TRINITY_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # 4 MiB scan splits: the fused build is CPU-bound at ~1s/MiB-compressed,
-        # so fine splits keep the last wave short at every core count (a 330 MB
-        # corpus = 84 tasks instead of 21; the ragged-tail waste at 4 cores
-        # drops from ~12% to ~1%); per-task overhead stays <5% and is itself
-        # parallel, so the trade scales
-        .config("spark.sql.files.maxPartitionBytes", "4194304")
+        # NOTE: no global spark.sql.files.maxPartitionBytes override here —
+        # the build-tuned 4 MiB fine-split (critical for scaling efficiency
+        # of the CPU-bound fused build) is scoped INSIDE build_index via a
+        # runtime conf set/restore; query scans plan with Spark's default
+        # 128 MiB splits (fine splits turned a 10M-doc index query into
+        # 312 tiny tasks of pure scheduling overhead)
         .config("spark.executorEnv.PYTHONPATH", pkg_root)
         .config("spark.local.dir", os.environ.get("TRINITY_LOCAL_DIR", "/dev/shm/spark-local")
                 if os.path.isdir(os.environ.get("TRINITY_LOCAL_DIR", "/dev/shm/spark-local"))
