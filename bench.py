@@ -37,7 +37,11 @@ TURNS_PER_SF = 10_000_000  # sf0.1 -> 1M turns (headline build + query set)
 # 3M turns: the local[1] leg (~3.5 min) keeps the parallel fraction >97% of
 # wall while the whole 2-rep scaling study stays near ten minutes
 SCALING_TURNS = int(os.environ.get("TRINITY_SCALING_TURNS", "3000000"))
-SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "4"))
+SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "5"))
+# 5 (odd) so the headline median-of-pairs is a real observed pair, and two
+# steal-hit pairs out of five still leave a clean-window median (with 4 reps
+# the even-count median averages the two middle pairs, letting one bad
+# window drag the headline below what any clean pair measured)
 # N and 4N parallelism levels for the scaling criterion.  This VM's
 # hypervisor steal varies BY TIME WINDOW (identical runs differ up to ~3x
 # across windows, while runs a few minutes apart are coherent), and the

@@ -1,0 +1,124 @@
+"""Compaction policy (plan/compact) + store integrity checker (fsck).
+
+The reference leaves merge CANDIDATE SELECTION to applications
+(MergeCandidatesCollection, /root/reference/merge.cpp:6-25); plan_compaction
+is our size-tiered policy over the manifest, compact() the cascade driver.
+fsck checks the invariants the segment model guarantees by construction.
+"""
+
+import shutil
+
+import pytest
+
+from trinity_spark.fixtures import docs_in_stable_order, gen_transcripts
+from trinity_spark.operators.compaction import compact, plan_compaction
+from trinity_spark.operators.indexer import SegmentIndex, build_index
+from trinity_spark.operators.merge import merge_segments
+from trinity_spark.oracle import OracleIndex
+from trinity_spark.plans.parser import parse_query
+from trinity_spark.plans.planner import QueryPlanner
+from trinity_spark.sources.store import SegmentStore
+from trinity_spark.streaming.nrt import append_micro_segment
+
+N_BASE, N_MICRO = 600, 120
+
+
+@pytest.fixture()
+def tiered_store(spark, tmp_path):
+    """One 600-doc build segment + four 120-doc NRT micro-segments."""
+    corpus0 = gen_transcripts(N_BASE)
+    store = SegmentStore(str(tmp_path / "idx"))
+    build_index(spark, spark.createDataFrame(corpus0), store, rows_per_segment=N_BASE)
+    batches = [gen_transcripts(N_MICRO, seed=50 + i) for i in range(4)]
+    for b in batches:
+        append_micro_segment(spark, store, spark.createDataFrame(b))
+    return store, corpus0, batches
+
+
+def _oracle(corpus0, batches):
+    docs = docs_in_stable_order(corpus0)
+    for b in batches:
+        extra = docs_in_stable_order(b)
+        docs += [(d + len(docs), t) for d, t in extra]
+    return OracleIndex.build(docs)
+
+
+def test_plan_groups_micro_segments_only(tiered_store):
+    store, _, _ = tiered_store
+    plans = plan_compaction(store, min_merge=4, micro_docs=256)
+    assert len(plans) == 1
+    micro_ids = {m.segment_id for m in store.segments() if m.docs_cnt == N_MICRO}
+    assert set(plans[0]) == micro_ids  # the 600-doc segment is a higher tier
+    # below the eligibility threshold nothing is planned
+    assert plan_compaction(store, min_merge=5, micro_docs=256) == []
+
+
+def test_compact_cascades_gc_and_rank_identity(spark, tiered_store):
+    store, corpus0, batches = tiered_store
+    produced = compact(spark, store, min_merge=2, micro_docs=256)
+    assert produced  # at least the tier-0 merge happened
+    live = store.segments()
+    assert len(live) == 1  # cascade folded everything into one segment
+    assert live[0].docs_cnt == N_BASE + 4 * N_MICRO
+    # gc ran: retired segment dirs are physically gone
+    import os
+
+    seg_root = os.path.join(store.base, "segments")
+    assert sorted(os.listdir(seg_root)) == [live[0].segment_id]
+    assert store.fsck(spark, deep=True)["ok"]
+
+    oracle = _oracle(corpus0, batches)
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    for q in ["error", "error AND timeout", '"rate limit"', "retry OR backoff"]:
+        node = parse_query(q)
+        want = oracle.topk(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
+
+
+def test_noncontiguous_merge_claims_are_legal(spark, tmp_path):
+    """Merging a non-contiguous candidate set claims [min_lo, max_hi), which
+    overlaps the live middle segment — legal (merge.py per-meta ranges);
+    fsck must not flag it and ranking must be unchanged."""
+    corpus = gen_transcripts(900)
+    store = SegmentStore(str(tmp_path / "idx"))
+    build_index(spark, spark.createDataFrame(corpus), store, rows_per_segment=300)
+    ids = sorted(m.segment_id for m in store.segments())
+    assert len(ids) == 3
+    merge_segments(spark, store, [ids[0], ids[2]])
+    rep = store.fsck(spark, deep=True)
+    assert rep["ok"], rep["errors"]
+
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    node = parse_query("error OR timeout")
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_fsck_detects_corruption(spark, tiered_store):
+    store, _, _ = tiered_store
+    assert store.fsck()["ok"]
+    victim = store.segments()[0].segment_id
+    shutil.rmtree(store.segment_dir(victim, "term_dict"))
+    rep = store.fsck()
+    assert not rep["ok"] and any("term_dict" in e for e in rep["errors"])
+
+
+def test_fsck_deep_detects_docs_cnt_drift(spark, tiered_store):
+    store, _, _ = tiered_store
+    m = store.read_manifest()
+    m["segments"][0]["docs_cnt"] -= 5  # stays metadata-valid; physically wrong
+    store._write_manifest(m)
+    assert store.fsck()["ok"]  # metadata pass cannot see it
+    rep = store.fsck(spark, deep=True)
+    assert not rep["ok"]
+    assert any("physical docs" in e for e in rep["errors"])
+    assert any("sum(docs_cnt)" in e for e in rep["errors"])
+
+
+def test_fsck_empty_store(tmp_path):
+    assert SegmentStore(str(tmp_path / "idx")).fsck()["ok"]

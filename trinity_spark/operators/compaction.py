@@ -1,0 +1,87 @@
+"""Compaction policy: WHICH segments to merge, and a one-call driver.
+
+Reference: Trinity's merge is mechanism only — the application collects a
+``MergeCandidatesCollection`` (ordered by generation DESC,
+``/root/reference/merge.cpp:6-25``) and calls ``merge()``; the retention
+verdict for the inputs is ``merge.cpp:418-447``.  WHEN and WHAT to merge is
+left to the app, and every real deployment (and our NRT path, which mints one
+micro-segment per stream batch) needs that policy.  This module supplies a
+size-tiered policy in the Lucene TieredMergePolicy tradition:
+
+- segments are bucketed into size tiers by ``docs_cnt`` (log base
+  ``tier_factor`` above a ``micro_docs`` floor, so all NRT micro-segments
+  share tier 0);
+- a tier is merge-eligible once it holds >= ``min_merge`` live segments;
+- one merge takes at most ``max_merge`` inputs (bounds the working set of
+  any single merge job — at 10^12 docs a merge's shuffle is proportional to
+  its inputs' bytes, so the cap is the scale knob);
+- merging smallest-first means bytes are rewritten O(log_tier_factor(N))
+  times over an index's lifetime — the standard amortization argument.
+
+The planner is DRIVER-METADATA ONLY: it reads the manifest, never runs a
+Spark job.  ``compact`` cascades (a produced merge may fill the next tier)
+and finishes with the store's deferred GC pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from ..sources.store import SegmentMeta, SegmentStore
+from .merge import merge_segments
+
+MICRO_DOCS = 1 << 14
+
+
+def plan_compaction(
+    store: SegmentStore,
+    min_merge: int = 4,
+    max_merge: int = 16,
+    tier_factor: int = 8,
+    micro_docs: int = MICRO_DOCS,
+) -> list[list[str]]:
+    """Return merge candidate groups (lists of segment_ids), smallest tier
+    first.  Empty list = nothing worth merging.  Pure manifest arithmetic."""
+    if min_merge < 2:
+        raise ValueError("min_merge must be >= 2")
+    tiers: dict[int, list[SegmentMeta]] = {}
+    for m in store.segments():
+        if m.docs_cnt < micro_docs:
+            t = 0
+        else:
+            t = 1 + int(math.log(m.docs_cnt / micro_docs) / math.log(tier_factor))
+        tiers.setdefault(t, []).append(m)
+    plans: list[list[str]] = []
+    for t in sorted(tiers):
+        group = sorted(tiers[t], key=lambda m: (m.docs_cnt, m.segment_id))
+        while len(group) >= min_merge:
+            take, group = group[:max_merge], group[max_merge:]
+            plans.append([m.segment_id for m in take])
+    return plans
+
+
+def compact(
+    spark: SparkSession,
+    store: SegmentStore,
+    apply_deletes: bool = True,
+    max_rounds: int = 8,
+    gc: bool = True,
+    **policy: int,
+) -> list[SegmentMeta]:
+    """Run the policy to quiescence: plan -> merge each group -> re-plan
+    (a round's outputs can fill a higher tier), then GC retired data.
+    Returns the metas of every merged segment produced."""
+    produced: list[SegmentMeta] = []
+    for _ in range(max_rounds):
+        plans = plan_compaction(store, **policy)
+        if not plans:
+            break
+        for ids in plans:
+            produced.append(
+                merge_segments(spark, store, ids, apply_deletes=apply_deletes)
+            )
+    if gc:
+        store.gc()
+    return produced

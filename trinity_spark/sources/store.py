@@ -383,3 +383,107 @@ class SegmentStore:
             return None
         return spark.read.parquet(*[d["path"] for d in m["deletes"]]).select("doc_id").distinct()
 
+    def fsck(self, spark: SparkSession | None = None, deep: bool = False) -> dict[str, Any]:
+        """Store integrity check (the operational tool Trinity leaves to apps:
+        its segment model makes these invariants checkable but ships no
+        checker).  Metadata pass (no Spark): every live segment's three data
+        dirs exist and are non-empty, live doc ranges are pairwise disjoint,
+        ``docs_cnt <= doc_hi - doc_lo``, generations are unique and below
+        ``next_generation``, every tombstone file exists.  Deep pass
+        (``deep=True``, needs ``spark``): per segment, the physical distinct
+        doc count equals the manifest ``docs_cnt`` and all block doc_ids fall
+        inside ``[doc_lo, doc_hi)`` — exact by the merge accounting invariant
+        (physical docs == docs_cnt inductively: builds write one doc per turn;
+        merges subtract exactly the tombstones they physically removed).
+
+        Range disjointness is only asserted between NON-merged segments: a
+        merge of a non-contiguous candidate set (legal — see merge.py's
+        per-meta tombstone ranges) claims ``[min_lo, max_hi)``, which may
+        overlap other live claims while the physical doc sets stay disjoint;
+        the deep pass checks the physical invariant globally
+        (``sum(docs_cnt) == countDistinct(doc_id)`` across all live
+        segments — exactly the duplicate-document corruption a bad resume or
+        double-applied batch would cause).
+
+        Returns ``{"ok": bool, "errors": [...], "segments_checked": n}``;
+        never raises on a finding — callers alert on ``ok=False``."""
+        errors: list[str] = []
+        m = self.read_manifest()
+        metas = [SegmentMeta(**s) for s in m["segments"]]
+        for meta in metas:
+            for part in ("postings", "term_dict", "field_stats"):
+                d = self.segment_dir(meta.segment_id, part)
+                if not os.path.isdir(d) or not any(
+                    f.endswith(".parquet") for f in os.listdir(d)
+                ):
+                    errors.append(f"{meta.segment_id}: missing/empty {part} dir")
+            if not 0 <= meta.docs_cnt <= meta.doc_hi - meta.doc_lo:
+                errors.append(
+                    f"{meta.segment_id}: docs_cnt {meta.docs_cnt} outside "
+                    f"[0, {meta.doc_hi - meta.doc_lo}]"
+                )
+            if meta.generation >= m["next_generation"]:
+                errors.append(
+                    f"{meta.segment_id}: generation {meta.generation} >= "
+                    f"next_generation {m['next_generation']}"
+                )
+        gens = [meta.generation for meta in metas]
+        if len(set(gens)) != len(gens):
+            errors.append("duplicate segment generations")
+        exact_claims = sorted(
+            (s for s in metas if not s.segment_id.startswith("merged-")),
+            key=lambda s: s.doc_lo,
+        )
+        for a, b in zip(exact_claims, exact_claims[1:]):
+            if b.doc_lo < a.doc_hi:
+                errors.append(
+                    f"doc ranges overlap: {a.segment_id} and {b.segment_id}"
+                )
+        for d in m["deletes"]:
+            if not os.path.exists(d["path"]):
+                errors.append(f"tombstone gen {d['gen']}: missing {d['path']}")
+        if deep:
+            if spark is None:
+                raise ValueError("deep fsck needs a SparkSession")
+            from ..operators.segments import decode_segments
+
+            if metas:
+                # one positions-free decode of every live block: physical
+                # distinct docs across the whole store vs Σ docs_cnt
+                total = (
+                    decode_segments(self.read_blocks(spark), with_positions=False)
+                    .select(F.countDistinct("doc_id"))
+                    .first()[0]
+                )
+                expect = sum(meta.docs_cnt for meta in metas)
+                if total != expect:
+                    errors.append(
+                        f"global distinct doc_ids {total} != sum(docs_cnt) "
+                        f"{expect} (duplicate or lost documents)"
+                    )
+            for meta in metas:
+                blocks = spark.read.parquet(
+                    self.segment_dir(meta.segment_id, "postings")
+                )
+                docs = (
+                    decode_segments(blocks, with_positions=False)
+                    .select(F.countDistinct("doc_id"))
+                    .first()[0]
+                )
+                if docs != meta.docs_cnt:
+                    errors.append(
+                        f"{meta.segment_id}: physical docs {docs} != "
+                        f"manifest docs_cnt {meta.docs_cnt}"
+                    )
+                rng = blocks.select(
+                    F.min("min_doc_id").alias("lo"), F.max("max_doc_id").alias("hi")
+                ).first()
+                if rng["lo"] is not None and not (
+                    meta.doc_lo <= rng["lo"] and rng["hi"] < meta.doc_hi
+                ):
+                    errors.append(
+                        f"{meta.segment_id}: doc_ids [{rng['lo']}, {rng['hi']}] "
+                        f"outside [{meta.doc_lo}, {meta.doc_hi})"
+                    )
+        return {"ok": not errors, "errors": errors, "segments_checked": len(metas)}
+
