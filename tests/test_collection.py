@@ -1,0 +1,59 @@
+"""Collection execution (exec.h:64-177): per-source scoring + app-side merge."""
+
+import pytest
+
+from trinity_spark.fixtures import docs_in_stable_order, gen_transcripts
+from trinity_spark.operators.collection import exec_query_collection
+from trinity_spark.operators.indexer import build_index
+from trinity_spark.oracle import OracleIndex
+from trinity_spark.plans.parser import parse_query
+from trinity_spark.sources.store import SegmentStore
+
+N_A, N_B = 500, 400
+
+
+@pytest.fixture()
+def two_stores(spark, tmp_path):
+    corpora = [gen_transcripts(N_A), gen_transcripts(N_B, seed=77)]
+    stores = []
+    for i, c in enumerate(corpora):
+        st = SegmentStore(str(tmp_path / f"idx{i}"))
+        build_index(spark, spark.createDataFrame(c), st, rows_per_segment=len(c))
+        stores.append(st)
+    return stores, corpora
+
+
+def test_collection_merges_per_source_topk(spark, two_stores):
+    stores, corpora = two_stores
+    k = 10
+    for q in ["error", "error AND timeout", "retry OR backoff", '"rate limit"']:
+        node = parse_query(q)
+        # expectation: each source scored with ITS OWN stats (the reference's
+        # per-source exec), then merged by (score desc, source, doc_id)
+        want = []
+        for i, c in enumerate(corpora):
+            oracle = OracleIndex.build(docs_in_stable_order(c))
+            want += [(i, d, s) for d, s in oracle.topk(node, k=k)]
+        want.sort(key=lambda r: (-r[2], r[0], r[1]))
+        want = want[:k]
+
+        got = [
+            (r["source"], r["doc_id"], r["score"])
+            for r in exec_query_collection(spark, stores, node, k=k).collect()
+        ]
+        assert [(s, d) for s, d, _ in got] == [(s, d) for s, d, _ in want], q
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9
+
+
+def test_collection_doc_ids_are_per_source(spark, two_stores):
+    stores, _ = two_stores
+    rows = exec_query_collection(spark, stores, "error", k=20).collect()
+    assert {r["source"] for r in rows} == {0, 1}  # both sources contribute
+    # same doc_id may legally appear under different sources (separate spaces)
+    assert len({(r["source"], r["doc_id"]) for r in rows}) == len(rows)
+
+
+def test_collection_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        exec_query_collection(spark, [], "error")
