@@ -402,3 +402,59 @@ def test_segment_index_refresh_after_append(spark, tmp_path_factory):
     append_micro_segment(spark, store, spark.createDataFrame(gen_transcripts(100, seed=3)))
     assert index.stats_for([]).n_docs == n0  # frozen snapshot (documented)
     assert index.refresh().stats_for([]).n_docs == n0 + 100
+
+
+def test_documents_only_mode(spark):
+    """ExecFlags::DocumentsOnly (exec.h:11-23): matching doc IDs only, no
+    similarity evaluation.  Must equal the scored path's match SET for every
+    query class, and the single-token plan must not even aggregate."""
+    corpus = gen_transcripts(400)
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    turns = assign_doc_ids(spark.createDataFrame(corpus), num_partitions=3)
+    postings = build_postings(tokenize_turns(turns)).persist()
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, 400)
+    )
+    planner = QueryPlanner(index)
+    for q in [
+        "error",
+        "error AND timeout",
+        "retry OR backoff",
+        '"connection reset by peer"',
+        "error NOT test",
+        '("rate limit" OR throttle) AND the',
+        "[error, timeout, retry] min=2",
+        "zzznothing",
+        "",
+    ]:
+        node = parse_query(q)
+        got = {r["doc_id"] for r in planner.matching_docs(q).collect()}
+        want = {d for d, _ in oracle.topk(node, k=10**6)} if node else set()
+        assert got == want, q
+    # single token: pure filter+project — the QUERY adds no aggregation on
+    # top of the postings source (the in-memory build's own groupBy shows in
+    # both plans; a segment-backed index has a plain scan there)
+    def n_aggs(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Aggregate")
+
+    base = n_aggs(index.postings.where("term = 'error'").select("doc_id"))
+    assert n_aggs(planner.matching_docs("error")) == base
+    # the boolean path's aggregation carries presence columns only (no s{i})
+    tree = planner.matching_docs("error AND timeout")
+    assert "doc_id" == tree.columns[0] and tree.columns == ["doc_id"]
+
+
+def test_documents_only_never_calls_similarity(spark):
+    calls = []
+
+    def spy_similarity(ctx, freq):
+        calls.append(ctx.term)
+        import pyspark.sql.functions as F
+
+        return F.lit(1.0)
+
+    index = _tiny_index(spark)
+    planner = QueryPlanner(index, similarity=spy_similarity)
+    rows = planner.matching_docs('error AND "gpu driver"').collect()
+    assert rows == [] or all(set(r.asDict()) == {"doc_id"} for r in rows)
+    assert calls == []  # DocumentsOnly: the scorer seam is never touched

@@ -224,6 +224,7 @@ class QueryPlanner:
         # {...}} — so benchmarks/operators can PROVE "gate closed, identical
         # single-pass plan" instead of readers inferring it from walls
         self.last_route: dict = {"path": None, "gate": None}
+        self._docs_only = False  # ExecFlags::DocumentsOnly compile mode
 
     def plan(
         self,
@@ -470,6 +471,49 @@ class QueryPlanner:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def matching_docs(
+        self, query: str | Node, doc_filter: DataFrame | None = None
+    ) -> DataFrame:
+        """ExecFlags::DocumentsOnly (``/root/reference/exec.h:11-23``): the
+        matching document IDs and nothing else — "just count or collect
+        documents matching a query".  Cheaper than ``score_all``: similarity
+        is never evaluated, no score columns ride the shuffle, and a single
+        token needs NO aggregation at all (postings rows are already unique
+        per (term, doc_id)).  Stats are consulted only for unknown-term
+        folding."""
+        node = parse_query(query) if isinstance(query, str) else query
+        spark = self.index.postings.sparkSession
+        empty = spark.createDataFrame([], "doc_id long")
+        if node is None:
+            return empty
+        terms = query_terms(node)
+        stats = self.index.stats_for(terms)
+        node = fold_unknown(node, {t for t in terms if stats.df(t) > 0})
+        if node is None:
+            return empty
+        self._stats = stats
+        needs_pos = _has_phrase(node)
+        qts = query_terms(node)
+        try:
+            self._postings = self.index.postings_for(qts, with_positions=needs_pos)
+        except TypeError:
+            self._postings = self.index.postings_for(qts)
+        if isinstance(node, Token):
+            out = self._postings.where(F.col("term") == node.term).select("doc_id")
+        elif _map_compilable(node):
+            self._docs_only = True
+            try:
+                out = self._compile_map(node)
+            finally:
+                self._docs_only = False
+        else:
+            out = self.score_all(node).select("doc_id")
+        if self.index.deleted is not None:
+            out = out.join(self.index.deleted, "doc_id", "left_anti")
+        if doc_filter is not None:
+            out = out.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        return out
+
     def score_all(self, query: str | Node) -> DataFrame:
         """All matching docs with scores, no ordering/limit (the full
         MatchedIndexDocumentsFilter::consider stream, matches.h:139-186)."""
@@ -573,7 +617,10 @@ class QueryPlanner:
                 tok,
             )
             cond = F.col("term") == tok.term
-            aggs.append(F.max(F.when(cond, sim(ctx, F.col("tf")))).alias(f"s{i}"))
+            if not self._docs_only:
+                aggs.append(
+                    F.max(F.when(cond, sim(ctx, F.col("tf")))).alias(f"s{i}")
+                )
             # presence separately: a custom similarity may legally score 0/null
             aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"p{i}"))
         if phrase_members:
@@ -592,6 +639,8 @@ class QueryPlanner:
         g = self._postings.groupBy("doc_id").agg(*aggs)
         self._tokcols = tokcols
         present, score = self._map_expr(node, F.col("m") if phrase_members else None)
+        if self._docs_only:  # ExecFlags::DocumentsOnly: ids, nothing else
+            return g.where(present).select("doc_id")
         return g.where(present).select("doc_id", score.alias("score"))
 
     def _map_expr(self, node: Node, m):
@@ -603,6 +652,8 @@ class QueryPlanner:
         sim = self.similarity or default_similarity
         if isinstance(node, Token):
             i = self._tokcols[node]
+            if self._docs_only:
+                return F.col(f"p{i}").isNotNull(), F.lit(0.0)
             return F.col(f"p{i}").isNotNull(), F.col(f"s{i}")
         if isinstance(node, Phrase):
             idf = 0.0
@@ -625,6 +676,8 @@ class QueryPlanner:
                 lambda a, b: a & b,
                 [F.element_at(m, t).isNotNull() for t in sorted(set(node.terms))],
             )
+            if self._docs_only:
+                return have_all & (pf > 0), F.lit(0.0)
             ctx = _rw(
                 TermContext(
                     " ".join(node.terms),
