@@ -144,6 +144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_trimmed"] = bm25_trimmed
 
+    # §2.10/exec.h:11-23 — ExecFlags::DocumentsOnly: matching IDs only, the
+    # scorer never runs (matching_docs compiles a presence-only aggregation)
+    def docs_only_matching(spark, sf):
+        planner = _index(spark, sf)
+        return planner.matching_docs("join AND merge NOT slow").orderBy("doc_id")
+
+    q["docs_only_matching"] = docs_only_matching
+
     # §2.10/exec.cpp:553-657 — rewrite provenance to scorers: a custom
     # similarity down-weights synonym-generated branches by 0.5 x the
     # translation coefficient; the oracle reproduces the weighting in SQL
@@ -432,6 +440,15 @@ FROM scored ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 10
     )
     # keep-first trim: only the first 2 of 4 OR'd tokens survive
     o["bm25_trimmed"] = _score_sql("t.term IN ('spark','join')")
+    o["docs_only_matching"] = f"""
+WITH {_TOKS}
+SELECT doc_id FROM toks
+WHERE term IN ('join','merge')
+  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'slow')
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 2
+ORDER BY doc_id
+"""
     # rewrite-down-weighted OR: synonym branch 'merge' scored at 0.5x
     o["bm25_rewrite_downweight"] = f"""
 WITH {_TOKS}, {_STATS},
