@@ -178,6 +178,43 @@ def run_pruning_win(cpus: int, index_dir: str) -> dict:
     return out
 
 
+def run_merge_bench(cpus: int, n_turns: int) -> dict:
+    """North-star merge phase: build a 4-segment index over the headline
+    corpus, merge all segments into one, report wall + docs/s + the
+    byte-reuse economics (blocks moved byte-identical vs re-encoded,
+    merge.cpp:166-180 analog).  With no tombstones every full block reuses."""
+    import shutil as _sh
+
+    from trinity_spark.operators.indexer import build_index
+    from trinity_spark.operators.merge import merge_segments
+    from trinity_spark.session import get_spark
+    from trinity_spark.sources.store import SegmentStore
+
+    spark = get_spark(f"bench_merge_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    corpus = _corpus_path(n_turns)
+    idx = os.path.join(BENCH_ROOT, f"index_merge_{n_turns}")
+    _sh.rmtree(idx, ignore_errors=True)
+    store = SegmentStore(idx)
+    build_index(
+        spark, spark.read.parquet(corpus), store,
+        rows_per_segment=max(n_turns // 4, 1 << 14),
+        input_desc=corpus, docid_map_mode="virtual",
+    )
+    n_in = len(store.segments())
+    t0 = time.monotonic()
+    meta = merge_segments(spark, store)
+    wall = time.monotonic() - t0
+    return {
+        "segments_in": n_in,
+        "docs": meta.docs_cnt,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(meta.docs_cnt / wall, 1),
+        "blocks_reused": meta.metrics["blocks_reused"],
+        "blocks_reencoded": meta.metrics["blocks_reencoded"],
+    }
+
+
 def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
     from trinity_spark.operators.indexer import SegmentIndex
     from trinity_spark.plans.planner import QueryPlanner
@@ -392,6 +429,9 @@ def main() -> None:
         pruning_win = run_pruning_win(
             cpus, os.path.join(BENCH_ROOT, f"index_c{cpus}_{win_turns}_cb10")
         )
+    merge_bench = {}
+    if os.environ.get("TRINITY_BENCH_MERGE", "1") != "0":
+        merge_bench = run_merge_bench(cpus, n_turns)
     total = build_main["wall_sec"] + sum(qtimes.values())
     result = {
         "metric": "index_build_plus_queryset_sec",
@@ -402,6 +442,7 @@ def main() -> None:
         "sf": sf,
         "build": build_main,
         "scaling": scaling,
+        "merge": merge_bench,
         "pruning": {"gates": gates, "gate_open_win": pruning_win},
         "query_p50_sec": round(statistics.median(qtimes.values()), 3),
         "query_p50_warm_sec": round(statistics.median(qwarm.values()), 3),
@@ -495,6 +536,10 @@ best-of-N per level on the same input (all raw walls listed).
 
 {sc_text}
 
+## Segment merge (north-star merge phase)
+
+{_merge_md(r.get('merge', {}))}
+
 ## BM25 query latency (reference query set, k=10)
 
 Cold = first execution of each plan on a warm session (one untimed warmup
@@ -519,6 +564,22 @@ is not its baseline.
 
 {_pruning_md(r.get('pruning', {}))}
 """)
+
+
+def _merge_md(m: dict) -> str:
+    if not m:
+        return "(not measured this run)"
+    total = m["blocks_reused"] + m["blocks_reencoded"]
+    pct = 100.0 * m["blocks_reused"] / total if total else 0.0
+    return (
+        f"{m['segments_in']} segments ({m['docs']} docs) merged into one in "
+        f"**{m['wall_sec']} s = {m['docs_per_sec']} docs/sec**. Byte-reuse "
+        f"fast path (merge.cpp:166-180 analog): {m['blocks_reused']}/{total} "
+        f"blocks ({pct:.1f}%) moved byte-identical without decode; only "
+        f"partial blocks (repacked for compression) and tombstone-hit blocks "
+        f"were re-encoded. At 10^12 turns compaction cost is dominated by "
+        f"the re-encoded fraction, so this ratio is the scale lever."
+    )
 
 
 def _pruning_md(p: dict) -> str:

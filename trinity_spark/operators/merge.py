@@ -172,10 +172,24 @@ def merge_segments(
     )
     store.commit_segment(new_blocks, term_dict, stats, meta)
     store.retire_segments(ids)  # retention verdict (merge.cpp:418-447)
+    # byte-reuse economics for metrics: total off the (still cached) output,
+    # reused off a metadata-only blocks scan (no decode in that branch)
+    n_total = new_blocks.count()
+    n_reused = reused.count()
     rest_postings.unpersist()
     new_blocks.unpersist()
     wall = time.monotonic() - t0
-    meta.metrics.update({"wall_sec": round(wall, 3), "docs": docs_cnt})
+    meta.metrics.update(
+        {
+            "wall_sec": round(wall, 3),
+            "docs": docs_cnt,
+            "docs_per_sec": round(docs_cnt / wall, 1) if wall else None,
+            # the merge.cpp:166-180 fast-path economics: blocks moved
+            # byte-identical vs decoded+re-encoded
+            "blocks_reused": n_reused,
+            "blocks_reencoded": n_total - n_reused,
+        }
+    )
     m = store.read_manifest()
     for s in m["segments"]:
         if s["segment_id"] == meta.segment_id:
