@@ -89,6 +89,33 @@ def test_random_ast_matches_oracle(sparkref, corpus, q):
         assert abs(gs - ws) <= 1e-9, (q, gd)
 
 
+@given(corpus=corpora(), q=asts())
+@settings(
+    max_examples=int(__import__("os").environ.get("TRINITY_PROP_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_ast_documents_only_matches_oracle(sparkref, corpus, q):
+    """ExecFlags::DocumentsOnly on random trees: the presence-only compile
+    must produce exactly the oracle's match SET (scores ignored)."""
+    q = q.normalize()
+    if q is None:
+        return
+    spark = sparkref
+    turns = assign_doc_ids(
+        spark.createDataFrame(corpus, "conv_id string, turn_idx int, text string"),
+        num_partitions=2,
+    )
+    postings = build_postings(tokenize_turns(turns))
+    index = LogicalIndex(
+        postings, build_term_dict(postings), build_field_stats(postings, len(corpus))
+    )
+    oracle = OracleIndex.build([(i, t) for i, (_, _, t) in enumerate(sorted(corpus))])
+    want = {d for d, _ in oracle.topk(q, k=10**6)}
+    got = {r["doc_id"] for r in QueryPlanner(index).matching_docs(q).collect()}
+    assert got == want, q
+
+
 @given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500))
 @settings(max_examples=100, deadline=None)
 def test_docids_strictly_increasing_roundtrip(ids):
