@@ -272,6 +272,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_exact_groups"] = dedup_exact_groups
+
+    def dedup_exact_normalized(spark, sf):
+        # normalized-key variant (dedup on the first-8-word prefix): the
+        # harness corpus has no byte-identical docs, so the strict entry
+        # above legitimately returns 0 groups — this one produces real
+        # collision groups and exercises the hash-groupBy path non-trivially
+        from trinity_spark.dataops.dedup import exact_duplicates
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("text"),
+        )
+        g = exact_duplicates(docs)
+        return g.select(
+            "hash",
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.array_min("doc_ids").cast("long").alias("min_doc_id"),
+        )
+
+    q["dedup_exact_normalized"] = dedup_exact_normalized
     q["dedup_minhash_signatures"] = dedup_minhash_signatures
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
     q["percolator"] = percolator_route
@@ -552,6 +572,17 @@ SELECT md5(text) AS hash,
        CAST(count(*) AS BIGINT) AS dup_count,
        CAST(min(doc_id) AS BIGINT) AS min_doc_id
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+    o["dedup_exact_normalized"] = """
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS text
+  FROM documents
+)
+SELECT md5(text) AS hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM norm GROUP BY md5(text) HAVING count(*) > 1
 """
 
     # shingle CTE shared by the minhash/jaccard oracles (docs with >= 3 tokens;
