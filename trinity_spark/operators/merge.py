@@ -17,13 +17,29 @@ separately as ``remap_doc_ids`` for compaction-style renumbering.
 
 Byte-reuse fast path, finer-grained than the reference's: Trinity can only
 raw-copy a term when it lives in ONE source segment (the byte streams must
-splice contiguously); our blocks decode standalone, so ANY full block with no
-tombstone in its [min_doc_id, max_doc_id] moves untouched — regardless of how
-many segments share the term.  Only partial blocks (repacked for compression,
-the actual point of compaction) and tombstone-hit blocks are decoded and
-re-encoded.  The tombstone probe is an equi-join on the block's chunk (a
-tombstone's chunk equals its victim block's chunk) + a range refine, so it is
-a broadcast HASH join, not a nested loop; tombstone sets ride a broadcast
+splice contiguously); our blocks decode standalone, so reuse is decided per
+block:
+
+- FULL blocks (doc_count == BLOCK_SIZE) are maximally packed by definition —
+  re-encoding reproduces them byte-identically — so any tombstone-free full
+  block moves untouched regardless of how many segments share the term.
+- A PARTIAL block whose (term, chunk) group contains exactly ONE partial
+  across all merge inputs is the group's tail of an already-optimal
+  full*+tail packing — re-encoding is pure waste, so it also moves
+  untouched.  This is the dominant block class: every rare term contributes
+  one lone partial per chunk, and on transcript corpora lone partials are
+  ~3/4 of all blocks.
+- Only groups with 2+ partials (a build scan-split or segment boundary
+  straddled the chunk — the fastbuild per-partition encoder emits an
+  independent tail per slice) are repacked, which is the actual point of
+  compaction, plus every tombstone-hit block.
+
+The multi-partial group list is computed by a metadata-only aggregation
+(term/chunk/doc_count columns; parquet pruning keeps the byte streams out of
+that job) and probed via BROADCAST joins, so the reused bytes never shuffle.
+The tombstone probe is an equi-join on the block's chunk (a tombstone's
+chunk equals its victim block's chunk) + a range refine, so it is a
+broadcast HASH join, not a nested loop; tombstone sets ride a broadcast
 exactly like the reference keeps masked-docid bitmaps in RAM
 (docidupdates.h:90-191).
 
@@ -112,23 +128,40 @@ def merge_segments(
     if cb is None:
         reused = blocks.where(F.lit(False))
         rest = blocks
-    elif in_range is not None:
-        tomb = in_range.select(
-            F.col("doc_id").alias("_t_doc"),
-            F.shiftright(F.col("doc_id"), cb).alias("_t_chunk"),
-        )
-        probe = (
-            (F.col("chunk") == F.col("_t_chunk"))
-            & (F.col("_t_doc") >= F.col("min_doc_id"))
-            & (F.col("_t_doc") <= F.col("max_doc_id"))
-        )
-        reused = blocks.where(full).join(F.broadcast(tomb), probe, "left_anti")
-        rest = blocks.where(~full).unionByName(
-            blocks.where(full).join(F.broadcast(tomb), probe, "left_semi")
-        )
     else:
-        reused = blocks.where(full)
-        rest = blocks.where(~full)
+        # (term, chunk) groups with 2+ partial blocks need repacking; all
+        # other blocks (fulls + lone partials) are already optimally packed.
+        # Metadata-only aggregation — byte columns pruned from this job.
+        multi = (
+            blocks.where(~full)
+            .groupBy("term", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .select("term", "chunk")
+        )
+        packed = blocks.where(full).unionByName(
+            blocks.where(~full).join(F.broadcast(multi), ["term", "chunk"], "left_anti")
+        )
+        needs_repack = blocks.where(~full).join(
+            F.broadcast(multi), ["term", "chunk"], "left_semi"
+        )
+        if in_range is not None:
+            tomb = in_range.select(
+                F.col("doc_id").alias("_t_doc"),
+                F.shiftright(F.col("doc_id"), cb).alias("_t_chunk"),
+            )
+            probe = (
+                (F.col("chunk") == F.col("_t_chunk"))
+                & (F.col("_t_doc") >= F.col("min_doc_id"))
+                & (F.col("_t_doc") <= F.col("max_doc_id"))
+            )
+            reused = packed.join(F.broadcast(tomb), probe, "left_anti")
+            rest = needs_repack.unionByName(
+                packed.join(F.broadcast(tomb), probe, "left_semi")
+            )
+        else:
+            reused = packed
+            rest = needs_repack
 
     rest_postings = decode_segments(rest)
     n_deleted = 0
