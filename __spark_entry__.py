@@ -152,6 +152,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_only_matching"] = docs_only_matching
 
+    # §3.2/exec.h:64-177 — collection execution: two sources (doc_id parity
+    # split), each scored with ITS OWN stats (per-source df/N — the
+    # reference's isolated per-source exec), app-side merge by
+    # (score DESC, source, doc_id)
+    def collection_topk(spark, sf):
+        from trinity_spark.operators.build import build_field_stats, build_term_dict
+        from trinity_spark.operators.fastbuild import postings_from_turns
+        from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        tops = []
+        for src in (0, 1):
+            part = docs.where(F.col("doc_id") % 2 == src)
+            postings = postings_from_turns(part)
+            idx = LogicalIndex(
+                postings,
+                build_term_dict(postings),
+                build_field_stats(postings, docs_cnt=part.count()),
+            )
+            scored = QueryPlanner(idx).score_all("join AND merge")
+            tops.append(
+                scored.select(
+                    F.lit(src).alias("source"),
+                    "doc_id",
+                    F.round("score", 6).alias("score"),
+                )
+            )
+        u = tops[0].unionByName(tops[1])
+        return u.orderBy(
+            F.desc("score"), F.asc("source"), F.asc("doc_id")
+        ).limit(10)
+
+    q["collection_topk"] = collection_topk
+
     # §2.10/exec.cpp:553-657 — rewrite provenance to scorers: a custom
     # similarity down-weights synonym-generated branches by 0.5 x the
     # translation coefficient; the oracle reproduces the weighting in SQL
@@ -583,6 +617,38 @@ SELECT md5(text) AS hash,
        CAST(count(*) AS BIGINT) AS dup_count,
        CAST(min(doc_id) AS BIGINT) AS min_doc_id
 FROM norm GROUP BY md5(text) HAVING count(*) > 1
+"""
+    o["collection_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 2 AS source, u.term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) u
+  WHERE u.term <> ''
+  GROUP BY doc_id, u.term
+),
+stats AS (
+  SELECT doc_id % 2 AS source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1
+),
+dfs AS (
+  SELECT source, term, CAST(count(*) AS DOUBLE) AS df
+  FROM toks GROUP BY source, term
+),
+scored AS (
+  SELECT t.source, t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf / (t.tf + {K1}))) AS raw
+  FROM toks t
+  JOIN dfs d ON d.term = t.term AND d.source = t.source
+  JOIN stats s ON s.source = t.source
+  WHERE t.term IN ('join','merge')
+  GROUP BY t.source, t.doc_id
+  HAVING count(DISTINCT t.term) = 2
+)
+SELECT CAST(source AS INT) AS source, doc_id, round(raw, 6) AS score
+FROM scored
+ORDER BY round(raw, 6) DESC, source ASC, doc_id ASC
+LIMIT 10
 """
 
     # shingle CTE shared by the minhash/jaccard oracles (docs with >= 3 tokens;
