@@ -57,3 +57,17 @@ def test_collection_doc_ids_are_per_source(spark, two_stores):
 def test_collection_rejects_empty(spark):
     with pytest.raises(ValueError):
         exec_query_collection(spark, [], "error")
+
+
+def test_collection_documents_only(spark, two_stores):
+    stores, corpora = two_stores
+    node = parse_query("error AND timeout")
+    want = set()
+    for i, c in enumerate(corpora):
+        oracle = OracleIndex.build(docs_in_stable_order(c))
+        want |= {(i, d) for d, _ in oracle.topk(node, k=10**6)}
+    rows = exec_query_collection(
+        spark, stores, node, documents_only=True
+    ).collect()
+    assert {(r["source"], r["doc_id"]) for r in rows} == want
+    assert rows and set(rows[0].asDict()) == {"source", "doc_id"}  # no score col

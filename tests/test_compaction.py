@@ -122,3 +122,65 @@ def test_fsck_deep_detects_docs_cnt_drift(spark, tiered_store):
 
 def test_fsck_empty_store(tmp_path):
     assert SegmentStore(str(tmp_path / "idx")).fsck()["ok"]
+
+
+def test_merge_defragments_and_reuses_lone_partials(spark, tmp_path):
+    """Both sides of the (term, chunk)-granular reuse rule:
+    1. a fragmented build (many scan slices -> several partials per group)
+       is consolidated: post-merge every (term, chunk) has <= 1 partial;
+    2. a second merge over the now-packed segment + a micro append moves the
+       packed blocks byte-identical (reused == the packed segment's blocks,
+       modulo the append's groups)."""
+    import pyspark.sql.functions as F
+
+    from trinity_spark.operators.build import field_stats_from_blocks, term_dict_from_blocks
+    from trinity_spark.operators.fastbuild import blocks_from_turns
+    from trinity_spark.operators.segments import BLOCK_SIZE
+    from trinity_spark.sources.store import SegmentMeta
+
+    corpus = gen_transcripts(2000)
+    store = SegmentStore(str(tmp_path / "idx"))
+    # force fragmentation: 8 input partitions -> 8 independent encode slices
+    turns = spark.createDataFrame(corpus)
+    from trinity_spark.operators.docids import assign_doc_ids
+
+    with_ids = assign_doc_ids(turns).repartition(8)
+    blocks = blocks_from_turns(with_ids).persist()
+    meta = SegmentMeta("seg-frag", 0, 0, 2000, 2000, {"chunk_bits": 16}, {})
+    store.commit_segment(
+        blocks, term_dict_from_blocks(blocks),
+        field_stats_from_blocks(blocks, docs_cnt=2000), meta,
+    )
+    blocks.unpersist()
+
+    def multi_groups(df):
+        return (
+            df.where(F.col("doc_count") < BLOCK_SIZE)
+            .groupBy("term", "chunk").count().where("count > 1").count()
+        )
+
+    assert multi_groups(store.read_blocks(spark)) > 0  # fragmentation is real
+    m1 = merge_segments(spark, store)
+    out = store.read_blocks(spark)
+    assert multi_groups(out) == 0  # defragmented: <= 1 partial per group
+    assert m1.metrics["blocks_reencoded"] > 0
+    n_packed = out.count()
+
+    append_micro_segment(spark, store, spark.createDataFrame(gen_transcripts(50, seed=7)))
+    # the rule, replicated: blocks reuse unless their (term, chunk) group
+    # holds 2+ partials across the inputs (here: terms the append shares
+    # with the packed segment — everything lives in chunk 0 at this scale)
+    pre = store.read_blocks(spark)
+    multi = (
+        pre.where(F.col("doc_count") < BLOCK_SIZE)
+        .groupBy("term", "chunk").count().where("count > 1")
+        .select("term", "chunk")
+    )
+    expect_reused = pre.join(multi, ["term", "chunk"], "left_anti").count() + (
+        pre.where(F.col("doc_count") == BLOCK_SIZE)
+        .join(multi, ["term", "chunk"], "left_semi").count()
+    )
+    m2 = merge_segments(spark, store)
+    assert m2.metrics["blocks_reused"] == expect_reused
+    assert m2.metrics["blocks_reused"] > 0.8 * n_packed  # bulk moves untouched
+    assert multi_groups(store.read_blocks(spark)) == 0  # repacked groups healed

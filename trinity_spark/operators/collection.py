@@ -35,6 +35,7 @@ def exec_query_collection(
     query,
     k: int = 10,
     similarity=None,
+    documents_only: bool = False,
 ) -> DataFrame:
     """Top-k over a collection of index stores.  ``stores`` may hold
     ``SegmentStore``s, ``SegmentIndex``es, or any planner-compatible index
@@ -43,20 +44,33 @@ def exec_query_collection(
     Returns (source int, doc_id long, score double): doc_id spaces are
     per-source (the reference's isrc spaces, index_source.h:100-114), so the
     source ordinal is part of the result identity.  Deterministic order:
-    score DESC, source ASC, doc_id ASC."""
+    score DESC, source ASC, doc_id ASC.
+
+    ``documents_only=True`` is ExecFlags::DocumentsOnly over the collection
+    (exec.h:11-23 composed with exec.h:64-81): ALL matching (source, doc_id)
+    pairs, unranked and unlimited, scorer never evaluated."""
     if not stores:
         raise ValueError("empty collection")
     node = parse_query(query) if isinstance(query, str) else query
-    tops = []
+    frames = []
     for i, st in enumerate(stores):
         idx = SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st
         planner = QueryPlanner(idx, similarity=similarity)
-        tops.append(
-            planner.plan(node, k=k).select(
-                F.lit(i).alias("source"), "doc_id", "score"
+        if documents_only:
+            frames.append(
+                planner.matching_docs(node).select(
+                    F.lit(i).alias("source"), "doc_id"
+                )
             )
-        )
-    merged = reduce(DataFrame.unionByName, tops)
+        else:
+            frames.append(
+                planner.plan(node, k=k).select(
+                    F.lit(i).alias("source"), "doc_id", "score"
+                )
+            )
+    merged = reduce(DataFrame.unionByName, frames)
+    if documents_only:
+        return merged
     return merged.orderBy(
         F.desc("score"), F.asc("source"), F.asc("doc_id")
     ).limit(k)
