@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """Headline benchmark: index-build throughput + BM25 query latency + scaling.
 
-Prints ONE JSON line:
+Prints ONE JSON line (slim: headline, per-query cold/warm walls, scaling
+pair efficiencies, merge + gate sections):
   {"metric": "index_build_plus_queryset_sec", "value": N, "unit": "sec",
    "queries": {qid: sec, ...}, "sf": F,
    "build": {"turns": n, "wall_sec": s, "turns_per_sec": r},
-   "scaling": {"local8": {...}, "local32": {...}, "efficiency": e}}
+   "scaling": {"efficiency": e, "pairs": [...], ...}}
+The FULL result object (raw walls, steal forensics, per-query routed paths)
+is ALSO written to ``bench_result.json`` next to this file, so the evidence
+stays machine-readable even if a log-tail capture truncates stdout.
+Warm query walls are each the median of 3 same-session runs (steal-robust).
 
 The corpus is the deterministic synthetic transcript table (BASELINE.json
 input_hint shape), sized from the sf directory name (sf0.1 -> 200k turns).
@@ -254,16 +259,25 @@ def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
     out["q_bmx_plain_equiv"] = round(time.monotonic() - t0, 3)
     # warm pass: same plans again (plan-construction + scan caches hot) —
     # the gated-vs-control comparison is only fair here (whichever of the two
-    # runs first cold pays the page-cache/footer misses for both)
-    warm: dict[str, float] = {}
-    for q in qs:
-        t0 = time.monotonic()
-        planner.plan(q["query"], k=q["k"]).collect()
-        warm[q["id"]] = round(time.monotonic() - t0, 3)
-    for qid, bp in [("q_bmx_pruned_or", True), ("q_bmx_plain_equiv", False)]:
-        t0 = time.monotonic()
-        planner.plan("the OR a OR error OR zxqv", k=10, block_pruning=bp).collect()
-        warm[qid] = round(time.monotonic() - t0, 3)
+    # runs first cold pays the page-cache/footer misses for both).  Each warm
+    # wall is the MEDIAN OF 3 runs, same protocol as the scaling study: this
+    # VM's hypervisor steal can otherwise print warm > cold inversions that
+    # read as regressions (VERDICT r3 "what's wrong" #4).
+    warm_runs: dict[str, list[float]] = {}
+    for _ in range(3):
+        for q in qs:
+            t0 = time.monotonic()
+            planner.plan(q["query"], k=q["k"]).collect()
+            warm_runs.setdefault(q["id"], []).append(time.monotonic() - t0)
+        for qid, bp in [("q_bmx_pruned_or", True), ("q_bmx_plain_equiv", False)]:
+            t0 = time.monotonic()
+            planner.plan(
+                "the OR a OR error OR zxqv", k=10, block_pruning=bp
+            ).collect()
+            warm_runs.setdefault(qid, []).append(time.monotonic() - t0)
+    import statistics as _st
+
+    warm = {k: round(_st.median(v), 3) for k, v in warm_runs.items()}
     # routed path per reference query (cheap driver metadata, shows which
     # queries took the rare-AND chunk restriction etc.)
     for q in qs:
@@ -439,6 +453,7 @@ def main() -> None:
         "unit": "sec",
         "queries": qtimes,
         "queries_warm": qwarm,
+        "warm_protocol": "median of 3 same-session runs per query",
         "sf": sf,
         "build": build_main,
         "scaling": scaling,
@@ -447,8 +462,106 @@ def main() -> None:
         "query_p50_sec": round(statistics.median(qtimes.values()), 3),
         "query_p50_warm_sec": round(statistics.median(qwarm.values()), 3),
     }
+    if os.environ.get("TRINITY_BENCH_XL", "0") == "1":
+        result["xl"] = run_xl_section(cpus, sub_build)
+    else:
+        result["xl"] = {
+            "enabled": False,
+            "how": "TRINITY_BENCH_XL=1 adds a 10M-turn build + query + gate "
+            "section (off by default: ~10 min extra)",
+        }
     _write_bench_md(result)
-    print(json.dumps(result))
+    # FULL result object -> a small file, so the machine-readable evidence
+    # survives even if a log-tail capture truncates the stdout line
+    # (BENCH_r03.json had parsed=null for exactly that reason)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_result.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    # stdout gets a SLIM object (headline + per-query walls + scaling pairs +
+    # merge + gate decisions, minus raw wall dumps / steal forensics) so the
+    # one JSON line stays small enough that no tail capture can cut it
+    print(json.dumps(_slim(result)))
+
+
+def _slim(r: dict) -> dict:
+    out = {k: v for k, v in r.items() if k not in ("scaling", "pruning")}
+    sc = r.get("scaling") or {}
+    if sc:
+        out["scaling"] = {
+            "efficiency": sc.get("efficiency"),
+            "efficiency_minwall": sc.get("efficiency_minwall"),
+            "segment_phase_efficiency": sc.get("segment_phase_efficiency"),
+            "pairs": sc.get("pair_efficiencies"),
+            "scaling_turns": sc.get("scaling_turns"),
+            "parallelism_ratio": sc.get("parallelism_ratio"),
+        }
+    else:
+        out["scaling"] = {}
+    p = r.get("pruning") or {}
+    gates = p.get("gates") or {}
+    bmx = gates.get("q_bmx_pruned_or") or {}
+    win = p.get("gate_open_win") or {}
+    out["pruning"] = {
+        "routed_paths": {
+            k: (v or {}).get("path") for k, v in gates.items()
+        },
+        "gate_closed_reason": (bmx.get("gate") or {}).get("reason"),
+        "gate_open_win": {
+            k: win.get(k)
+            for k in (
+                "query", "kept_chunks", "total_chunks", "threshold",
+                "rank_identical", "win", "routed_path",
+            )
+        }
+        if win
+        else {},
+    }
+    out["detail_file"] = "bench_result.json"
+    return out
+
+
+def run_xl_section(cpus: int, sub_build) -> dict:
+    """Optional 10M-turn scale-headroom section (TRINITY_BENCH_XL=1): build
+    throughput at 10x the headline corpus + 4 query classes + the pruning
+    gate decisions at that df profile — the CHANGES_r03 one-off headroom
+    checks promoted into a reproducible artifact section."""
+    xl_turns = 10_000_000
+    idx = os.path.join(BENCH_ROOT, f"index_c{cpus}_{xl_turns}")
+    try:
+        build = sub_build(cpus, xl_turns)
+    except Exception as e:  # keep the main artifact alive on OOM/timeout
+        return {"enabled": True, "error": str(e)[:500]}
+    from trinity_spark.operators.indexer import SegmentIndex
+    from trinity_spark.plans.planner import QueryPlanner
+    from trinity_spark.session import get_spark
+    from trinity_spark.sources.store import SegmentStore
+
+    spark = get_spark(f"bench_xl_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    planner = QueryPlanner(SegmentIndex(spark, SegmentStore(idx)))
+    planner.plan("zzzwarmupnonterm", k=1).collect()
+    queries = {
+        "q_term": "error",
+        "q_and": "error AND timeout",
+        "q_phrase": '"rate limit"',
+        "q_skew": 'the AND "rate limit"',
+    }
+    walls, gates = {}, {}
+    for qid, q in queries.items():
+        t0 = time.monotonic()
+        planner.plan(q, k=10).collect()
+        walls[qid] = round(time.monotonic() - t0, 3)
+        gates[qid] = dict(planner.last_route)
+    return {
+        "enabled": True,
+        "build": build,
+        "queries": walls,
+        "gates": {
+            k: {"path": v.get("path"),
+                "reason": (v.get("gate") or {}).get("reason")}
+            for k, v in gates.items()
+        },
+    }
 
 
 def _write_bench_md(r: dict) -> None:
@@ -543,7 +656,9 @@ best-of-N per level on the same input (all raw walls listed).
 ## BM25 query latency (reference query set, k=10)
 
 Cold = first execution of each plan on a warm session (one untimed warmup
-plan absorbs JVM/codegen startup); warm = second execution of the same plan.
+plan absorbs JVM/codegen startup); warm = MEDIAN OF 3 repeat executions of
+the same plan (single warm runs on this steal-prone VM can print
+warm > cold inversions that are window noise, not plan instability).
 
 | query | cold sec | warm sec |
 |---|---|---|
