@@ -690,7 +690,8 @@ def _merge_md(m: dict) -> str:
         f"{m['segments_in']} segments ({m['docs']} docs) merged into one in "
         f"**{m['wall_sec']} s = {m['docs_per_sec']} docs/sec**. Byte-reuse "
         f"fast path (merge.cpp:166-180 analog): {m['blocks_reused']}/{total} "
-        f"blocks ({pct:.1f}%) moved byte-identical without decode; only "
+        f"blocks ({pct:.1f}%) moved without decode (decode-equivalent reuse "
+        f"— not necessarily the canonical re-encode packing); only "
         f"partial blocks (repacked for compression) and tombstone-hit blocks "
         f"were re-encoded. At 10^12 turns compaction cost is dominated by "
         f"the re-encoded fraction, so this ratio is the scale lever."

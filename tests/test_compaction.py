@@ -184,3 +184,56 @@ def test_merge_defragments_and_reuses_lone_partials(spark, tmp_path):
     assert m2.metrics["blocks_reused"] == expect_reused
     assert m2.metrics["blocks_reused"] > 0.8 * n_packed  # bulk moves untouched
     assert multi_groups(store.read_blocks(spark)) == 0  # repacked groups healed
+
+
+def test_fsck_tolerates_zero_token_docs(spark, tmp_path):
+    """A doc whose text tokenizes to nothing (empty/whitespace turn) has zero
+    postings but a valid assigned doc id; deep fsck must WARN, not error
+    (ADVICE r3: the old equality check failed a perfectly healthy store)."""
+    corpus = gen_transcripts(300)
+    corpus.loc[corpus.index[:7], "text"] = ""       # 7 empty turns
+    corpus.loc[corpus.index[7:10], "text"] = "   "  # 3 whitespace turns
+    store = SegmentStore(str(tmp_path / "idx"))
+    build_index(spark, spark.createDataFrame(corpus), store, rows_per_segment=300)
+    rep = store.fsck(spark, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert any("zero-posting" in w for w in rep["warnings"])
+    assert any("10 docs have zero postings" in w for w in rep["warnings"])
+
+
+def test_fsck_deep_still_errors_on_duplicates(spark, tmp_path):
+    """The one-sided check must still catch the corruption it exists for:
+    physical docs EXCEEDING the manifest count (duplicate documents)."""
+    corpus = gen_transcripts(200)
+    store = SegmentStore(str(tmp_path / "idx"))
+    build_index(spark, spark.createDataFrame(corpus), store, rows_per_segment=200)
+    m = store.read_manifest()
+    m["segments"][0]["docs_cnt"] -= 5  # physical (200) now exceeds manifest
+    store._write_manifest(m)
+    rep = store.fsck(spark, deep=True)
+    assert not rep["ok"]
+    assert any("duplicate" in e for e in rep["errors"])
+
+
+def test_plan_compaction_validates_policy_args(tiered_store):
+    store, _, _ = tiered_store
+    with pytest.raises(ValueError, match="tier_factor"):
+        plan_compaction(store, tier_factor=1)
+    with pytest.raises(ValueError, match="micro_docs"):
+        plan_compaction(store, micro_docs=0)
+    with pytest.raises(ValueError, match="max_merge"):
+        plan_compaction(store, min_merge=4, max_merge=3)
+    with pytest.raises(ValueError, match="min_merge"):
+        plan_compaction(store, min_merge=1)
+
+
+def test_compact_warns_when_max_rounds_exhausted(spark, tiered_store):
+    store, _, _ = tiered_store
+    with pytest.warns(RuntimeWarning, match="still pending"):
+        compact(spark, store, max_rounds=0, min_merge=2, micro_docs=256)
+    # and quiescent runs do NOT warn
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        compact(spark, store, min_merge=2, micro_docs=256)

@@ -46,6 +46,13 @@ def plan_compaction(
     first.  Empty list = nothing worth merging.  Pure manifest arithmetic."""
     if min_merge < 2:
         raise ValueError("min_merge must be >= 2")
+    if max_merge < min_merge:
+        raise ValueError(f"max_merge {max_merge} must be >= min_merge {min_merge}")
+    if tier_factor < 2:
+        # tier_factor=1 would divide by log(1)=0; <=0 is a math domain error
+        raise ValueError("tier_factor must be >= 2")
+    if micro_docs < 1:
+        raise ValueError("micro_docs must be >= 1")
     tiers: dict[int, list[SegmentMeta]] = {}
     for m in store.segments():
         if m.docs_cnt < micro_docs:
@@ -72,15 +79,34 @@ def compact(
 ) -> list[SegmentMeta]:
     """Run the policy to quiescence: plan -> merge each group -> re-plan
     (a round's outputs can fill a higher tier), then GC retired data.
-    Returns the metas of every merged segment produced."""
+    Returns the metas of every merged segment produced.
+
+    If ``max_rounds`` is exhausted with eligible merges still pending, a
+    ``RuntimeWarning`` is emitted naming the pending group count (the caller
+    asked for quiescence and did not get it — re-run or raise max_rounds);
+    normal termination means the policy found nothing left to merge."""
     produced: list[SegmentMeta] = []
+    quiescent = False
     for _ in range(max_rounds):
         plans = plan_compaction(store, **policy)
         if not plans:
+            quiescent = True
             break
         for ids in plans:
             produced.append(
                 merge_segments(spark, store, ids, apply_deletes=apply_deletes)
+            )
+    if not quiescent:
+        pending = plan_compaction(store, **policy)
+        if pending:
+            import warnings
+
+            warnings.warn(
+                f"compact() stopped after max_rounds={max_rounds} with "
+                f"{len(pending)} eligible merge group(s) still pending; "
+                "re-run or raise max_rounds",
+                RuntimeWarning,
+                stacklevel=2,
             )
     if gc:
         store.gc()

@@ -24,11 +24,17 @@ block:
   re-encoding reproduces them byte-identically — so any tombstone-free full
   block moves untouched regardless of how many segments share the term.
 - A PARTIAL block whose (term, chunk) group contains exactly ONE partial
-  across all merge inputs is the group's tail of an already-optimal
-  full*+tail packing — re-encoding is pure waste, so it also moves
+  across all merge inputs already holds every one of the group's
+  non-full-block docs, so repacking cannot improve the packing — it moves
   untouched.  This is the dominant block class: every rare term contributes
   one lone partial per chunk, and on transcript corpora lone partials are
-  ~3/4 of all blocks.
+  ~3/4 of all blocks.  (The reused output is DECODE-EQUIVALENT to a fresh
+  re-encode, not necessarily the canonical byte layout: after merging
+  inputs with interleaved doc ranges a reused lone partial may precede
+  reused full blocks in doc order, and reused blocks from different source
+  segments can collide on block_id — both benign, because blocks decode
+  standalone and block_id is only a within-chunk sort key, never an
+  identity.)
 - Only groups with 2+ partials (a build scan-split or segment boundary
   straddled the chunk — the fastbuild per-partition encoder emits an
   independent tail per slice) are repacked, which is the actual point of
@@ -36,7 +42,12 @@ block:
 
 The multi-partial group list is computed by a metadata-only aggregation
 (term/chunk/doc_count columns; parquet pruning keeps the byte streams out of
-that job) and probed via BROADCAST joins, so the reused bytes never shuffle.
+that job) and probed via (term, chunk) equi-joins with NO forced broadcast:
+on the first compaction of a fragmented build nearly every group has 2+
+partials, so ``multi`` can approach one row per distinct (term, chunk) —
+far beyond any driver broadcast budget at 10^12 docs.  AQE picks broadcast
+when the list is actually small and a shuffle hash join otherwise; either
+way the reused byte streams themselves never ride the probe join.
 The tombstone probe is an equi-join on the block's chunk (a tombstone's
 chunk equals its victim block's chunk) + a range refine, so it is a
 broadcast HASH join, not a nested loop; tombstone sets ride a broadcast
@@ -139,11 +150,15 @@ def merge_segments(
             .where(F.col("_n") > 1)
             .select("term", "chunk")
         )
+        # no forced broadcast on `multi` (ADVICE r3): its size is unbounded —
+        # a first compaction of a fragmented build has ~one row per distinct
+        # (term, chunk) — so AQE decides (broadcast when small, shuffle hash
+        # join otherwise; the join is metadata-only either way)
         packed = blocks.where(full).unionByName(
-            blocks.where(~full).join(F.broadcast(multi), ["term", "chunk"], "left_anti")
+            blocks.where(~full).join(multi, ["term", "chunk"], "left_anti")
         )
         needs_repack = blocks.where(~full).join(
-            F.broadcast(multi), ["term", "chunk"], "left_semi"
+            multi, ["term", "chunk"], "left_semi"
         )
         if in_range is not None:
             tomb = in_range.select(
@@ -181,9 +196,19 @@ def merge_segments(
     rest_postings = rest_postings.persist()
 
     docs_cnt = sum(m.docs_cnt for m in metas) - n_deleted
-    new_blocks = reused.unionByName(
-        encode_postings(rest_postings, chunk_bits=out_bits)
-    ).persist()
+    # tag reused rows BEFORE the union so the metrics pass is one cheap
+    # group-count over the persisted output instead of re-executing the whole
+    # reuse pipeline (ADVICE r3: reused.count() replayed the metadata scan +
+    # probe joins as a full extra job on every merge)
+    new_blocks = (
+        reused.withColumn("_reused", F.lit(True))
+        .unionByName(
+            encode_postings(rest_postings, chunk_bits=out_bits).withColumn(
+                "_reused", F.lit(False)
+            )
+        )
+        .persist()
+    )
     # dictionary + stats off block METADATA — reused blocks are never decoded
     term_dict = term_dict_from_blocks(new_blocks)
     stats = field_stats_from_blocks(new_blocks, docs_cnt=docs_cnt)
@@ -203,12 +228,18 @@ def merge_segments(
         },
         metrics={},
     )
-    store.commit_segment(new_blocks, term_dict, stats, meta)
+    store.commit_segment(new_blocks.drop("_reused"), term_dict, stats, meta)
     store.retire_segments(ids)  # retention verdict (merge.cpp:418-447)
-    # byte-reuse economics for metrics: total off the (still cached) output,
-    # reused off a metadata-only blocks scan (no decode in that branch)
-    n_total = new_blocks.count()
-    n_reused = reused.count()
+    # byte-reuse economics for metrics: ONE group-count over the cached
+    # output (materialized by the commit write above) — no pipeline replay
+    counts = {
+        r["_reused"]: r["cnt"]
+        for r in new_blocks.groupBy("_reused")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_reused = int(counts.get(True, 0))
+    n_total = int(sum(counts.values()))
     rest_postings.unpersist()
     new_blocks.unpersist()
     wall = time.monotonic() - t0

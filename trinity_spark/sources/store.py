@@ -391,23 +391,32 @@ class SegmentStore:
         ``docs_cnt <= doc_hi - doc_lo``, generations are unique and below
         ``next_generation``, every tombstone file exists.  Deep pass
         (``deep=True``, needs ``spark``): per segment, the physical distinct
-        doc count equals the manifest ``docs_cnt`` and all block doc_ids fall
-        inside ``[doc_lo, doc_hi)`` — exact by the merge accounting invariant
-        (physical docs == docs_cnt inductively: builds write one doc per turn;
-        merges subtract exactly the tombstones they physically removed).
+        doc count must not EXCEED the manifest ``docs_cnt`` and all block
+        doc_ids fall inside ``[doc_lo, doc_hi)``.  One-sided because
+        ``docs_cnt`` counts ASSIGNED doc ids while postings exist only for
+        docs with >=1 token: an empty/whitespace turn (posexplode of an
+        empty token array emits no rows) is a healthy doc with zero
+        postings, so physical < manifest is expected on corpora with empty
+        turns (ADVICE r3).  physical > manifest is real corruption
+        (duplicate documents from a bad resume / double-applied batch) and
+        errors; physical < manifest lands in ``warnings`` with the deficit
+        (the zero-token-doc heuristic) so operators can compare it against
+        their corpus's empty-turn rate.
 
         Range disjointness is only asserted between NON-merged segments: a
         merge of a non-contiguous candidate set (legal — see merge.py's
         per-meta tombstone ranges) claims ``[min_lo, max_hi)``, which may
         overlap other live claims while the physical doc sets stay disjoint;
         the deep pass checks the physical invariant globally
-        (``sum(docs_cnt) == countDistinct(doc_id)`` across all live
-        segments — exactly the duplicate-document corruption a bad resume or
-        double-applied batch would cause).
+        (``countDistinct(doc_id) <= sum(docs_cnt)`` across all live
+        segments — exceeding it is exactly the duplicate-document corruption
+        a bad resume or double-applied batch would cause).
 
-        Returns ``{"ok": bool, "errors": [...], "segments_checked": n}``;
-        never raises on a finding — callers alert on ``ok=False``."""
+        Returns ``{"ok": bool, "errors": [...], "warnings": [...],
+        "segments_checked": n}``; never raises on a finding — callers alert
+        on ``ok=False`` (warnings do not flip ``ok``)."""
         errors: list[str] = []
+        warnings: list[str] = []
         m = self.read_manifest()
         metas = [SegmentMeta(**s) for s in m["segments"]]
         for meta in metas:
@@ -456,10 +465,16 @@ class SegmentStore:
                     .first()[0]
                 )
                 expect = sum(meta.docs_cnt for meta in metas)
-                if total != expect:
+                if total > expect:
                     errors.append(
-                        f"global distinct doc_ids {total} != sum(docs_cnt) "
-                        f"{expect} (duplicate or lost documents)"
+                        f"global distinct doc_ids {total} > sum(docs_cnt) "
+                        f"{expect} (duplicate documents)"
+                    )
+                elif total < expect:
+                    warnings.append(
+                        f"global distinct doc_ids {total} < sum(docs_cnt) "
+                        f"{expect}: {expect - total} docs have zero postings "
+                        "(expected for empty/whitespace turns)"
                     )
             for meta in metas:
                 blocks = spark.read.parquet(
@@ -470,10 +485,16 @@ class SegmentStore:
                     .select(F.countDistinct("doc_id"))
                     .first()[0]
                 )
-                if docs != meta.docs_cnt:
+                if docs > meta.docs_cnt:
                     errors.append(
-                        f"{meta.segment_id}: physical docs {docs} != "
-                        f"manifest docs_cnt {meta.docs_cnt}"
+                        f"{meta.segment_id}: physical docs {docs} > "
+                        f"manifest docs_cnt {meta.docs_cnt} (duplicates)"
+                    )
+                elif docs < meta.docs_cnt:
+                    warnings.append(
+                        f"{meta.segment_id}: physical docs {docs} < "
+                        f"manifest docs_cnt {meta.docs_cnt} "
+                        f"({meta.docs_cnt - docs} zero-posting docs)"
                     )
                 rng = blocks.select(
                     F.min("min_doc_id").alias("lo"), F.max("max_doc_id").alias("hi")
@@ -485,5 +506,10 @@ class SegmentStore:
                         f"{meta.segment_id}: doc_ids [{rng['lo']}, {rng['hi']}] "
                         f"outside [{meta.doc_lo}, {meta.doc_hi})"
                     )
-        return {"ok": not errors, "errors": errors, "segments_checked": len(metas)}
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "segments_checked": len(metas),
+        }
 
