@@ -211,6 +211,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_rewrite_downweight"] = bm25_rewrite_downweight
 
+    # §2.10/similarity.h:75-130 — the reference's TF-IDF scorer on the
+    # similarity seam: idf = ln((N+1)/(df+1)) + 1, score = sqrt(tf) * idf,
+    # summed over matched branches
+    def tfidf_topk(spark, sf):
+        from trinity_spark.functions.tfidf import tfidf_similarity
+
+        planner = _index(spark, sf)
+        planner.similarity = tfidf_similarity
+        scored = planner.score_all("join AND merge")
+        return (
+            scored.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    q["tfidf_topk"] = tfidf_topk
+
+    # §2.10/similarity.h:56-74 — the Trivial scorer: score == raw match freq
+    def trivial_topk(spark, sf):
+        from trinity_spark.functions.tfidf import trivial_similarity
+
+        planner = _index(spark, sf)
+        planner.similarity = trivial_similarity
+        scored = planner.score_all("scan OR vector")
+        return (
+            scored.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    q["trivial_topk"] = trivial_topk
+
     # --- training-data pipeline operators (trinity_spark.dataops) ---
 
     def _docs(spark, sf):
@@ -519,6 +551,33 @@ scored AS (
 SELECT doc_id, round(raw, 6) AS score
 FROM scored
 ORDER BY round(raw, 6) DESC, doc_id ASC
+LIMIT 10
+"""
+    # TF-IDF scorer (similarity.h:75-130): idf = ln((N+1)/(df+1)) + 1,
+    # per-branch score = sqrt(tf) * idf, summed over matched branches
+    o["tfidf_topk"] = f"""
+WITH {_TOKS}, {_STATS},
+scored AS (
+  SELECT t.doc_id,
+         sum(sqrt(t.tf) * (ln((s.n + 1) / (d.df + 1)) + 1.0)) AS raw
+  FROM toks t
+  JOIN dfs d ON d.term = t.term
+  CROSS JOIN stats s
+  WHERE t.term IN ('join','merge')
+  GROUP BY t.doc_id
+  HAVING count(DISTINCT t.term) = 2
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM scored ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 10
+"""
+    # Trivial scorer (similarity.h:56-74): per-branch score = raw freq
+    o["trivial_topk"] = f"""
+WITH {_TOKS}
+SELECT doc_id, round(CAST(sum(tf) AS DOUBLE), 6) AS score
+FROM toks
+WHERE term IN ('scan','vector')
+GROUP BY doc_id
+ORDER BY round(CAST(sum(tf) AS DOUBLE), 6) DESC, doc_id ASC
 LIMIT 10
 """
     # phrase: adjacency via position lists; phrase freq is the BM25 freq and

@@ -10,6 +10,8 @@ Layout
 ------
 - ``tokenizer``          frozen tokenizer rules (shared python core + pandas UDF)
 - ``functions.bm25``     the exact reference scoring contract (similarity.h:165-235)
+- ``functions.tfidf``    the reference's TF-IDF + Trivial scorers (similarity.h:56-130)
+                         as drop-ins for ``QueryPlanner(similarity=...)``
 - ``functions.varbyte``  numpy-vectorized delta+varbyte codec (google_codec.cpp:127-168)
 - ``operators.docids``   dense deterministic doc_id assignment (scalable two-pass)
 - ``operators.build``    tokenize -> explode -> postings / term_dict / field_stats

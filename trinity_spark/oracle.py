@@ -19,11 +19,23 @@ only thing the gate actually tests is the distributed execution.
 from __future__ import annotations
 
 from collections import defaultdict
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Callable
 
-from .functions.bm25 import K1, idf_py, term_score_py
+from .functions.bm25 import idf_py, term_score_py
 from .plans.ast import And, ConstTrue, Node, Not, Or, Phrase, Some, Token
 from .tokenizer import tokenize_terms_py
+
+
+def bm25_oracle_scorer(dfs: list[int], n_docs: int, freq: int) -> float:
+    """Default scorer: the exact BM25 contract.  ``dfs`` carries one df per
+    member term in phrase order (a single token passes a 1-list); the
+    phrase-idf-is-sum-of-member-idfs rule (similarity.h:209-217) falls out of
+    summing in that order — bit-identical to the pre-pluggable code path."""
+    idf = 0.0
+    for df in dfs:
+        idf += idf_py(df, n_docs)
+    return term_score_py(idf, freq)
 
 
 @dataclass
@@ -31,14 +43,25 @@ class OracleIndex:
     postings: dict[str, dict[int, list[int]]]  # term -> doc_id -> positions
     n_docs: int
     deleted: set[int]
+    # scorer(member_dfs, n_docs, freq) -> float; the oracle-side Similarity
+    # seam (similarity.h:22-41): swap in functions.tfidf.tfidf_score_py /
+    # trivial_score_py to rank-check those scorers against the engine
+    scorer: Callable[[list[int], int, int], float] = field(
+        default=bm25_oracle_scorer
+    )
 
     @classmethod
-    def build(cls, docs: list[tuple[int, str]], deleted: set[int] | None = None) -> "OracleIndex":
+    def build(
+        cls,
+        docs: list[tuple[int, str]],
+        deleted: set[int] | None = None,
+        scorer: Callable[[list[int], int, int], float] = bm25_oracle_scorer,
+    ) -> "OracleIndex":
         postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
         for doc_id, text in docs:
             for term, pos in tokenize_terms_py(text):
                 postings[term].setdefault(doc_id, []).append(pos)
-        return cls(dict(postings), len(docs), deleted or set())
+        return cls(dict(postings), len(docs), deleted or set(), scorer)
 
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
@@ -50,9 +73,9 @@ class OracleIndex:
 
     def eval(self, node: Node) -> dict[int, float]:
         if isinstance(node, Token):
-            idf = self.idf(node.term)
+            dfs = [self.df(node.term)]
             return {
-                d: term_score_py(idf, len(ps))
+                d: self.scorer(dfs, self.n_docs, len(ps))
                 for d, ps in self.postings.get(node.term, {}).items()
             }
         if isinstance(node, Phrase):
@@ -72,12 +95,10 @@ class OracleIndex:
         raise TypeError(type(node))
 
     def _eval_phrase(self, node: Phrase) -> dict[int, float]:
-        # idf of a phrase = sum of member idfs (similarity.h:209-217),
-        # summed in phrase order; freq = adjacency match count
-        # (docset_iterators.cpp:91-157).
-        idf = 0.0
-        for t in node.terms:
-            idf += self.idf(t)
+        # a phrase scores with its member dfs in phrase order (the scorer
+        # sums idfs itself — similarity.h:209-217 for BM25, :110-130 for
+        # TF-IDF); freq = adjacency match count (docset_iterators.cpp:91-157)
+        dfs = [self.df(t) for t in node.terms]
         plists = [self.postings.get(t, {}) for t in node.terms]
         if any(not p for p in plists):
             return {}
@@ -96,7 +117,7 @@ class OracleIndex:
                 if pos > 0 and all((pos + i + 1) in s for i, s in enumerate(later))
             )
             if pf > 0:
-                out[d] = idf * (pf / (pf + K1))
+                out[d] = self.scorer(dfs, self.n_docs, pf)
         return out
 
     def _eval_and(self, children: tuple[Node, ...]) -> dict[int, float]:

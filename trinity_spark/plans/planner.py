@@ -64,7 +64,14 @@ class TermContext:
     by ``plans.rewrite`` expansion they identify the source text and the
     min/max token-count ratio, so an app scorer can down-weight
     synonym-matched terms.  The DEFAULT scorer ignores all of these exactly
-    like the reference's TrivialBM25Scorer does."""
+    like the reference's TrivialBM25Scorer does.
+
+    ``n_docs`` and ``member_dfs`` expose the raw collection statistics a
+    non-BM25 scorer needs (the reference hands new_scorer_weight the terms
+    array and lets it resolve each term's df itself, similarity.h:110-130):
+    ``member_dfs`` holds one df per member term in phrase order — a single
+    token gets a 1-tuple — so e.g. the TF-IDF scorer can sum ITS OWN idf
+    formula over members instead of consuming the pre-summed BM25 ``idf``."""
 
     term: str
     idf: float
@@ -73,6 +80,8 @@ class TermContext:
     rewrite_source: str | None = None
     translation_coefficient: float = 1.0
     src_seq_size: int = 1
+    n_docs: int = 0
+    member_dfs: tuple[int, ...] = ()
 
 
 def _rw(ctx: TermContext, node) -> TermContext:
@@ -613,6 +622,8 @@ class QueryPlanner:
                 TermContext(
                     tok.term, self._stats.idf(tok.term),
                     self._stats.df(tok.term), tok.rep,
+                    n_docs=self._stats.n_docs,
+                    member_dfs=(self._stats.df(tok.term),),
                 ),
                 tok,
             )
@@ -684,6 +695,8 @@ class QueryPlanner:
                     idf,
                     min(self._stats.df(t) for t in node.terms),
                     1,
+                    n_docs=self._stats.n_docs,
+                    member_dfs=tuple(self._stats.df(t) for t in node.terms),
                 ),
                 node,
             )
@@ -750,6 +763,8 @@ class QueryPlanner:
                 self._stats.idf(node.term),
                 self._stats.df(node.term),
                 node.rep,
+                n_docs=self._stats.n_docs,
+                member_dfs=(self._stats.df(node.term),),
             ),
             node,
         )
@@ -799,7 +814,10 @@ class QueryPlanner:
         )
         ctx = _rw(
             TermContext(
-                " ".join(node.terms), idf, min(self._stats.df(t) for t in node.terms), 1
+                " ".join(node.terms), idf,
+                min(self._stats.df(t) for t in node.terms), 1,
+                n_docs=self._stats.n_docs,
+                member_dfs=tuple(self._stats.df(t) for t in node.terms),
             ),
             node,
         )
@@ -835,6 +853,8 @@ class QueryPlanner:
                     TermContext(
                         tok.term, self._stats.idf(tok.term),
                         self._stats.df(tok.term), tok.rep,
+                        n_docs=self._stats.n_docs,
+                        member_dfs=(self._stats.df(tok.term),),
                     ),
                     tok,
                 )
