@@ -396,6 +396,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "keep", "reason",
         )
 
+    # §2.1/codecs.h:93-95 — selectable wire codec, end-to-end: a PHYSICAL
+    # segment store written with the PFOR wire (functions/pfor.py, the
+    # lucene_codec.cpp:163-304 128-block FOR packing), codec identity in
+    # segment lineage, queried through the block decode path — same SQL
+    # oracle as the logical-index entries, so a wire bug cannot hide
+    def bm25_pfor_store(spark, sf):
+        import tempfile
+
+        from trinity_spark.operators.indexer import SegmentIndex, build_index
+        from trinity_spark.plans.planner import QueryPlanner
+        from trinity_spark.sources.store import SegmentStore
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+        # conv_id = zero-padded doc_id, one turn per conv -> the engine's
+        # dense (conv_id, turn_idx) assignment reproduces the table's own ids
+        turns = docs.select(
+            F.format_string("%020d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("long").alias("turn_idx"),
+            "text",
+        )
+        store = SegmentStore(tempfile.mkdtemp(prefix="trinity_pfor_entry_"))
+        build_index(spark, turns, store, rows_per_segment=250, codec="pfor")
+        assert store.default_codec() == "pfor"
+        planner = QueryPlanner(SegmentIndex(spark, store))
+        scored = planner.score_all("hash AND scan")
+        return (
+            scored.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    q["bm25_pfor_store"] = bm25_pfor_store
     q["curate_corpus"] = curate_corpus
     q["dedup_simhash"] = dedup_simhash
     q["text_analysis"] = text_analysis
@@ -520,6 +552,11 @@ scored AS (
 SELECT doc_id, round(raw, 6) AS score
 FROM scored ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 10
 """
+    # PFOR-wired physical store scores identically to the logical index —
+    # the oracle is plain BM25; codec correctness IS the assertion
+    o["bm25_pfor_store"] = _score_sql(
+        "t.term IN ('hash','scan')", having="HAVING count(DISTINCT t.term) = 2"
+    )
     o["bm25_minmatch"] = _score_sql(
         "t.term IN ('sort','merge','window')",
         having="HAVING count(DISTINCT t.term) >= 2",

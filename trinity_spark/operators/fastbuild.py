@@ -105,13 +105,17 @@ def _encode_partition(
     uniques: np.ndarray,
     pos_flat: np.ndarray,
     chunk_bits: int,
+    codec: str = "varbyte",
 ) -> pa.RecordBatch:
     """Vectorized block encoder: one numpy pass over a partition's postings.
 
     Input rows are (doc, tf, term-code) with per-doc position lists flattened
     in row order; output is one RecordBatch of posting blocks.  No python
     loop touches rows or blocks — binary columns are built zero-copy from one
-    varbyte buffer + block byte-offsets (pa.BinaryArray.from_buffers).
+    encoded buffer + block byte-offsets (pa.BinaryArray.from_buffers): under
+    varbyte one ``encode_varbyte_offsets`` pass per stream; under pfor one
+    ``pfor_encode_rows`` pass per stream (blocks grouped by bit width —
+    lucene_codec.cpp:163-208 shape, batched across every block at once).
     """
     from ..operators.segments import BLOCK_SIZE
     from ..functions.varbyte import encode_varbyte_offsets
@@ -146,29 +150,37 @@ def _encode_partition(
     d_delta = doc.copy()
     d_delta[1:] -= doc[:-1]
     d_delta[bs] = doc[bs]
-    doc_buf, doc_off = encode_varbyte_offsets(d_delta.astype(np.uint64))
-    tf_buf, tf_off = encode_varbyte_offsets(tf.astype(np.uint64))
     # position deltas reset at each doc's first position
     p_delta = pos_flat.copy()
     p_delta[1:] -= pos_flat[:-1]
     p_delta[new_offsets[:-1]] = pos_flat[new_offsets[:-1]]
-    pos_buf, pos_off = encode_varbyte_offsets(p_delta.astype(np.uint64))
 
-    def binary_col(buf: np.ndarray, value_off: np.ndarray, row_bounds: np.ndarray) -> pa.Array:
+    def binary_col(buf: np.ndarray, byte_off: np.ndarray) -> pa.Array:
         # pa.binary() carries int32 offsets: a partition whose encoded stream
         # exceeds 2^31 bytes would silently wrap into garbage blocks — fail
         # loudly instead (split the input into more partitions to proceed)
-        if int(value_off[-1]) >= 2**31:
+        if int(byte_off[-1]) >= 2**31:
             raise ValueError(
-                f"encoded varbyte stream is {int(value_off[-1])} bytes — over "
-                "the int32 Arrow binary-offset limit; repartition the input "
-                "so each partition encodes < 2 GiB per stream"
+                f"encoded stream is {int(byte_off[-1])} bytes — over the "
+                "int32 Arrow binary-offset limit; repartition the input so "
+                "each partition encodes < 2 GiB per stream"
             )
-        vo = value_off[row_bounds].astype(np.int32)
+        vo = byte_off.astype(np.int32)
         return pa.Array.from_buffers(
-            pa.binary(), len(row_bounds) - 1,
+            pa.binary(), len(vo) - 1,
             [None, pa.py_buffer(vo.tobytes()), pa.py_buffer(buf.tobytes())],
         )
+
+    def stream_col(values: np.ndarray, value_bounds: np.ndarray) -> pa.Array:
+        """One stream -> per-block wire bytes as an Arrow binary column.
+        value_bounds are the per-block value-index bounds (len n_blocks+1)."""
+        if codec == "pfor":
+            from ..functions.pfor import pfor_encode_rows
+
+            buf, byte_off = pfor_encode_rows(values, np.diff(value_bounds))
+            return binary_col(buf, byte_off)
+        buf, value_off = encode_varbyte_offsets(values)
+        return binary_col(buf, value_off[value_bounds])
 
     row_bounds = np.append(bs, n)
     pos_bounds = new_offsets[row_bounds]  # value-index bounds in the pos stream
@@ -189,9 +201,9 @@ def _encode_partition(
             pa.array(doc[be - 1], type=pa.int64()),
             pa.array(np.maximum.reduceat(tf, bs).astype(np.int32), type=pa.int32()),
             pa.array(np.add.reduceat(tf, bs).astype(np.int64), type=pa.int64()),
-            binary_col(doc_buf, doc_off, row_bounds),
-            binary_col(tf_buf, tf_off, row_bounds),
-            binary_col(pos_buf, pos_off, pos_bounds),
+            stream_col(d_delta.astype(np.uint64), row_bounds),
+            stream_col(tf.astype(np.uint64), row_bounds),
+            stream_col(p_delta.astype(np.uint64), pos_bounds),
             empty_pay,
         ],
         names=[
@@ -202,7 +214,10 @@ def _encode_partition(
 
 
 def blocks_from_turns(
-    turns: DataFrame, text_col: str = "text", chunk_bits: int | None = None
+    turns: DataFrame,
+    text_col: str = "text",
+    chunk_bits: int | None = None,
+    codec: str = "varbyte",
 ) -> DataFrame:
     """turns(doc_id, text) -> encoded posting blocks in ONE mapInArrow pass —
     zero shuffles end to end (tokenize -> postings -> delta+varbyte blocks).
@@ -213,8 +228,9 @@ def blocks_from_turns(
     term postings are split the same way).  ``operators.merge`` re-encodes
     globally for optimal block packing.
     """
-    from ..operators.segments import CHUNK_BITS, SEGMENT_SCHEMA
+    from ..operators.segments import CHUNK_BITS, SEGMENT_SCHEMA, _check_codec
 
+    _check_codec(codec)
     cb = chunk_bits if chunk_bits is not None else CHUNK_BITS
     tokenize = tokenize_udf.func
 
@@ -248,7 +264,7 @@ def blocks_from_turns(
             uniques[i] = t
         yield _encode_partition(
             np.concatenate(docs), np.concatenate(tfs), np.concatenate(codes),
-            uniques, np.concatenate(pos), cb,
+            uniques, np.concatenate(pos), cb, codec,
         )
 
     return turns.select("doc_id", text_col).mapInArrow(run, SEGMENT_SCHEMA)

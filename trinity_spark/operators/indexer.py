@@ -50,8 +50,16 @@ def build_index(
     input_desc: str = "unknown",
     chunk_bits: int = CHUNK_BITS,
     docid_map_mode: str = "materialized",
+    codec: str | None = None,
 ) -> list[SegmentMeta]:
     """Build (or resume) the full index; returns committed segment metas.
+
+    ``codec`` selects the posting-stream wire format ("varbyte" default,
+    "pfor" for the Lucene-style 128-block FOR packing).  ``None`` resolves
+    to the store's recorded codec (manifest ``codec``, fixed by the first
+    build) so resumes and NRT appends stay homogeneous; each segment's
+    lineage records the codec that wrote it — the codecs.h:93-95 segment
+    codec identity — and merge refuses byte reuse across mixed codecs.
 
     ``docid_map_mode``:
     - ``"materialized"`` (default): phase 0 writes the full (turns + doc_id)
@@ -77,13 +85,16 @@ def build_index(
     # scaling-efficiency fix).  Scoped here (runtime conf, restored in the
     # finally below) because the same setting shreds QUERY scans into
     # hundreds of tiny tasks of pure scheduling overhead.
+    if codec is None:
+        codec = store.default_codec()
+    store.record_default_codec(codec)
     _mpb_key = "spark.sql.files.maxPartitionBytes"
     _mpb_old = spark.conf.get(_mpb_key, None)
     spark.conf.set(_mpb_key, "4194304")
     try:
         return _build_index_inner(
             spark, turns, store, rows_per_segment, input_desc, chunk_bits,
-            docid_map_mode,
+            docid_map_mode, codec,
         )
     finally:
         if _mpb_old is None:
@@ -100,6 +111,7 @@ def _build_index_inner(
     input_desc: str,
     chunk_bits: int,
     docid_map_mode: str,
+    codec: str,
 ) -> list[SegmentMeta]:
     import os
     import sys
@@ -181,7 +193,7 @@ def _build_index_inner(
                 # the arithmetic rule needs dense turn_idx; fall back
                 return build_index(
                     spark, turns, store, rows_per_segment, input_desc,
-                    chunk_bits, docid_map_mode="materialized",
+                    chunk_bits, docid_map_mode="materialized", codec=codec,
                 )
             store.write_conv_bases(bases, n_docs, n_convs, input_desc)
         n_docs = store.docid_map_count(spark)
@@ -266,7 +278,9 @@ def _build_index_inner(
         _p(f"segment {sid} start", t0)
         # fused tokenize->postings->encode: ONE pass, zero data shuffles;
         # dictionary + stats come off block metadata (also shuffle-light)
-        blocks = blocks_from_turns(seg_turns, chunk_bits=chunk_bits).persist()
+        blocks = blocks_from_turns(
+            seg_turns, chunk_bits=chunk_bits, codec=codec
+        ).persist()
         tb = time.monotonic()
         blocks.count()  # materialize the fused pass once, before any reuse
         _p(f"blocks {sid}", tb)
@@ -282,6 +296,7 @@ def _build_index_inner(
                 "input": input_desc,
                 "doc_range": [lo, hi],
                 "chunk_bits": chunk_bits,
+                "codec": codec,
                 "engine_version": __version__,
             },
             metrics={},
@@ -318,12 +333,24 @@ class SegmentIndex:
     def __init__(self, spark: SparkSession, store: SegmentStore):
         self.spark = spark
         self.store = store
-        self.blocks = store.read_blocks(spark)
+        codecs = sorted({store.segment_codec(m) for m in store.segments()})
+        # single-codec stores (the normal case) read untagged blocks and
+        # decode with that codec; a store holding segments written by
+        # DIFFERENT codecs (pre-compaction mixing) reads codec-tagged blocks
+        # and decode_segments splits per codec — queries stay correct either
+        # way, and a merge re-homogenizes the store
+        self.codec = codecs[0] if len(codecs) == 1 else ("mixed" if codecs else "varbyte")
+        self.blocks = store.read_blocks(spark, with_codec=self.codec == "mixed")
         self.term_dict = store.read_term_dict(spark)
         self.field_stats = store.read_field_stats(spark)
         self.deleted = store.read_deletes(spark)
         # full logical view (lazy; only touched if a caller scans everything)
-        self.postings = decode_segments(self.blocks)
+        self.postings = self._decode(self.blocks)
+
+    def _decode(self, blocks: DataFrame, **kw) -> DataFrame:
+        if self.codec == "mixed":
+            return decode_segments(blocks, **kw)  # codec column drives split
+        return decode_segments(blocks, codec=self.codec, **kw)
 
     def postings_for(
         self, terms: list[str], with_positions: bool = True
@@ -332,14 +359,14 @@ class SegmentIndex:
         (the largest stream) is pruned from the parquet scan — token-only
         BM25 queries never touch it."""
         pruned = self.blocks.where(F.col("term").isin(terms))
-        return decode_segments(pruned, with_positions=with_positions)
+        return self._decode(pruned, with_positions=with_positions)
 
     def postings_with_payloads_for(self, terms: list[str]) -> DataFrame:
         """Like postings_for but with the per-hit payload stream decoded
         (runtime.h:8-20 term_hit.payload) — used by the winners-only hits
         surface, never by the scoring scan."""
         pruned = self.blocks.where(F.col("term").isin(terms))
-        return decode_segments(pruned, with_payloads=True)
+        return self._decode(pruned, with_payloads=True)
 
     @property
     def chunk_bits(self) -> int:

@@ -87,6 +87,15 @@ def _merge_chunk_bits(metas) -> int | None:
     return bits.pop() if len(bits) == 1 else None
 
 
+def _merge_codec(metas) -> str | None:
+    """Common wire codec across the merged segments (lineage ``codec``), or
+    None when mixed — the merge.cpp:256-287 same-codec precondition for the
+    raw-copy fast path: mixed-codec inputs disable byte reuse entirely and
+    everything is decoded (per codec) and re-encoded at one codec."""
+    codecs = {m.lineage.get("codec", "varbyte") for m in metas}
+    return codecs.pop() if len(codecs) == 1 else None
+
+
 def merge_segments(
     spark: SparkSession,
     store: SegmentStore,
@@ -106,7 +115,8 @@ def merge_segments(
     hi = max(m.doc_hi for m in metas)
 
     t0 = time.monotonic()
-    blocks = store.read_blocks(spark, ids)
+    cdc = _merge_codec(metas)  # None = mixed codecs -> re-encode everything
+    blocks = store.read_blocks(spark, ids, with_codec=cdc is None)
     read_gens: list[int] = []
     in_range = None
     if apply_deletes:
@@ -127,17 +137,22 @@ def merge_segments(
             )
             in_range = deletes.where(cond)
 
-    # One chunk width per output segment: re-encoded blocks use the inputs'
-    # common chunk_bits so reused + re-encoded blocks share one geometry and
-    # the recorded lineage chunk_bits stays exact (later merges' tombstone
-    # chunk probe and chunk-restricted pruning depend on it).  Mixed-width
-    # inputs disable the byte-reuse fast path entirely — everything is
-    # decoded and re-encoded at the default width.
+    # One chunk width AND one codec per output segment: re-encoded blocks
+    # use the inputs' common chunk_bits/codec so reused + re-encoded blocks
+    # share one geometry and one wire, and the recorded lineage stays exact
+    # (later merges' tombstone chunk probe, chunk-restricted pruning, and
+    # the decode path depend on both).  Mixed-width OR mixed-codec inputs
+    # disable the byte-reuse fast path entirely — everything is decoded
+    # (per its own codec) and re-encoded at the default width / the store's
+    # default codec (the merge.cpp:256-287 same-codec raw-copy rule).
     cb = _merge_chunk_bits(metas)
     out_bits = cb if cb is not None else CHUNK_BITS
+    out_codec = cdc if cdc is not None else store.default_codec()
     full = F.col("doc_count") == BLOCK_SIZE
-    if cb is None:
-        reused = blocks.where(F.lit(False))
+    if cb is None or cdc is None:
+        reused = (
+            blocks.drop("codec") if cdc is None else blocks
+        ).where(F.lit(False))
         rest = blocks
     else:
         # (term, chunk) groups with 2+ partial blocks need repacking; all
@@ -178,7 +193,11 @@ def merge_segments(
             reused = packed
             rest = needs_repack
 
-    rest_postings = decode_segments(rest)
+    # mixed-codec `rest` carries the codec tag column -> decode splits per
+    # codec; single-codec inputs decode with that codec directly
+    rest_postings = (
+        decode_segments(rest) if cdc is None else decode_segments(rest, codec=cdc)
+    )
     n_deleted = 0
     if in_range is not None:
         # presence-based accounting: count only tombstones that hit a doc
@@ -203,9 +222,9 @@ def merge_segments(
     new_blocks = (
         reused.withColumn("_reused", F.lit(True))
         .unionByName(
-            encode_postings(rest_postings, chunk_bits=out_bits).withColumn(
-                "_reused", F.lit(False)
-            )
+            encode_postings(
+                rest_postings, chunk_bits=out_bits, codec=out_codec
+            ).withColumn("_reused", F.lit(False))
         )
         .persist()
     )
@@ -224,6 +243,7 @@ def merge_segments(
             "merged_from": ids,
             "deletes_applied": n_deleted,
             "chunk_bits": out_bits,
+            "codec": out_codec,
             "engine_version": __version__,
         },
         metrics={},

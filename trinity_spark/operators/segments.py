@@ -42,11 +42,25 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.varbyte import decode_varbyte, delta_encode, encode_varbyte
+from ..functions.varbyte import decode_varbyte, encode_varbyte
 
 CHUNK_BITS = 16  # 65536-doc docid ranges per encode group
 BLOCK_SIZE = 128  # docs per block (lucene_codec.h:49 BLOCK_SIZE=128)
 BLOCKS_PER_CHUNK = (1 << CHUNK_BITS) // BLOCK_SIZE
+
+# Selectable wire codecs for the three posting streams (doc deltas / tfs /
+# position deltas).  The codec identity is recorded per segment in lineage —
+# the reference's segment `id` codec marker (codecs.h:93-95, the indexer
+# writes which codec produced a segment, indexer.cpp:268-270) — and merge
+# treats mixed-codec inputs like mixed chunk widths: re-encode, no byte
+# reuse (the merge.cpp:256-287 same-codec raw-copy precondition).
+# pay_bytes (optional per-hit payloads) stays varbyte under BOTH codecs: the
+# stream is empty on transcript corpora and varbyte's self-delimiting
+# property is what lets all-or-nothing payload blocks coexist.
+CODEC_VARBYTE = "varbyte"  # delta+varbyte — the default wire (google codec)
+CODEC_PFOR = "pfor"  # 128-value FOR bit-packing + vInt tail (lucene codec)
+CODECS = (CODEC_VARBYTE, CODEC_PFOR)
+DEFAULT_CODEC = CODEC_VARBYTE
 
 SEGMENT_SCHEMA = (
     "term string, chunk long, block_id long, doc_count int, min_doc_id long, "
@@ -58,7 +72,23 @@ POSTINGS_PAYLOAD_SCHEMA = POSTINGS_SCHEMA + ", payloads array<long>"
 POSTINGS_NOPOS_SCHEMA = "term string, doc_id long, tf int"
 
 
-def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
+def _check_codec(codec: str) -> None:
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}; known: {CODECS}")
+
+
+def _encode_stream(values: np.ndarray, codec: str) -> bytes:
+    """One block's uint64 values -> wire bytes under the chosen codec."""
+    if codec == CODEC_PFOR:
+        from ..functions.pfor import pfor_encode
+
+        return pfor_encode(values)
+    return encode_varbyte(values)
+
+
+def _encode_group(
+    pdf: pd.DataFrame, chunk_bits: int, codec: str = DEFAULT_CODEC
+) -> pd.DataFrame:
     """Encode one (term, chunk) group of logical postings into block rows."""
     cols = [
         "term", "chunk", "block_id", "doc_count", "min_doc_id", "max_doc_id",
@@ -86,6 +116,9 @@ def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
         d = flat.copy()
         d[1:] -= flat[:-1]
         d[starts] = flat[starts]  # first position of each doc is absolute
+        dd = np.empty_like(b_docs)
+        dd[0] = b_docs[0]
+        np.subtract(b_docs[1:], b_docs[:-1], out=dd[1:])
         pay = b""
         if payloads is not None:
             # payloads are opaque uint64s, varbyte'd raw (no delta), parallel
@@ -107,24 +140,30 @@ def _encode_group(pdf: pd.DataFrame, chunk_bits: int) -> pd.DataFrame:
                 "max_doc_id": int(b_docs[-1]),
                 "max_tf": int(b_tfs.max()),
                 "sum_tf": int(b_tfs.sum()),
-                "doc_deltas": delta_encode(b_docs),
-                "tf_bytes": encode_varbyte(b_tfs),
-                "pos_bytes": encode_varbyte(d.astype(np.uint64)),
+                "doc_deltas": _encode_stream(dd, codec),
+                "tf_bytes": _encode_stream(b_tfs, codec),
+                "pos_bytes": _encode_stream(d.astype(np.uint64), codec),
                 "pay_bytes": pay,
             }
         )
     return pd.DataFrame(rows)
 
 
-def encode_postings(postings: DataFrame, chunk_bits: int = CHUNK_BITS) -> DataFrame:
+def encode_postings(
+    postings: DataFrame,
+    chunk_bits: int = CHUNK_BITS,
+    codec: str = DEFAULT_CODEC,
+) -> DataFrame:
     """Logical postings -> block rows. One shuffle on (term, chunk).
     An optional ``payloads array<long>`` input column (per-hit, parallel to
-    positions) is encoded into the ``pay_bytes`` stream."""
+    positions) is encoded into the ``pay_bytes`` stream.  ``codec`` selects
+    the wire format of the three posting streams (see module constants)."""
+    _check_codec(codec)
     with_chunk = postings.withColumn(
         "chunk", F.shiftright(F.col("doc_id"), chunk_bits)
     )
     return with_chunk.groupBy("term", "chunk").applyInPandas(
-        lambda pdf: _encode_group(pdf.drop(columns=["chunk"]), chunk_bits),
+        lambda pdf: _encode_group(pdf.drop(columns=["chunk"]), chunk_bits, codec),
         SEGMENT_SCHEMA,
     )
 
@@ -158,10 +197,30 @@ def _binary_row_lengths(arr: pa.Array) -> np.ndarray:
     return np.diff(offs)
 
 
+def _decode_stream(arr: pa.Array, codec: str) -> np.ndarray:
+    """All rows' wire bytes of a BinaryArray -> one concatenated uint64 value
+    stream, in ONE vectorized pass for either codec.  varbyte concatenates
+    losslessly (stateless, self-delimiting), so the whole buffer slice
+    decodes at once; pfor rows carry headers, so the multi-row kernel
+    (``pfor_decode_rows``) decodes all rows grouped by block width —
+    per-distinct-width matrix ops, never a per-row loop."""
+    if codec == CODEC_PFOR:
+        from ..functions.pfor import pfor_decode_rows
+
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        vals, _ = pfor_decode_rows(buf, offs.astype(np.int64))
+        return vals
+    return decode_varbyte(_binary_stream(arr))
+
+
 def _decode_batches(
     batches: Iterator[pa.RecordBatch],
     with_payloads: bool = False,
     with_positions: bool = True,
+    codec: str = DEFAULT_CODEC,
 ) -> Iterator[pa.RecordBatch]:
     """Block rows -> posting rows, one vectorized pass per Arrow batch.
 
@@ -195,12 +254,12 @@ def _decode_batches(
         if n_postings == 0:
             continue
         # doc ids: one decode of all blocks' delta streams, resets at blocks
-        doc_deltas = decode_varbyte(_binary_stream(batch.column("doc_deltas")))
+        doc_deltas = _decode_stream(batch.column("doc_deltas"), codec)
         block_starts = np.concatenate(([0], np.cumsum(dc)[:-1]))
         assert len(doc_deltas) == n_postings
         doc_ids = _reset_cumsum(doc_deltas, block_starts, dc)
         # tfs: one decode, one value per posting
-        tfs = decode_varbyte(_binary_stream(batch.column("tf_bytes"))).astype(np.int64)
+        tfs = _decode_stream(batch.column("tf_bytes"), codec).astype(np.int64)
         assert len(tfs) == n_postings
         # term column: arrow take (no Python string materialization)
         row_idx = pa.array(np.repeat(np.arange(batch.num_rows), dc), type=pa.int32())
@@ -212,7 +271,7 @@ def _decode_batches(
         ]
         if with_positions:
             # positions: one decode, resets at each doc's first position
-            pos_deltas = decode_varbyte(_binary_stream(batch.column("pos_bytes")))
+            pos_deltas = _decode_stream(batch.column("pos_bytes"), codec)
             doc_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
             flat = _reset_cumsum(pos_deltas, doc_starts, tfs)
             offsets = np.concatenate((doc_starts, [len(flat)])).astype(np.int32)
@@ -245,6 +304,7 @@ def decode_segments(
     blocks: DataFrame,
     with_payloads: bool = False,
     with_positions: bool = True,
+    codec: str = DEFAULT_CODEC,
 ) -> DataFrame:
     """Block rows -> logical postings (term, doc_id, tf[, positions][, payloads]).
 
@@ -256,23 +316,49 @@ def decode_segments(
     pos_bytes stream from the scan projection entirely (parquet column
     pruning) — the docs/freqs-only decode a token-only BM25 query needs;
     pos_bytes is the largest stream, so this roughly halves the bytes a
-    positional-free query touches."""
+    positional-free query touches.
+
+    ``codec`` names the wire format the blocks were written with.  If the
+    frame carries a ``codec`` COLUMN (``SegmentStore.read_blocks(...,
+    with_codec=True)`` tags each segment's rows from its lineage), the frame
+    is split per codec and decoded branch-by-branch instead — the
+    mixed-codec read path a store acquires when segments were written by
+    different codecs and not yet re-encoded by a merge."""
+    if "codec" in blocks.columns:
+        # literal-tagged rows: the filter constant-folds per parquet subtree,
+        # so a single-codec store pays nothing for the dead branch
+        parts = [
+            decode_segments(
+                blocks.where(F.col("codec") == c).drop("codec"),
+                with_payloads=with_payloads,
+                with_positions=with_positions,
+                codec=c,
+            )
+            for c in CODECS
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    _check_codec(codec)
     if with_payloads:
         sel = blocks.select(
             "term", "doc_count", "doc_deltas", "tf_bytes", "pos_bytes",
             F.coalesce(F.col("pay_bytes"), F.lit(b"")).alias("pay_bytes"),
         )
         return sel.mapInArrow(
-            lambda it: _decode_batches(it, with_payloads=True),
+            lambda it: _decode_batches(it, with_payloads=True, codec=codec),
             POSTINGS_PAYLOAD_SCHEMA,
         )
     if not with_positions:
         return blocks.select(
             "term", "doc_count", "doc_deltas", "tf_bytes"
         ).mapInArrow(
-            lambda it: _decode_batches(it, with_positions=False),
+            lambda it: _decode_batches(it, with_positions=False, codec=codec),
             POSTINGS_NOPOS_SCHEMA,
         )
     return blocks.select(
         "term", "doc_count", "doc_deltas", "tf_bytes", "pos_bytes"
-    ).mapInArrow(_decode_batches, POSTINGS_SCHEMA)
+    ).mapInArrow(
+        lambda it: _decode_batches(it, codec=codec), POSTINGS_SCHEMA
+    )

@@ -186,13 +186,17 @@ class _PrunedView:
         self.deleted = inner.deleted
         self.postings = inner.postings
         self.chunk_bits = getattr(inner, "chunk_bits", 16)
+        self.codec = getattr(inner, "codec", "varbyte")
 
     def postings_for(self, terms, with_positions: bool = True):
         from .segments import decode_segments
 
+        pruned = self.blocks.where(F.col("term").isin(terms))
+        if self.codec == "mixed":
+            # codec-tagged blocks: decode_segments splits per codec column
+            return decode_segments(pruned, with_positions=with_positions)
         return decode_segments(
-            self.blocks.where(F.col("term").isin(terms)),
-            with_positions=with_positions,
+            pruned, with_positions=with_positions, codec=self.codec
         )
 
     def postings_with_payloads_for(self, terms):

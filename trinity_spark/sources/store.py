@@ -81,6 +81,27 @@ class SegmentStore:
     def segments(self) -> list[SegmentMeta]:
         return [SegmentMeta(**s) for s in self.read_manifest()["segments"]]
 
+    # --- codec identity (codecs.h:93-95: the segment records which codec
+    # wrote it; indexer.cpp:268-270) ---
+
+    def default_codec(self) -> str:
+        """The store's wire codec: fixed by the FIRST build (manifest
+        ``codec`` key) so later builds / NRT appends stay homogeneous unless
+        a caller explicitly overrides per build."""
+        return self.read_manifest().get("codec", "varbyte")
+
+    def record_default_codec(self, codec: str) -> None:
+        """Record the store codec on first build; later calls must agree or
+        are ignored (per-segment lineage still records each segment's own)."""
+        m = self.read_manifest()
+        if "codec" not in m:
+            m["codec"] = codec
+            self._write_manifest(m)
+
+    @staticmethod
+    def segment_codec(meta: SegmentMeta) -> str:
+        return meta.lineage.get("codec", "varbyte")
+
     def has_segment(self, segment_id: str) -> bool:
         return any(s["segment_id"] == segment_id for s in self.read_manifest()["segments"])
 
@@ -319,30 +340,66 @@ class SegmentStore:
 
     # --- reads ---
 
-    def read_blocks(self, spark: SparkSession, segment_ids: list[str] | None = None) -> DataFrame:
+    def read_blocks(
+        self,
+        spark: SparkSession,
+        segment_ids: list[str] | None = None,
+        with_codec: bool = False,
+    ) -> DataFrame:
+        """Union of the selected segments' block rows.  ``with_codec=True``
+        tags each segment's rows with its lineage codec as a literal column
+        (decode_segments then splits per codec — the mixed-codec read path);
+        the tag is a per-file constant, so codec filters fold at plan time.
+
+        All store reads pin the KNOWN write-time schema instead of letting
+        Spark infer it — schema inference runs a footer-reading job per
+        ``read.parquet`` call, which made every SegmentIndex open cost ~3
+        driver jobs; a 100-store collection open was ~300 tiny serial jobs
+        before the first real query job.  Pinned, opens are job-free."""
+        from ..operators.segments import SEGMENT_SCHEMA
+
         metas = self.segments()
         if segment_ids is not None:
             metas = [s for s in metas if s.segment_id in segment_ids]
         if not metas:
-            from ..operators.segments import SEGMENT_SCHEMA
+            schema = SEGMENT_SCHEMA + (", codec string" if with_codec else "")
+            return spark.createDataFrame([], schema)
+        if not with_codec:
+            paths = [self.segment_dir(s.segment_id, "postings") for s in metas]
+            return spark.read.schema(SEGMENT_SCHEMA).parquet(*paths)
+        by_codec: dict[str, list[str]] = {}
+        for s in metas:
+            by_codec.setdefault(self.segment_codec(s), []).append(
+                self.segment_dir(s.segment_id, "postings")
+            )
+        frames = [
+            spark.read.schema(SEGMENT_SCHEMA).parquet(*paths)
+            .withColumn("codec", F.lit(c))
+            for c, paths in sorted(by_codec.items())
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
-            return spark.createDataFrame([], SEGMENT_SCHEMA)
-        paths = [self.segment_dir(s.segment_id, "postings") for s in metas]
-        return spark.read.parquet(*paths)
+    TERM_DICT_SCHEMA = "term string, df long, cf long"
+    FIELD_STATS_SCHEMA = (
+        "sum_term_hits long, total_terms long, sum_terms_docs long, docs_cnt long"
+    )
 
     def read_term_dict(self, spark: SparkSession) -> DataFrame:
         metas = self.segments()
         if not metas:
-            return spark.createDataFrame([], "term string, df long, cf long")
-        return spark.read.parquet(*[self.segment_dir(s.segment_id, "term_dict") for s in metas])
+            return spark.createDataFrame([], self.TERM_DICT_SCHEMA)
+        return spark.read.schema(self.TERM_DICT_SCHEMA).parquet(
+            *[self.segment_dir(s.segment_id, "term_dict") for s in metas]
+        )
 
     def read_field_stats(self, spark: SparkSession) -> DataFrame:
         metas = self.segments()
         if not metas:
-            return spark.createDataFrame(
-                [], "sum_term_hits long, total_terms long, sum_terms_docs long, docs_cnt long"
-            )
-        return spark.read.parquet(
+            return spark.createDataFrame([], self.FIELD_STATS_SCHEMA)
+        return spark.read.schema(self.FIELD_STATS_SCHEMA).parquet(
             *[self.segment_dir(s.segment_id, "field_stats") for s in metas]
         )
 
@@ -381,7 +438,14 @@ class SegmentStore:
         m = self.read_manifest()
         if not m["deletes"]:
             return None
-        return spark.read.parquet(*[d["path"] for d in m["deletes"]]).select("doc_id").distinct()
+        # pinned 1-column schema doubles as projection (the files also carry
+        # a gen column) and skips the schema-inference job
+        return (
+            spark.read.schema("doc_id long")
+            .parquet(*[d["path"] for d in m["deletes"]])
+            .select("doc_id")
+            .distinct()
+        )
 
     def fsck(self, spark: SparkSession | None = None, deep: bool = False) -> dict[str, Any]:
         """Store integrity check (the operational tool Trinity leaves to apps:
@@ -459,8 +523,12 @@ class SegmentStore:
             if metas:
                 # one positions-free decode of every live block: physical
                 # distinct docs across the whole store vs Σ docs_cnt
+                # (codec-tagged read so mixed-codec stores decode correctly)
                 total = (
-                    decode_segments(self.read_blocks(spark), with_positions=False)
+                    decode_segments(
+                        self.read_blocks(spark, with_codec=True),
+                        with_positions=False,
+                    )
                     .select(F.countDistinct("doc_id"))
                     .first()[0]
                 )
@@ -481,7 +549,11 @@ class SegmentStore:
                     self.segment_dir(meta.segment_id, "postings")
                 )
                 docs = (
-                    decode_segments(blocks, with_positions=False)
+                    decode_segments(
+                        blocks,
+                        with_positions=False,
+                        codec=self.segment_codec(meta),
+                    )
                     .select(F.countDistinct("doc_id"))
                     .first()[0]
                 )

@@ -62,7 +62,10 @@ def append_micro_segment(
     # append mode would re-append the doc range and double every tf
     store.write_docid_map_slice(with_ids, segment_id)
     seg_turns = store.read_docid_map_slice(spark, segment_id)
-    blocks = blocks_from_turns(seg_turns, chunk_bits=chunk_bits).persist()
+    codec = store.default_codec()  # appends stay wire-homogeneous
+    blocks = blocks_from_turns(
+        seg_turns, chunk_bits=chunk_bits, codec=codec
+    ).persist()
     meta = SegmentMeta(
         segment_id=segment_id,
         generation=0,
@@ -70,7 +73,7 @@ def append_micro_segment(
         doc_hi=base + n,
         docs_cnt=n,
         lineage={"input": input_desc, "doc_range": [base, base + n],
-                 "chunk_bits": chunk_bits,
+                 "chunk_bits": chunk_bits, "codec": codec,
                  "engine_version": __version__, "mode": "nrt-append"},
         metrics={},
     )
@@ -131,7 +134,10 @@ def replace_documents(
         )
         store.write_docid_map_slice(with_ids, segment_id)
         seg_turns = store.read_docid_map_slice(spark, segment_id)
-        blocks = blocks_from_turns(seg_turns, chunk_bits=chunk_bits).persist()
+        codec = store.default_codec()  # replaces stay wire-homogeneous
+        blocks = blocks_from_turns(
+            seg_turns, chunk_bits=chunk_bits, codec=codec
+        ).persist()
         meta = SegmentMeta(
             segment_id=segment_id,
             generation=0,
@@ -139,7 +145,7 @@ def replace_documents(
             doc_hi=base + n,
             docs_cnt=n,
             lineage={"input": input_desc, "doc_range": [base, base + n],
-                     "chunk_bits": chunk_bits,
+                     "chunk_bits": chunk_bits, "codec": codec,
                      "engine_version": __version__, "mode": "nrt-append",
                      "replace": True},
             metrics={},
