@@ -445,3 +445,76 @@ def test_curate_pipeline(spark):
     assert out[6] == (True, "", 6)
     kept = sorted(d for d, (k, _, _) in out.items() if k)
     assert kept == [0, 6]
+
+
+# --- LSH bucket-size cap (adversarial degenerate corpora) --------------------
+
+def test_lsh_bucket_cap_star_and_report(spark, caplog):
+    """Adversarial corpus: every doc shares EVERY band (identical text), so
+    without a cap one bucket generates O(n^2) pairs.  With the cap, the
+    bucket switches to star pairing (n-1 pairs, all anchored at the min-id
+    member), the skip is logged (no silent caps), and the star still
+    collapses to ONE cluster downstream."""
+    import logging
+
+    n = 60
+    docs = _docs(
+        spark, [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(n)]
+    )
+    with caplog.at_level(logging.WARNING, logger="trinity_spark.dataops.dedup"):
+        pairs = dedup.minhash_near_duplicates(
+            docs, num_hashes=4, bands=2, threshold=0.5, max_bucket_size=8
+        ).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert got == {(0, i) for i in range(1, n)}  # star, bounded: n-1 pairs
+    assert all(p["jaccard"] == 1.0 for p in pairs)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("star pairing" in m and "max_bucket_size=8" in m for m in msgs)
+    comp = dedup.connected_components(
+        spark.createDataFrame(sorted(got), "id_a long, id_b long")
+    )
+    assert {r["component"] for r in comp.collect()} == {0}  # one cluster
+
+
+def test_lsh_bucket_cap_inactive_below_cap(spark):
+    """A cap larger than every bucket must be a no-op: same pairs as exact."""
+    docs = _docs(spark, DUP_ROWS)
+    exact = {
+        (p["id_a"], p["id_b"]): p["jaccard"]
+        for p in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (p["id_a"], p["id_b"]): p["jaccard"]
+        for p in dedup.minhash_near_duplicates(
+            docs, threshold=0.5, max_bucket_size=1000
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_lsh_bucket_cap_validates(spark):
+    docs = _docs(spark, DUP_ROWS)
+    sigs = dedup.minhash_signatures(docs, num_hashes=4)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.lsh_candidate_pairs(sigs, num_hashes=4, bands=2, max_bucket_size=1)
+
+
+def test_simhash_bucket_cap_star(spark, caplog):
+    """Same degenerate shape through the SimHash band join: identical docs
+    share all 8 byte-bands; the cap bounds pairs to the star and verified
+    hamming distances stay exact (0 for identical signatures)."""
+    import logging
+
+    n = 40
+    docs = _docs(
+        spark, [(i, "omega psi chi phi upsilon tau sigma rho") for i in range(n)]
+    )
+    with caplog.at_level(logging.WARNING, logger="trinity_spark.dataops.dedup"):
+        pairs = dedup.simhash_near_duplicates(
+            docs, max_hamming=3, max_bucket_size=8
+        ).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert got == {(0, i) for i in range(1, n)}
+    assert all(p["hamming"] == 0 for p in pairs)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("SimHash cap" in m for m in msgs)

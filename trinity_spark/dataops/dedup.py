@@ -21,8 +21,12 @@ Scale notes (1000 executors, 10^10 docs):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -93,9 +97,25 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (bands x rows), bucket-join on band hash ->
-    candidate pairs (a < b).  One shuffle on (band, band_hash)."""
+    candidate pairs (a < b).  One shuffle on (band, band_hash).
+
+    ``max_bucket_size`` bounds the within-bucket self-join, which is
+    otherwise O(m^2) in bucket size m: a degenerate corpus (boilerplate docs
+    sharing every band) can put millions of docs in ONE bucket and a single
+    all-pairs bucket would dominate the whole job.  Buckets at or under the
+    cap generate all pairs as usual; OVERSIZED buckets switch to a STAR
+    topology — every member is paired with the bucket's min-id
+    representative only (m-1 pairs instead of m(m-1)/2).  The star keeps
+    every member reachable from the representative, so downstream
+    ``connected_components`` / ``resolve_duplicates`` still collapse the
+    bucket into one cluster; what is lost is only the explicit pairwise
+    jaccard between non-representative members.  The cap is never silent:
+    the oversized buckets and the number of skipped pairs are logged (one
+    tiny driver action on the bucket-size aggregate, only when a cap is
+    set).  Defaults to None (no cap, exact behavior)."""
     rows = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),
@@ -115,18 +135,58 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
+
+    def all_pairs(src: DataFrame) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        return a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+
+    if max_bucket_size is None:
+        return all_pairs(banded).distinct()
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (pairs need 2 docs)")
+
+    # bucket sizes: same shuffle key as the join, map-side combined; output
+    # is one row per non-empty bucket
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    # no silent caps: surface what the cap drops before computing anything
+    m = F.col("n").cast("double")
+    rep = (
+        sizes.where(F.col("n") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("n").alias("largest"),
+            F.sum((m - 1) * (m - 2) / 2).alias("pairs_skipped"),
+        )
+        .first()
     )
+    if rep["buckets"]:
+        _log.warning(
+            "LSH cap: %d bucket(s) over max_bucket_size=%d (largest=%d) "
+            "switched to star pairing; ~%d non-representative pairwise "
+            "candidates skipped (cluster connectivity preserved via the "
+            "bucket representative)",
+            rep["buckets"], max_bucket_size, rep["largest"],
+            int(rep["pairs_skipped"]),
+        )
+    tagged = banded.join(sizes, ["band", "bucket"])
+    small_pairs = all_pairs(
+        tagged.where(F.col("n") <= max_bucket_size).drop("n")
+    )
+    big = tagged.where(F.col("n") > max_bucket_size).drop("n")
+    reps = big.groupBy("band", "bucket").agg(F.min(id_col).alias("rep"))
+    star_pairs = (
+        big.join(reps, ["band", "bucket"])
+        .where(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_pairs(
@@ -160,10 +220,13 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Full MinHash->LSH->verify pipeline: near-dup pairs above threshold."""
+    """Full MinHash->LSH->verify pipeline: near-dup pairs above threshold.
+    ``max_bucket_size`` bounds degenerate LSH buckets (see
+    ``lsh_candidate_pairs``); None = exact (no cap)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket_size)
     return jaccard_pairs(docs, cands, id_col, text_col, shingle_n).where(
         F.col("jaccard") >= threshold
     )
@@ -341,10 +404,17 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each of the 32/band_bits bit-bands
     (a pair within hamming distance < #bands shares at least one exact band),
-    verify hamming distance exactly."""
+    verify hamming distance exactly.
+
+    ``max_bucket_size`` bounds the within-bucket self-join exactly like
+    ``lsh_candidate_pairs``: oversized key buckets (boilerplate corpora
+    hashing to one SimHash) switch to star pairing against the bucket's
+    min-id member — O(m) pairs, cluster connectivity preserved, skipped
+    pairwise candidates logged.  None = exact (no cap)."""
     sig = simhash(docs, id_col, text_col)
     n_bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
@@ -364,22 +434,63 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
+
+    def all_pairs(src: DataFrame) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        return a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .distinct()
-    )
+
+    if max_bucket_size is None:
+        pairs = all_pairs(banded).distinct()
+    else:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2 (pairs need 2 docs)")
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        m = F.col("n").cast("double")
+        rep = (
+            sizes.where(F.col("n") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.max("n").alias("largest"),
+                F.sum((m - 1) * (m - 2) / 2).alias("pairs_skipped"),
+            )
+            .first()
+        )
+        if rep["buckets"]:
+            _log.warning(
+                "SimHash cap: %d bucket(s) over max_bucket_size=%d "
+                "(largest=%d) switched to star pairing; ~%d pairwise "
+                "candidates skipped",
+                rep["buckets"], max_bucket_size, rep["largest"],
+                int(rep["pairs_skipped"]),
+            )
+        tagged = banded.join(sizes, ["band", "key"])
+        small = all_pairs(tagged.where(F.col("n") <= max_bucket_size).drop("n"))
+        big = tagged.where(F.col("n") > max_bucket_size).drop("n")
+        reps = big.groupBy("band", "key").agg(
+            F.min(id_col).alias("rep"),
+            F.min_by("simhash", id_col).alias("rep_sig"),
+        )
+        star = (
+            big.join(reps, ["band", "key"])
+            .where(F.col(id_col) != F.col("rep"))
+            .select(
+                F.col("rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("rep_sig").alias("sig_a"),
+                F.col("simhash").alias("sig_b"),
+            )
+        )
+        pairs = small.unionByName(star).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
