@@ -71,3 +71,29 @@ def test_collection_documents_only(spark, two_stores):
     ).collect()
     assert {(r["source"], r["doc_id"]) for r in rows} == want
     assert rows and set(rows[0].asDict()) == {"source", "doc_id"}  # no score col
+
+
+def test_collection_plan_time_actions_batched(spark, tmp_path):
+    """Plan-time stats for the WHOLE collection ride O(1) driver actions
+    (one tagged term_dict union; n_docs off the manifests) — not 1-2 tiny
+    jobs per store.  8 stores must plan in <= 3 jobs."""
+    stores = []
+    for i in range(8):
+        st = SegmentStore(str(tmp_path / f"c{i}"))
+        build_index(
+            spark, spark.createDataFrame(gen_transcripts(300, seed=i)), st,
+            rows_per_segment=300,
+        )
+        stores.append(st)
+    sc = spark.sparkContext
+    sc.setJobGroup("collection-plan", "plan-time actions")
+    try:
+        df = exec_query_collection(spark, stores, "error AND timeout", k=5)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("collection-plan")
+    assert len(jobs) <= 3, f"plan-time ran {len(jobs)} jobs: {sorted(jobs)}"
+    rows = df.collect()
+    assert rows and all(
+        rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1)
+    )

@@ -15,6 +15,14 @@ app-side merge/reduce is a ``unionByName`` + one global
 TakeOrderedAndProject.  Spark schedules the per-store stages concurrently
 inside the one collect (the ``std::async`` analog without threads), and k
 rows per store is all that reaches the final sort.
+
+Plan-time stats are BATCHED: instead of each store answering its own
+df/N lookup (1-2 tiny driver actions per store — ~100 sequential jobs for a
+100-store collection before the one real query job), all stores' term_dict
+lookups ride ONE tagged union action, and n_docs comes off the manifests
+(no job) for physical stores.  Plan-time driver actions are O(1) in the
+number of stores: at most one field_stats job (logical stores only) + one
+df job, regardless of collection size.
 """
 
 from __future__ import annotations
@@ -24,9 +32,74 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ast import query_terms
 from ..plans.parser import parse_query
-from ..plans.planner import QueryPlanner
+from ..plans.planner import IndexStats, QueryPlanner
 from .indexer import SegmentIndex
+
+
+class _SeededStatsIndex:
+    """Planner-compatible view of an index whose per-query stats were
+    precomputed by the collection's batched lookup — ``stats_for`` answers
+    driver-side (zero Spark jobs); everything else delegates."""
+
+    def __init__(self, inner, stats: IndexStats):
+        self._inner = inner
+        self._stats = stats
+
+    def stats_for(self, terms):
+        # `_stats` covers every term of THIS query (superset of any subset
+        # the planner asks for); unknown terms correctly read df=0
+        return self._stats
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
+    """All stores' (n_docs, df-per-query-term) in <= 2 driver actions total.
+
+    n_docs: physical ``SegmentIndex``es sum manifest docs_cnt (driver-side,
+    free); logical indexes contribute to one tagged field_stats union.
+    df: every index's term_dict lookup is tagged with its ordinal and
+    unioned — one job, each subtree doing its own pushdown scan exactly as
+    the per-store lookup would have."""
+    n_docs: dict[int, int] = {}
+    nd_frames: list[DataFrame] = []
+    df_frames: list[DataFrame] = []
+    for i, idx in enumerate(indexes):
+        if hasattr(idx, "store"):
+            n_docs[i] = sum(s.docs_cnt for s in idx.store.segments())
+        else:
+            nd_frames.append(
+                idx.field_stats.select(
+                    F.lit(i).alias("src"), F.col("docs_cnt").cast("long").alias("docs_cnt")
+                )
+            )
+        if terms:
+            df_frames.append(
+                idx.term_dict.where(F.col("term").isin(terms)).select(
+                    F.lit(i).alias("src"), "term", F.col("df").cast("long").alias("df")
+                )
+            )
+    if nd_frames:
+        for r in (
+            reduce(DataFrame.unionByName, nd_frames)
+            .groupBy("src")
+            .agg(F.sum("docs_cnt").alias("n"))
+            .collect()
+        ):
+            n_docs[r["src"]] = int(r["n"] or 0)
+    dfs: dict[int, dict[str, int]] = {i: {} for i in range(len(indexes))}
+    if df_frames:
+        for r in (
+            reduce(DataFrame.unionByName, df_frames)
+            .groupBy("src", "term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        ):
+            dfs[r["src"]][r["term"]] = int(r["df"])
+    return [IndexStats(n_docs.get(i, 0), dfs[i]) for i in range(len(indexes))]
 
 
 def exec_query_collection(
@@ -52,10 +125,18 @@ def exec_query_collection(
     if not stores:
         raise ValueError("empty collection")
     node = parse_query(query) if isinstance(query, str) else query
+    indexes = [
+        SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st
+        for st in stores
+    ]
+    # ONE batched df/N lookup for the whole collection (O(1) driver actions
+    # in store count), seeded into each per-store planner
+    stats = _batched_stats(indexes, query_terms(node))
     frames = []
-    for i, st in enumerate(stores):
-        idx = SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st
-        planner = QueryPlanner(idx, similarity=similarity)
+    for i, idx in enumerate(indexes):
+        planner = QueryPlanner(
+            _SeededStatsIndex(idx, stats[i]), similarity=similarity
+        )
         if documents_only:
             frames.append(
                 planner.matching_docs(node).select(
