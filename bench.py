@@ -20,7 +20,11 @@ throughput_32 / (4 * throughput_8).  Details land in BENCH.md.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     TRINITY_BENCH_SCALING=0 to skip the scaling subprocesses.
+     TRINITY_BENCH_SCALING=0 to skip the scaling subprocesses,
+     TRINITY_BENCH_CODEC=1 to add a varbyte-vs-PFOR wire A/B section
+     (same corpus built at both codecs: build wall, warm query walls,
+     postings bytes on disk — the evidence behind the default-codec choice),
+     TRINITY_BENCH_XL=1 to add the 10M-turn headroom section.
 """
 
 from __future__ import annotations
@@ -75,7 +79,13 @@ def _corpus_path(n_turns: int) -> str:
     return write_transcripts(os.path.join(BENCH_ROOT, f"corpus_{n_turns}"), n_turns)
 
 
-def run_build(cpus: int, n_turns: int, index_dir: str, chunk_bits: int | None = None) -> dict:
+def run_build(
+    cpus: int,
+    n_turns: int,
+    index_dir: str,
+    chunk_bits: int | None = None,
+    codec: str | None = None,
+) -> dict:
     """One timed build in THIS process (call in a fresh JVM per measurement)."""
     from trinity_spark.operators.indexer import build_index
     from trinity_spark.operators.segments import CHUNK_BITS
@@ -108,6 +118,7 @@ def run_build(cpus: int, n_turns: int, index_dir: str, chunk_bits: int | None = 
         rows_per_segment=max(n_turns, 1 << 14),
         input_desc=corpus,
         chunk_bits=chunk_bits if chunk_bits is not None else CHUNK_BITS,
+        codec=codec,
         # virtual docid_map: the translation table is the tiny conv-base
         # parquet + an arithmetic rule — the build never writes a second
         # copy of the corpus (at 100 TB the materialized map doubles storage)
@@ -293,10 +304,13 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=None)
     ap.add_argument("--index-dir", default=None)
     ap.add_argument("--chunk-bits", type=int, default=None)
+    ap.add_argument("--codec", default=None)
     args = ap.parse_args()
 
     if args.build_only:
-        res = run_build(args.cpus, args.turns, args.index_dir, args.chunk_bits)
+        res = run_build(
+            args.cpus, args.turns, args.index_dir, args.chunk_bits, args.codec
+        )
         print("BENCH_BUILD " + json.dumps(res))
         return
 
@@ -308,7 +322,7 @@ def main() -> None:
     _corpus_path(n_turns)  # generate once so no run pays generation cost
 
     def sub_build(c: int, turns: int | None = None, chunk_bits: int | None = None,
-                  tag: str = "") -> dict:
+                  tag: str = "", codec: str | None = None) -> dict:
         n_t = turns or n_turns
         idx = os.path.join(BENCH_ROOT, f"index_c{c}_{n_t}{tag}")
         env = dict(os.environ, TRINITY_DRIVER_MEM="16g")
@@ -316,6 +330,8 @@ def main() -> None:
                "--cpus", str(c), "--turns", str(n_t), "--index-dir", idx]
         if chunk_bits is not None:
             cmd += ["--chunk-bits", str(chunk_bits)]
+        if codec is not None:
+            cmd += ["--codec", codec]
         p = subprocess.run(
             cmd, capture_output=True, text=True, timeout=3600, env=env,
         )
@@ -446,6 +462,33 @@ def main() -> None:
     merge_bench = {}
     if os.environ.get("TRINITY_BENCH_MERGE", "1") != "0":
         merge_bench = run_merge_bench(cpus, n_turns)
+    # varbyte-vs-PFOR wire A/B on the SAME corpus: quantifies the default-
+    # codec choice (varbyte: 1-byte transcript deltas + parquet ZSTD) with
+    # build wall, warm query walls, and postings bytes on disk
+    codec_cmp: dict = {
+        "enabled": False,
+        "how": "TRINITY_BENCH_CODEC=1 builds the same corpus with the PFOR "
+        "wire and reruns the query set (~2 min extra)",
+    }
+    if os.environ.get("TRINITY_BENCH_CODEC", "0") == "1":
+        pfor_idx = os.path.join(BENCH_ROOT, f"index_c{cpus}_{n_turns}_pfor")
+        b_pfor = sub_build(cpus, tag="_pfor", codec="pfor")
+        qp, qp_warm, _ = run_queries(cpus, pfor_idx)
+        codec_cmp = {
+            "enabled": True,
+            "varbyte": {
+                "build_wall_sec": build_main["wall_sec"],
+                "queries_warm": qwarm,
+                "postings_bytes": _postings_bytes(
+                    os.path.join(BENCH_ROOT, f"index_c{cpus}_{n_turns}")
+                ),
+            },
+            "pfor": {
+                "build_wall_sec": b_pfor["wall_sec"],
+                "queries_warm": qp_warm,
+                "postings_bytes": _postings_bytes(pfor_idx),
+            },
+        }
     total = build_main["wall_sec"] + sum(qtimes.values())
     result = {
         "metric": "index_build_plus_queryset_sec",
@@ -461,6 +504,7 @@ def main() -> None:
         "pruning": {"gates": gates, "gate_open_win": pruning_win},
         "query_p50_sec": round(statistics.median(qtimes.values()), 3),
         "query_p50_warm_sec": round(statistics.median(qwarm.values()), 3),
+        "codec_ab": codec_cmp,
     }
     if os.environ.get("TRINITY_BENCH_XL", "0") == "1":
         result["xl"] = run_xl_section(cpus, sub_build)
@@ -481,6 +525,21 @@ def main() -> None:
     # merge + gate decisions, minus raw wall dumps / steal forensics) so the
     # one JSON line stays small enough that no tail capture can cut it
     print(json.dumps(_slim(result)))
+
+
+def _postings_bytes(index_dir: str) -> int:
+    """Total on-disk bytes of all segments' postings parquet files."""
+    total = 0
+    seg_root = os.path.join(index_dir, "segments")
+    if os.path.isdir(seg_root):
+        for root, _, files in os.walk(seg_root):
+            if os.path.basename(root) == "postings" or "postings" in root:
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+    return total
 
 
 def _slim(r: dict) -> dict:
@@ -516,6 +575,21 @@ def _slim(r: dict) -> dict:
         if win
         else {},
     }
+    ca = r.get("codec_ab") or {}
+    if ca.get("enabled"):
+        out["codec_ab"] = {
+            "enabled": True,
+            **{
+                w: {
+                    "build_wall_sec": ca[w]["build_wall_sec"],
+                    "postings_bytes": ca[w]["postings_bytes"],
+                    "q_warm_p50": round(
+                        statistics.median(ca[w]["queries_warm"].values()), 3
+                    ),
+                }
+                for w in ("varbyte", "pfor")
+            },
+        }
     out["detail_file"] = "bench_result.json"
     return out
 
@@ -678,7 +752,37 @@ is not its baseline.
 ## Pruning gate evidence (both sides)
 
 {_pruning_md(r.get('pruning', {}))}
+
+## Wire codec A/B (varbyte vs PFOR)
+
+{_codec_md(r.get('codec_ab', {}))}
 """)
+
+
+def _codec_md(c: dict) -> str:
+    if not c.get("enabled"):
+        return (
+            "(not run — TRINITY_BENCH_CODEC=1 builds the same corpus under "
+            "both wires and reruns the query set; the default-codec choice "
+            "is documented in functions/pfor.py)"
+        )
+    rows = []
+    for w in ("varbyte", "pfor"):
+        d = c[w]
+        p50 = statistics.median(d["queries_warm"].values())
+        rows.append(
+            f"| {w} | {d['build_wall_sec']} | {p50:.3f} | "
+            f"{d['postings_bytes'] / 1e6:.1f} MB |"
+        )
+    return (
+        "Same corpus, same queries, the two selectable wires "
+        "(`build_index(codec=...)`):\n\n"
+        "| wire | build wall_sec | warm query p50 sec | postings on disk |\n"
+        "|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
+        "varbyte stays the default: transcript-shaped deltas are mostly "
+        "1-byte so FOR bit-packing cannot beat it, and parquet ZSTD absorbs "
+        "the residual redundancy either way (functions/pfor.py module doc)."
+    )
 
 
 def _merge_md(m: dict) -> str:

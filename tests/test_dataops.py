@@ -518,3 +518,39 @@ def test_simhash_bucket_cap_star(spark, caplog):
     assert all(p["hamming"] == 0 for p in pairs)
     msgs = [r.getMessage() for r in caplog.records]
     assert any("SimHash cap" in m for m in msgs)
+
+
+def test_curate_minhash_method(spark):
+    """curate(near_dup_method='minhash'): LSH pair generation (high-recall
+    preset so the 1.0/0.83-jaccard pairs are caught) produces the same
+    verdicts as the exact method on this corpus; invalid method raises."""
+    from trinity_spark.dataops.curate import curate
+
+    good = "the quick brown fox jumps over the lazy dog and then naps all day long"
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, good),                                  # exact dup of 0
+            (2, good + " with one extra tail phrase"),  # near dup of 0
+            (3, "completely different content that is long enough to pass the gates easily and it has the stopwords for quality"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(near_dup_threshold=0.5, min_quality=0.25)
+    exact = {
+        r["doc_id"]: (r["keep"], r["reason"], r["component"])
+        for r in curate(docs, near_dup_method="exact", **kw).collect()
+    }
+    mh = {
+        r["doc_id"]: (r["keep"], r["reason"], r["component"])
+        for r in curate(
+            docs, near_dup_method="minhash", minhash_preset="high_recall", **kw
+        ).collect()
+    }
+    assert mh == exact
+    assert mh[0] == (True, "", 0)
+    assert mh[1][1] == "exact_dup"
+    assert mh[2] == (False, "near_dup", 0)
+    assert mh[3][0]
+    with pytest.raises(ValueError, match="near_dup_method"):
+        curate(docs, near_dup_method="bogus")

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import connected_components, ngram_jaccard_pairs
+from .dedup import (
+    MINHASH_PRESETS,
+    connected_components,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
 from .textstats import language_id, quality_score, token_count
 
 
@@ -33,20 +38,39 @@ def curate(
     languages: tuple[str, ...] | None = ("en",),
     near_dup_threshold: float | None = None,
     shingle_n: int = 3,
+    near_dup_method: str = "exact",
+    minhash_preset: str = "balanced",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Annotate every document with metrics + a keep/reason verdict.
 
     Gate order (first failure wins the ``reason``):
     ``too_short`` / ``too_long`` -> ``low_quality`` -> ``lang`` ->
     ``exact_dup`` (md5(text) groups; smallest id is canonical) ->
-    ``near_dup`` (only when ``near_dup_threshold`` is set: shingle-Jaccard
-    pairs over survivors, connected components, smallest id per cluster
+    ``near_dup`` (only when ``near_dup_threshold`` is set: Jaccard pairs
+    over survivors, connected components, smallest id per cluster
     survives).
+
+    ``near_dup_method`` picks the pair generator:
+    - ``"exact"`` (default): deterministic shared-shingle candidates +
+      exact Jaccard (``ngram_jaccard_pairs``) — the SQL-oracle-reproducible
+      variant; candidate generation is quadratic in docs sharing a shingle,
+      so it suits corpora that already passed exact dedup at moderate scale.
+    - ``"minhash"``: banded MinHash LSH (``minhash_near_duplicates``) with
+      the ``minhash_preset`` recall/cost point — THE 100 TB path: candidate
+      cost is bounded by band-bucket collisions, and ``max_bucket_size``
+      (default 10k; None disables) caps degenerate buckets via star pairing
+      with a logged skip report.  Probabilistic recall (preset s* curve),
+      verified pairs are exact Jaccard either way.
 
     Returns docs + n_tokens, quality, lang, component (near-dup cluster id or
     own id), keep boolean, reason string.  ``df.where("keep")`` is the
     curated corpus.
     """
+    if near_dup_method not in ("exact", "minhash"):
+        raise ValueError(
+            f"near_dup_method must be 'exact' or 'minhash', got {near_dup_method!r}"
+        )
     t = F.col(text_col)
     annotated = docs.select(
         F.col(id_col),
@@ -94,10 +118,19 @@ def curate(
     annotated = annotated.withColumn("component", F.col(id_col))
     if near_dup_threshold is not None:
         nd_survivors = annotated.where(F.col("reason") == "").select(id_col, text_col)
-        pairs = ngram_jaccard_pairs(
-            nd_survivors, id_col=id_col, text_col=text_col,
-            shingle_n=shingle_n, threshold=near_dup_threshold,
-        )
+        if near_dup_method == "minhash":
+            preset = MINHASH_PRESETS[minhash_preset]
+            pairs = minhash_near_duplicates(
+                nd_survivors, id_col=id_col, text_col=text_col,
+                num_hashes=preset["num_hashes"], bands=preset["bands"],
+                shingle_n=shingle_n, threshold=near_dup_threshold,
+                max_bucket_size=max_bucket_size,
+            )
+        else:
+            pairs = ngram_jaccard_pairs(
+                nd_survivors, id_col=id_col, text_col=text_col,
+                shingle_n=shingle_n, threshold=near_dup_threshold,
+            )
         comps = connected_components(pairs).select(
             F.col("doc_id").alias("_cc_id"),
             F.col("component").alias("_cc_comp"),
