@@ -427,6 +427,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def ann_lsh_topk(spark, sf):
+        # LSH-bucketed ANN with a PARTIAL probe (radius 2 of 8 bits): the
+        # oracle re-derives the md5 hyperplanes, signatures, and hamming
+        # pruning in SQL, so this checks the approximate path itself — not
+        # just its agreement with brute force.
+        from trinity_spark.dataops.similarity import add_lsh_signatures, lsh_topk
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+        query = [float(x) for x in vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        sigged, planes = add_lsh_signatures(
+            vecs.where(F.col("vec_id") != 0), dim=64, bits=8, seed=7
+        )
+        return lsh_topk(sigged, planes, query, k=10, probe_radius=2)
+
+    def ann_ivf_topk(spark, sf):
+        # IVF train (deterministic md5-sample init + 1 Lloyd round) + assign
+        # + FULL probe: probing every list must reproduce exact brute force,
+        # which is what the SQL oracle computes.  Checks that assignment
+        # neither drops nor duplicates vectors end-to-end.
+        from trinity_spark.dataops.similarity import ivf_index, ivf_topk
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+        query = [float(x) for x in vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        indexed, cents = ivf_index(vecs.where(F.col("vec_id") != 0), n_lists=8, iters=1)
+        return ivf_topk(indexed, cents, query, k=10, n_probe=8)
+
+    def embedding_near_dup(spark, sf):
+        # Embedding-cosine near-duplicate pairs: 12-bit signature, two 6-bit
+        # bands, exact verify.  The harness corpus has no true near-dups
+        # (max pairwise cosine ~0.51), so the threshold sits where it splits
+        # the banded candidate set non-trivially; semantics are identical at
+        # any threshold.  Oracle reimplements banding + verify in SQL.
+        from trinity_spark.dataops.similarity import cosine_pairs
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+        return cosine_pairs(vecs, dim=64, threshold=0.35, bits=12, band_bits=6, seed=7)
+
+    def data_split(spark, sf):
+        # deterministic hash-based train/val/test split: pure function of
+        # (seed, doc_id), stable under appends/re-runs — the property a
+        # 100 TB corpus needs (a sampled split reshuffles on every run)
+        from trinity_spark.dataops.traindata import hash_split
+
+        return hash_split(_docs(spark, sf)).select("doc_id", "bucket", "split")
+
+    def decontaminate_corpus(spark, sf):
+        # eval-set decontamination: every 20th doc plays the benchmark, the
+        # rest are checked for shared word 5-grams (broadcast probe join)
+        from trinity_spark.dataops.traindata import decontaminate
+
+        docs = _docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 20 == 0)
+        corpus = docs.where(F.col("doc_id") % 20 != 0)
+        return decontaminate(corpus, bench, n=5)
+
+    def pack_sequences_bins(spark, sf):
+        # contiguous token-budget packing (concat-then-chunk): bin_id =
+        # exclusive-prefix-sum(n_tokens in doc_id order) // budget, computed
+        # with the distributed two-phase prefix sum (no global window)
+        from trinity_spark.dataops.traindata import pack_sequences
+
+        return pack_sequences(_docs(spark, sf), budget=512)
+
+    def bm25_conv_topk(spark, sf):
+        # group-scope retrieval (operators/grouped.py): top-k CONVERSATIONS
+        # by summed BM25 of their matching turns — documents grouped into
+        # pseudo-conversations of 5 for a deterministic multi-turn mapping
+        from trinity_spark.operators.grouped import grouped_topk
+
+        planner = _index(spark, sf)
+        scored = planner.score_all("join AND merge")
+        groups = _docs(spark, sf).select(
+            "doc_id", F.floor(F.col("doc_id") / 5).cast("long").alias("conv_id")
+        )
+        out = grouped_topk(scored, groups, k=10)
+        return out.select(
+            "conv_id", F.col("n_docs").cast("long").alias("n_turns"), "score"
+        )
+
+    q["bm25_conv_topk"] = bm25_conv_topk
+    q["data_split"] = data_split
+    q["decontaminate_corpus"] = decontaminate_corpus
+    q["pack_sequences"] = pack_sequences_bins
+    q["ann_lsh_topk"] = ann_lsh_topk
+    q["ann_ivf_topk"] = ann_ivf_topk
+    q["embedding_near_dup"] = embedding_near_dup
     q["bm25_pfor_store"] = bm25_pfor_store
     q["curate_corpus"] = curate_corpus
     q["dedup_simhash"] = dedup_simhash
@@ -1054,5 +1140,157 @@ LIMIT 10
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
+"""
+
+    # Random-hyperplane LSH signatures, re-derived in SQL: plane weight
+    # (bit, dim) = int(md5("7|bit|dim")[:8], 16) / 2^31 - 1, exactly the
+    # arithmetic of similarity.py::_hyperplane, so signatures match the
+    # Spark side bit-for-bit (verified: 0/500 mismatches at sf0.01).
+    def _lsh_sig_ctes(bits: int) -> str:
+        return f"""
+planes AS (
+  SELECT b.range AS bit, d.range AS dim,
+         (('0x' || substr(md5(7 || '|' || b.range || '|' || d.range), 1, 8))::BIGINT
+          / 2147483648.0) - 1.0 AS w
+  FROM range(0, {bits}) b, range(0, 64) d
+),
+pl AS (SELECT bit, list(w ORDER BY dim) AS plane FROM planes GROUP BY bit),
+ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+sigbits AS (
+  SELECT e.vec_id,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0
+              THEN (1::BIGINT << p.bit) ELSE 0::BIGINT END AS bv
+  FROM ev e, pl p
+),
+sigs AS (SELECT vec_id, sum(bv)::BIGINT AS sig FROM sigbits GROUP BY vec_id)"""
+
+    o["ann_lsh_topk"] = f"""
+WITH {_lsh_sig_ctes(8)},
+q AS (SELECT s.sig AS qsig, e.v AS qv
+      FROM sigs s JOIN ev e ON e.vec_id = s.vec_id WHERE s.vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.v
+  FROM ev e JOIN sigs s ON s.vec_id = e.vec_id, q
+  WHERE e.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= 2
+)
+SELECT c.vec_id,
+       round(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM cand c, q
+ORDER BY score DESC, c.vec_id ASC
+LIMIT 10
+"""
+
+    # Full-probe IVF == exact brute force (every vector lives in exactly one
+    # list), so the oracle is the brute-force cosine top-k.
+    o["ann_ivf_topk"] = o["ann_cosine_topk"]
+
+    o["embedding_near_dup"] = f"""
+WITH {_lsh_sig_ctes(12)},
+banded AS (
+  SELECT s.vec_id, b.range AS band, (s.sig >> (b.range * 6)) & 63 AS key
+  FROM sigs s, range(0, 2) b
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT p.id_a, p.id_b,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM pairs p
+  JOIN ev ea ON ea.vec_id = p.id_a
+  JOIN ev eb ON eb.vec_id = p.id_b
+)
+SELECT id_a, id_b, cosine FROM verified WHERE cosine >= 0.35
+"""
+
+    # split boundaries: the SAME float accumulation as traindata.hash_split
+    # (order matters — 0.8 + 0.1 != 0.9 exactly in IEEE754)
+    _bounds = []
+    _acc = 0.0
+    for _w in (0.8, 0.1):
+        _acc += _w
+        _bounds.append(int(_acc * (1 << 32)))
+    o["data_split"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('7|' || doc_id), 1, 8))::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {_bounds[0]} THEN 'train'
+            WHEN bucket < {_bounds[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+    o["decontaminate_corpus"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh5 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM toks WHERE len(t) >= 5)
+),
+bench AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT s.doc_id, count(DISTINCT s.sh) AS n_hit
+  FROM sh5 s JOIN bench b ON b.sh = s.sh
+  WHERE s.doc_id % 20 <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 20 <> 0
+"""
+
+    o["bm25_conv_topk"] = f"""
+WITH {_TOKS}, {_STATS},
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf / (t.tf + {K1}))) AS raw
+  FROM toks t
+  JOIN dfs d ON d.term = t.term
+  CROSS JOIN stats s
+  WHERE t.term IN ('join','merge')
+  GROUP BY t.doc_id
+  HAVING count(DISTINCT t.term) = 2
+),
+conv AS (
+  SELECT doc_id // 5 AS conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         round(sum(raw), 6) AS score
+  FROM scored GROUP BY 1
+)
+SELECT conv_id, n_turns, score
+FROM conv ORDER BY score DESC, conv_id ASC LIMIT 10
+"""
+
+    o["pack_sequences"] = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+c AS (
+  SELECT doc_id, nt,
+         coalesce(sum(nt) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cb
+  FROM base
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       CAST(cb // 512 AS BIGINT) AS bin_id
+FROM c
 """
     return o

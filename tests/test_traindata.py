@@ -1,0 +1,176 @@
+"""Training-data assembly: hash split, decontamination, sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trinity_spark.dataops.traindata import decontaminate, hash_split, pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- hash_split --------------------------------------------------------------
+
+
+def test_hash_split_exhaustive_deterministic(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(2000)])
+    a = hash_split(docs).select("doc_id", "bucket", "split").collect()
+    assert len(a) == 2000
+    by_split = {}
+    for r in a:
+        by_split.setdefault(r["split"], []).append(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    # rough proportions (hash is uniform-ish; wide tolerance, zero flake)
+    assert 0.7 < len(by_split["train"]) / 2000 < 0.9
+    # pure function of (seed, id): re-run identical
+    b = hash_split(docs).select("doc_id", "bucket", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # different seed reassigns some documents
+    c = hash_split(docs, seed=99).select("doc_id", "split").collect()
+    moved = sum(
+        1 for x, y in zip(sorted(a, key=lambda r: r["doc_id"]),
+                          sorted(c, key=lambda r: r["doc_id"]))
+        if x["split"] != y["split"]
+    )
+    assert moved > 0
+
+
+def test_hash_split_stable_under_append(spark):
+    """The property the hash design buys: adding documents never moves
+    existing ones (a sampled/sorted split would reshuffle everything)."""
+    small = _docs(spark, [(i, f"doc {i}") for i in range(500)])
+    big = _docs(spark, [(i, f"doc {i}") for i in range(1000)])
+    a = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_split_validates_weights(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, weights={"train": 0.5, "test": 0.2})
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(docs, weights={"train": 1.5, "test": -0.5})
+
+
+# --- decontaminate -----------------------------------------------------------
+
+
+def test_decontaminate_planted_overlap(spark):
+    gram = "alpha beta gamma delta epsilon"
+    corpus = _docs(
+        spark,
+        [
+            (1, f"clean text with no overlap at all here one two three"),
+            (2, f"prefix words then {gram} then suffix words"),
+            (3, "tiny"),  # shorter than n: reported clean, never joins
+            (4, f"{gram} leading and also {gram} repeated"),
+        ],
+    )
+    bench = _docs(spark, [(100, f"the benchmark contains {gram} verbatim")])
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert not out[1]["contaminated"] and out[1]["n_hit_ngrams"] == 0
+    assert out[2]["contaminated"] and out[2]["n_hit_ngrams"] >= 1
+    assert not out[3]["contaminated"]
+    assert out[4]["contaminated"]
+
+
+def test_decontaminate_short_benchmark_rows_ignored(spark):
+    corpus = _docs(spark, [(1, "one two three four five six")])
+    bench = _docs(spark, [(100, "one two")])  # < n tokens: no shingles
+    out = decontaminate(corpus, bench, n=5).collect()
+    assert not out[0]["contaminated"]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    corpus = _docs(spark, [(i, f"text number {i} with several words") for i in range(50)])
+    bench = _docs(spark, [(100, "text number 7 with several words")])
+    plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_curate_decontamination_gate(spark):
+    from trinity_spark.dataops.curate import curate
+
+    gram = "the quick brown fox jumps over it"
+    good = "the code review found that the bug is in the parser for it"
+    corpus = _docs(
+        spark,
+        [
+            (1, good),
+            (2, f"the report says {gram} and the test is for it now"),
+            (3, "x"),  # too_short AND would-be-contaminated: first gate wins
+        ],
+    )
+    bench = _docs(spark, [(100, f"benchmark text where {gram} appears for the set")])
+    out = {
+        r["doc_id"]: r
+        for r in curate(corpus, min_quality=0.0, benchmark=bench, decontam_n=5).collect()
+    }
+    assert out[1]["keep"] and out[1]["reason"] == ""
+    assert not out[2]["keep"] and out[2]["reason"] == "contaminated"
+    assert not out[3]["keep"] and out[3]["reason"] == "too_short"
+
+
+def test_decontaminate_validates_n(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="n must be"):
+        decontaminate(docs, docs, n=0)
+
+
+# --- pack_sequences ----------------------------------------------------------
+
+
+def test_pack_sequences_prefix_sum_semantics(spark):
+    # known token counts via explicit token_col, many partitions
+    rows = [(i, "ignored", (i % 7) + 1) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_toks long")
+    out = pack_sequences(
+        docs, budget=50, token_col="n_toks", num_partitions=8
+    ).collect()
+    assert len(out) == 1000
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"]) for r in out}
+    cum = 0
+    for i in range(1000):
+        nt = (i % 7) + 1
+        assert got[i] == (nt, cum // 50), f"doc {i}"
+        cum += nt
+
+
+def test_pack_sequences_bin_budget_bound(spark):
+    """Each bin's token span is < budget + its last doc (docs straddle at
+    most one boundary) and bins are contiguous from 0."""
+    rows = [(i, "ignored", 1 + (i * 37) % 113) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_toks long")
+    out = sorted(
+        pack_sequences(docs, budget=200, token_col="n_toks", num_partitions=5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    bins = {}
+    for r in out:
+        bins.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    assert min(bins) == 0 and sorted(bins) == list(range(max(bins) + 1))
+    for b, toks in bins.items():
+        # all but the straddling last doc fit the budget
+        assert sum(toks) - toks[-1] < 200
+
+
+def test_pack_sequences_from_text_matches_token_count(spark):
+    from trinity_spark.dataops.textstats import token_count
+
+    docs = _docs(spark, [(i, f"some words here number {i}") for i in range(40)])
+    out = pack_sequences(docs, budget=16, num_partitions=3)
+    want = {
+        r["doc_id"]: r["nt"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("nt")).collect()
+    }
+    for r in out.collect():
+        assert r["n_tokens"] == want[r["doc_id"]]
+
+
+def test_pack_sequences_validates_budget(spark):
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)

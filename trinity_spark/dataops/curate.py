@@ -41,11 +41,17 @@ def curate(
     near_dup_method: str = "exact",
     minhash_preset: str = "balanced",
     max_bucket_size: int | None = 10_000,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """Annotate every document with metrics + a keep/reason verdict.
 
     Gate order (first failure wins the ``reason``):
     ``too_short`` / ``too_long`` -> ``low_quality`` -> ``lang`` ->
+    ``contaminated`` (only when ``benchmark`` is set: shares a word
+    ``decontam_n``-gram with the eval set — ``traindata.decontaminate``'s
+    broadcast probe, run on cheap-gate survivors only) ->
     ``exact_dup`` (md5(text) groups; smallest id is canonical) ->
     ``near_dup`` (only when ``near_dup_threshold`` is set: Jaccard pairs
     over survivors, connected components, smallest id per cluster
@@ -90,6 +96,36 @@ def curate(
             ~F.col("lang").isin(list(languages)), F.lit("lang")
         )
     annotated = annotated.withColumn("reason", F.coalesce(gate, F.lit("")))
+
+    if benchmark is not None:
+        # eval-set decontamination among cheap-gate survivors: the flagged
+        # set is tiny (true contamination is rare), so the back-join is
+        # AQE-broadcast
+        from .traindata import decontaminate
+
+        flagged = (
+            decontaminate(
+                annotated.where(F.col("reason") == "").select(id_col, text_col),
+                benchmark,
+                n=decontam_n,
+                id_col=id_col,
+                text_col=text_col,
+                bench_text_col=bench_text_col,
+            )
+            .where(F.col("contaminated"))
+            .select(F.col(id_col).alias("_cont_id"))
+        )
+        annotated = (
+            annotated.join(flagged, annotated[id_col] == F.col("_cont_id"), "left")
+            .withColumn(
+                "reason",
+                F.when(
+                    (F.col("reason") == "") & F.col("_cont_id").isNotNull(),
+                    F.lit("contaminated"),
+                ).otherwise(F.col("reason")),
+            )
+            .drop("_cont_id")
+        )
 
     # exact dedup among gate-survivors: one shuffle on the content hash
     survivors = annotated.where(F.col("reason") == "")

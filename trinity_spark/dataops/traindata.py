@@ -1,0 +1,218 @@
+"""Training-data assembly operators: deterministic corpus splitting,
+benchmark decontamination, and token-budget sequence packing.
+
+These are the passes that turn a curated corpus into model-ready data; at
+100 TB each is shaped to avoid the failure mode that kills it at scale:
+
+- ``hash_split``: split assignment must be a pure function of the document
+  id (no sampling, no global sort), so re-runs, backfills, and incremental
+  appends land every document in the same split forever.  One projection,
+  zero shuffles.
+- ``decontaminate``: benchmark/eval sets are tiny (MBs) next to the corpus,
+  so the n-gram probe is a broadcast join against the corpus's exploded
+  shingles — the corpus is never shuffled; only MATCHING (doc, shingle)
+  rows (a vanishingly small set) reach the per-doc aggregation.
+- ``pack_sequences``: contiguous token-budget packing is a global exclusive
+  prefix sum in document order — the same two-phase pattern as doc-id
+  assignment (``operators/docids.py``): range-partition a NARROW (id,
+  n_tokens) projection, per-partition sums -> driver exclusive prefix
+  (O(partitions) rows) -> one mapInArrow cumulative pass.  No global
+  window funnel, no corpus-wide sort of full rows.
+
+All arithmetic is md5-derived / integer-exact so the DuckDB driver oracle
+reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trinity_spark.dataops.dedup import shingles
+from trinity_spark.dataops.textstats import token_count
+
+_DEFAULT_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def split_bucket(id_col, seed: int = 7):
+    """Deterministic 32-bit bucket for a document id: first 8 hex chars of
+    md5("{seed}|{id}") — the cross-engine-stable hash used throughout
+    (DuckDB: ``('0x' || substr(md5(seed || '|' || id), 1, 8))::BIGINT``)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``docs`` + ``bucket`` (long) + ``split`` (string): deterministic
+    hash-based train/val/test assignment.
+
+    Split boundaries are exact integers over the 2^32 bucket space (no float
+    comparisons), assigned in the ``weights`` insertion order; weights must
+    sum to ~1.  A document's split depends only on (seed, id): stable under
+    re-runs, appends, repartitioning, and engine changes.
+    """
+    weights = weights or _DEFAULT_SPLITS
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    bucket = split_bucket(id_col, seed)
+    names = list(weights)
+    bounds = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append(int(acc * (1 << 32)))
+    expr = F.lit(names[-1])
+    for name, hi in reversed(list(zip(names[:-1], bounds))):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return docs.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with a benchmark
+    set: (id, n_hit_ngrams, contaminated) for EVERY input document.
+
+    Standard eval-set decontamination (the n-gram overlap check run before
+    training).  Documents shorter than ``n`` tokens cannot carry a full
+    n-gram and are reported clean with 0 hits — they never enter the join.
+
+    ``broadcast_bench=True`` (default) is right whenever the benchmark's
+    distinct shingle set fits an executor (real eval sets: thousands of
+    docs); set False for a benchmark-sized-like-a-corpus and AQE plans the
+    shuffle join.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    long_enough = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+
+    bench_sh = (
+        benchmark.where(F.size(F.split(F.trim(F.col(bench_text_col)), r"\s+")) >= n)
+        .select(F.explode(shingles(F.col(bench_text_col), n)).alias("sh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = docs.where(long_enough).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    hits = (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.countDistinct("sh").alias("n_hit_ngrams"))
+    )
+    return docs.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long").alias("n_hit_ngrams"),
+        (F.coalesce(F.col("n_hit_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous token-budget packing: (id, n_tokens, bin_id) with
+    ``bin_id = exclusive_prefix_sum(n_tokens in id order) // budget``.
+
+    A document belongs to the bin its FIRST token falls in (bins at exact
+    cumulative offsets; a doc may straddle the boundary into the next bin's
+    budget — the standard concat-then-chunk packing for LLM pretraining,
+    deterministic and engine-checkable, unlike first-fit heuristics whose
+    output depends on visit order).
+
+    Distributed as a two-phase prefix sum over a NARROW (id, n_tokens)
+    projection: range-partition by id, localCheckpoint the ~16-byte rows
+    (pins partition contents so the sum pass and the cumulative pass cannot
+    drift; blocks are reclaimed when the result is unreferenced), collect
+    one sum per partition, then a single mapInArrow adds the partition base.
+    Join the result back on ``id_col`` for the full rows.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    narrow = (
+        docs.select(F.col(id_col), toks.alias("n_tokens"))
+        .repartitionByRange(num_partitions, id_col)
+        .sortWithinPartitions(id_col)
+        .localCheckpoint(eager=True)
+    )
+    parts = (
+        narrow.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_tokens").alias("n_toks"))
+        .collect()  # O(partitions) rows
+    )
+    by_pid = {r["pid"]: r for r in parts}
+    offsets: dict[int, int] = {}
+    expect: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        r = by_pid.get(pid)
+        expect[pid] = int(r["n_rows"]) if r is not None else 0
+        acc += int(r["n_toks"]) if r is not None else 0
+
+    id_field = narrow.schema[0]
+
+    def assign_bins(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for batch in batches:
+            nt = batch.column("n_tokens").to_numpy().astype(np.int64)
+            cum_before = base + np.concatenate(([0], np.cumsum(nt)[:-1]))
+            base += int(nt.sum())
+            seen += batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_field.name),
+                    pa.array(nt, type=pa.int64()),
+                    pa.array(cum_before // budget, type=pa.int64()),
+                ],
+                names=[id_field.name, "n_tokens", "bin_id"],
+            )
+        if seen != expect.get(pid, 0):
+            raise RuntimeError(
+                f"pack partition {pid} row count drifted: saw {seen}, "
+                f"expected {expect.get(pid, 0)}"
+            )
+
+    out_schema = f"{id_field.name} {id_field.dataType.simpleString()}, n_tokens long, bin_id long"
+    return narrow.mapInArrow(assign_bins, out_schema)
