@@ -1,9 +1,19 @@
 """Training-data assembly: hash split, decontamination, sequence packing."""
 
+import os
+
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from trinity_spark.dataops.traindata import decontaminate, hash_split, pack_sequences
+
+_PROP = settings(
+    max_examples=int(os.environ.get("TRINITY_PROP_EXAMPLES", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
 
 
 def _docs(spark, rows):
@@ -168,6 +178,62 @@ def test_pack_sequences_from_text_matches_token_count(spark):
     }
     for r in out.collect():
         assert r["n_tokens"] == want[r["doc_id"]]
+
+
+@_PROP
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=300),
+    budget=st.integers(min_value=1, max_value=700),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_pack_sequences_matches_sequential_reference(spark, toks, budget, parts):
+    """Distributed two-phase prefix sum == the driver-side sequential pack,
+    for any token profile / budget / partitioning (incl. zero-token docs,
+    docs bigger than the budget, more partitions than rows)."""
+    rows = [(i, "x", int(t)) for i, t in enumerate(toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_toks long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in pack_sequences(
+            docs, budget=budget, token_col="n_toks", num_partitions=parts
+        ).collect()
+    }
+    cum = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (t, cum // budget)
+        cum += t
+    assert len(got) == len(toks)
+
+
+@_PROP
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=1 << 30),
+    w_train=st.floats(min_value=0.05, max_value=0.9),
+)
+def test_hash_split_matches_reference_hash(spark, n, seed, w_train):
+    """Split assignment == the driver-side md5 reference for any seed and
+    weight point; every doc lands in exactly one split."""
+    import hashlib
+
+    rest = (1.0 - w_train) / 2
+    weights = {"train": w_train, "val": rest, "test": rest}
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in hash_split(docs, weights=weights, seed=seed).collect()
+    }
+    bounds = []
+    acc = 0.0
+    for name in ["train", "val"]:
+        acc += weights[name]
+        bounds.append(int(acc * (1 << 32)))
+    for i in range(n):
+        b = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16)
+        want = "train" if b < bounds[0] else ("val" if b < bounds[1] else "test")
+        assert got[i] == (b, want)
 
 
 def test_pack_sequences_validates_budget(spark):
