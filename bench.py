@@ -25,6 +25,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      (same corpus built at both codecs: build wall, warm query walls,
      postings bytes on disk — the evidence behind the default-codec choice),
      TRINITY_BENCH_XL=1 to add the 10M-turn headroom section.
+Measured optional sections are cached to bench_codec_ab.json / bench_xl.json
+and re-rendered (marked "cached") by later default-env runs, so a plain
+`python bench.py` never erases previously measured codec/XL evidence from
+BENCH.md or the result object.
 """
 
 from __future__ import annotations
@@ -476,6 +480,7 @@ def main() -> None:
         qp, qp_warm, _ = run_queries(cpus, pfor_idx)
         codec_cmp = {
             "enabled": True,
+            "corpus_turns": n_turns,
             "varbyte": {
                 "build_wall_sec": build_main["wall_sec"],
                 "queries_warm": qwarm,
@@ -489,6 +494,11 @@ def main() -> None:
                 "postings_bytes": _postings_bytes(pfor_idx),
             },
         }
+        _save_cached_section("bench_codec_ab.json", codec_cmp)
+    else:
+        cached = _load_cached_section("bench_codec_ab.json")
+        if cached:
+            codec_cmp = {**cached, "cached": True}
     total = build_main["wall_sec"] + sum(qtimes.values())
     result = {
         "metric": "index_build_plus_queryset_sec",
@@ -508,12 +518,19 @@ def main() -> None:
     }
     if os.environ.get("TRINITY_BENCH_XL", "0") == "1":
         result["xl"] = run_xl_section(cpus, sub_build)
+        if not result["xl"].get("error"):
+            _save_cached_section("bench_xl.json", result["xl"])
     else:
-        result["xl"] = {
-            "enabled": False,
-            "how": "TRINITY_BENCH_XL=1 adds a 10M-turn build + query + gate "
-            "section (off by default: ~10 min extra)",
-        }
+        cached_xl = _load_cached_section("bench_xl.json")
+        result["xl"] = (
+            {**cached_xl, "cached": True}
+            if cached_xl
+            else {
+                "enabled": False,
+                "how": "TRINITY_BENCH_XL=1 adds a 10M-turn build + query + "
+                "gate section (off by default: ~10 min extra)",
+            }
+        )
     _write_bench_md(result)
     # FULL result object -> a small file, so the machine-readable evidence
     # survives even if a log-tail capture truncates the stdout line
@@ -525,6 +542,28 @@ def main() -> None:
     # merge + gate decisions, minus raw wall dumps / steal forensics) so the
     # one JSON line stays small enough that no tail capture can cut it
     print(json.dumps(_slim(result)))
+
+
+def _cache_file(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
+def _load_cached_section(name: str) -> dict | None:
+    """Optional sections (codec A/B, XL) are expensive, so a default-env run
+    must not ERASE previously measured evidence from the artifact: measured
+    sections are cached to a committed side file and re-rendered (marked
+    cached) when the env gate is off."""
+    try:
+        with open(_cache_file(name)) as f:
+            obj = json.load(f)
+        return obj if obj.get("enabled") else None
+    except (OSError, ValueError):
+        return None
+
+
+def _save_cached_section(name: str, obj: dict) -> None:
+    with open(_cache_file(name), "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
 
 
 def _postings_bytes(index_dir: str) -> int:
@@ -579,6 +618,8 @@ def _slim(r: dict) -> dict:
     if ca.get("enabled"):
         out["codec_ab"] = {
             "enabled": True,
+            "cached": ca.get("cached", False),
+            "corpus_turns": ca.get("corpus_turns"),
             **{
                 w: {
                     "build_wall_sec": ca[w]["build_wall_sec"],
@@ -756,6 +797,10 @@ is not its baseline.
 ## Wire codec A/B (varbyte vs PFOR)
 
 {_codec_md(r.get('codec_ab', {}))}
+
+## 10M-turn headroom (XL)
+
+{_xl_md(r.get('xl', {}))}
 """)
 
 
@@ -774,14 +819,50 @@ def _codec_md(c: dict) -> str:
             f"| {w} | {d['build_wall_sec']} | {p50:.3f} | "
             f"{d['postings_bytes'] / 1e6:.1f} MB |"
         )
+    note = ""
+    if c.get("cached"):
+        note = (
+            f"(cached from a previous TRINITY_BENCH_CODEC=1 run at "
+            f"{c.get('corpus_turns', '?')} turns — set the env to "
+            "re-measure)\n\n"
+        )
     return (
-        "Same corpus, same queries, the two selectable wires "
+        note
+        + "Same corpus, same queries, the two selectable wires "
         "(`build_index(codec=...)`):\n\n"
         "| wire | build wall_sec | warm query p50 sec | postings on disk |\n"
         "|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
         "varbyte stays the default: transcript-shaped deltas are mostly "
         "1-byte so FOR bit-packing cannot beat it, and parquet ZSTD absorbs "
         "the residual redundancy either way (functions/pfor.py module doc)."
+    )
+
+
+def _xl_md(x: dict) -> str:
+    if not x.get("enabled"):
+        return (
+            "(not run — TRINITY_BENCH_XL=1 adds a 10M-turn build + 4 query "
+            "classes + gate decisions at that df profile; ~10 min extra)"
+        )
+    if x.get("error"):
+        return f"(attempted and failed: {x['error']})"
+    note = (
+        "(cached from a previous TRINITY_BENCH_XL=1 run — set the env to "
+        "re-measure)\n\n"
+        if x.get("cached")
+        else ""
+    )
+    b = x.get("build", {})
+    qrows = "\n".join(
+        f"| {qid} | {wall} | {(x.get('gates', {}).get(qid) or {}).get('path')} |"
+        for qid, wall in (x.get("queries") or {}).items()
+    )
+    return (
+        note
+        + f"Build: {b.get('turns')} turns in {b.get('wall_sec')} s on "
+        f"local[{b.get('cpus')}] = **{b.get('turns_per_sec')} turns/sec** "
+        f"({b.get('segments')} segments).\n\n"
+        "| query | cold wall_sec | routed path |\n|---|---|---|\n" + qrows
     )
 
 
