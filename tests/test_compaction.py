@@ -120,6 +120,24 @@ def test_fsck_deep_detects_docs_cnt_drift(spark, tiered_store):
     assert any("sum(docs_cnt)" in e for e in rep["errors"])
 
 
+def test_fsck_deep_detects_lost_postings_file(spark, tiered_store):
+    """Delete one postings part-file: the doc-count check is one-sided
+    (physical < manifest only warns — zero-token docs legitimately depress
+    it), but the write-time n_blocks lineage count is exact, so the loss
+    errors."""
+    import os
+
+    store, _, _ = tiered_store
+    meta = store.segments()[0]
+    assert meta.lineage.get("n_blocks")  # every write path records it
+    pdir = store.segment_dir(meta.segment_id, "postings")
+    parts = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    os.remove(os.path.join(pdir, parts[0]))
+    rep = store.fsck(spark, deep=True)
+    assert not rep["ok"]
+    assert any("n_blocks" in e for e in rep["errors"]), rep["errors"]
+
+
 def test_fsck_empty_store(tmp_path):
     assert SegmentStore(str(tmp_path / "idx")).fsck()["ok"]
 

@@ -449,12 +449,16 @@ def test_curate_pipeline(spark):
 
 # --- LSH bucket-size cap (adversarial degenerate corpora) --------------------
 
-def test_lsh_bucket_cap_star_and_report(spark, caplog):
+def test_lsh_bucket_cap_salt_split_and_report(spark, caplog):
     """Adversarial corpus: every doc shares EVERY band (identical text), so
     without a cap one bucket generates O(n^2) pairs.  With the cap, the
-    bucket switches to star pairing (n-1 pairs, all anchored at the min-id
-    member), the skip is logged (no silent caps), and the star still
-    collapses to ONE cluster downstream."""
+    bucket is salt-split: all pairs within each sub-bucket plus a verified
+    chain of sub-bucket representatives — bounded (<= n * cap pairs, far
+    under C(n,2)), logged (no silent caps), and because every chain link
+    VERIFIES (identical docs -> jaccard 1.0), the flood still collapses to
+    ONE cluster downstream.  (A star that skipped verification would claim
+    this property even when the representative was a chance collision —
+    the bug this design replaced.)"""
     import logging
 
     n = 60
@@ -466,14 +470,68 @@ def test_lsh_bucket_cap_star_and_report(spark, caplog):
             docs, num_hashes=4, bands=2, threshold=0.5, max_bucket_size=8
         ).collect()
     got = {(p["id_a"], p["id_b"]) for p in pairs}
-    assert got == {(0, i) for i in range(1, n)}  # star, bounded: n-1 pairs
+    assert len(got) <= n * 8  # bounded by the cap, not O(n^2)
+    assert len(got) < n * (n - 1) // 2
     assert all(p["jaccard"] == 1.0 for p in pairs)
     msgs = [r.getMessage() for r in caplog.records]
-    assert any("star pairing" in m and "max_bucket_size=8" in m for m in msgs)
+    assert any("salt-split" in m and "max_bucket_size=8" in m for m in msgs)
     comp = dedup.connected_components(
         spark.createDataFrame(sorted(got), "id_a long, id_b long")
     )
-    assert {r["component"] for r in comp.collect()} == {0}  # one cluster
+    # every doc appears in the pair graph and lands in one cluster
+    members = {r["doc_id"] for r in comp.collect()}
+    assert members == set(range(n))
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_capped_bucket_pairs_structure(spark):
+    """Unit-level pin of the salt-split shape: one oversized bucket of 30 ids
+    at cap 10 -> every within-sub-bucket pair is present, consecutive
+    sub-bucket representatives are chained, and the total is bounded."""
+    from pyspark.sql import functions as F
+
+    from trinity_spark.dataops.dedup import _capped_bucket_pairs
+
+    n, cap = 30, 10
+    banded = spark.createDataFrame(
+        [(i, 0, "k") for i in range(n)], "doc_id long, band int, bucket string"
+    )
+    got = {
+        (p["id_a"], p["id_b"])
+        for p in _capped_bucket_pairs(
+            banded, ["band", "bucket"], "doc_id", cap
+        ).collect()
+    }
+    subs = {
+        r["doc_id"]: r["sub"]
+        for r in banded.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).alias("sub")
+        ).collect()
+    }
+    for i in range(n):
+        for j in range(i + 1, n):
+            if subs[i] == subs[j]:
+                assert (i, j) in got
+    reps: dict = {}
+    for d, s in subs.items():
+        reps[s] = min(reps.get(s, d), d)
+    order = sorted(reps)
+    for a, b in zip(order, order[1:]):
+        assert tuple(sorted((reps[a], reps[b]))) in got
+    assert len(got) <= n * cap
+
+
+def test_curate_validates_minhash_preset(spark):
+    from trinity_spark.dataops.curate import curate
+
+    docs = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="minhash_preset"):
+        curate(
+            docs,
+            near_dup_method="minhash",
+            minhash_preset="hi_recall",
+            near_dup_threshold=0.8,
+        )
 
 
 def test_lsh_bucket_cap_inactive_below_cap(spark):
@@ -499,10 +557,11 @@ def test_lsh_bucket_cap_validates(spark):
         dedup.lsh_candidate_pairs(sigs, num_hashes=4, bands=2, max_bucket_size=1)
 
 
-def test_simhash_bucket_cap_star(spark, caplog):
+def test_simhash_bucket_cap_salt_split(spark, caplog):
     """Same degenerate shape through the SimHash band join: identical docs
-    share all 8 byte-bands; the cap bounds pairs to the star and verified
-    hamming distances stay exact (0 for identical signatures)."""
+    share all 8 byte-bands; the cap salt-splits the bucket (bounded pairs),
+    verified hamming distances stay exact (0 for identical signatures), and
+    the rep chain keeps the flood connected."""
     import logging
 
     n = 40
@@ -514,10 +573,16 @@ def test_simhash_bucket_cap_star(spark, caplog):
             docs, max_hamming=3, max_bucket_size=8
         ).collect()
     got = {(p["id_a"], p["id_b"]) for p in pairs}
-    assert got == {(0, i) for i in range(1, n)}
+    assert len(got) <= n * 8
+    assert len(got) < n * (n - 1) // 2
     assert all(p["hamming"] == 0 for p in pairs)
     msgs = [r.getMessage() for r in caplog.records]
     assert any("SimHash cap" in m for m in msgs)
+    comp = dedup.connected_components(
+        spark.createDataFrame(sorted(got), "id_a long, id_b long")
+    )
+    assert {r["doc_id"] for r in comp.collect()} == set(range(n))
+    assert {r["component"] for r in comp.collect()} == {0}
 
 
 def test_curate_minhash_method(spark):

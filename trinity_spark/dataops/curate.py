@@ -77,6 +77,11 @@ def curate(
         raise ValueError(
             f"near_dup_method must be 'exact' or 'minhash', got {near_dup_method!r}"
         )
+    if minhash_preset not in MINHASH_PRESETS:
+        raise ValueError(
+            f"minhash_preset must be one of {sorted(MINHASH_PRESETS)}, "
+            f"got {minhash_preset!r}"
+        )
     t = F.col(text_col)
     annotated = docs.select(
         F.col(id_col),

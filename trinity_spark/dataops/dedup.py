@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
@@ -92,6 +92,124 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket_size: int,
+    sig_col: str | None = None,
+    label: str = "LSH",
+) -> DataFrame:
+    """Bounded within-bucket pair generation (shared by the MinHash and
+    SimHash band joins).
+
+    Buckets at or under ``max_bucket_size`` generate ALL pairs.  OVERSIZED
+    buckets are salt-split into ceil(m / max_bucket_size) sub-buckets by
+    ``xxhash64(id)``: all pairs within each sub-bucket (~m * max/2 pairs,
+    bounded, every one individually verified downstream) plus a CHAIN of
+    verified pairs between consecutive sub-bucket representatives (min-id
+    member, ordered by sub-bucket index) to re-link the split.  A flood of
+    true near-duplicates therefore still collapses into one cluster (every
+    chain link verifies); a CHANCE mega-bucket of unrelated docs loses only
+    cross-sub-bucket recall — which pure all-pairs would have spent O(m^2)
+    verifications to reject anyway.  No connectivity claim is made for
+    pairs the verifier rejects.
+
+    The cap is never silent: oversized-bucket count / largest size /
+    estimated skipped cross-sub candidates are logged.  To pay the
+    signature+banding pipeline exactly once (sizes aggregate, report, and
+    both join sides), ``banded`` is localCheckpoint'ed here — one
+    materialization of the narrow (id, band, key) projection when a cap is
+    set."""
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (pairs need 2 docs)")
+    banded = banded.localCheckpoint(eager=True)
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    m = F.col("n").cast("double")
+    nsub_d = F.ceil(F.col("n") / F.lit(max_bucket_size)).cast("double")
+    report = (
+        sizes.where(F.col("n") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("n").alias("largest"),
+            F.sum(
+                m * (m - 1) / 2
+                - (nsub_d * (m / nsub_d) * (m / nsub_d - 1) / 2 + (nsub_d - 1))
+            ).alias("pairs_skipped"),
+        )
+        .first()
+    )
+    if report["buckets"]:
+        _log.warning(
+            "%s cap: %d bucket(s) over max_bucket_size=%d (largest=%d) "
+            "salt-split into sub-buckets (all pairs within each sub-bucket "
+            "+ a verified chain of sub-bucket representatives); ~%d "
+            "cross-sub-bucket pairwise candidates skipped",
+            label,
+            report["buckets"],
+            max_bucket_size,
+            report["largest"],
+            int(report["pairs_skipped"] or 0),
+        )
+    tagged = banded.join(sizes, key_cols)
+    small = tagged.where(F.col("n") <= max_bucket_size).drop("n")
+    big = (
+        tagged.where(F.col("n") > max_bucket_size)
+        .withColumn(
+            "sub",
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.ceil(F.col("n") / F.lit(max_bucket_size)),
+            ),
+        )
+        .drop("n")
+    )
+
+    def _pairs(src: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for k in keys:
+            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+        cols = [
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ]
+        if sig_col:
+            cols += [
+                F.col(f"a.{sig_col}").alias("sig_a"),
+                F.col(f"b.{sig_col}").alias("sig_b"),
+            ]
+        return a.join(b, cond).select(*cols)
+
+    rep_aggs = [F.min(id_col).alias("rep")]
+    if sig_col:
+        rep_aggs.append(F.min_by(sig_col, F.col(id_col)).alias("rep_sig"))
+    reps = big.groupBy(*key_cols, "sub").agg(*rep_aggs)
+    # few reps per bucket (m / max_bucket_size) -> the window is small
+    w = Window.partitionBy(*key_cols).orderBy("sub")
+    lag_cols = [F.lag("rep").over(w).alias("prev"), F.col("rep")]
+    if sig_col:
+        lag_cols += [F.lag("rep_sig").over(w).alias("prev_sig"), F.col("rep_sig")]
+    chain = reps.select(*key_cols, *lag_cols).where(F.col("prev").isNotNull())
+    lo_first = F.col("prev") < F.col("rep")
+    chain_cols = [
+        F.when(lo_first, F.col("prev")).otherwise(F.col("rep")).alias("id_a"),
+        F.when(lo_first, F.col("rep")).otherwise(F.col("prev")).alias("id_b"),
+    ]
+    if sig_col:
+        chain_cols += [
+            F.when(lo_first, F.col("prev_sig")).otherwise(F.col("rep_sig")).alias("sig_a"),
+            F.when(lo_first, F.col("rep_sig")).otherwise(F.col("prev_sig")).alias("sig_b"),
+        ]
+    chain_pairs = chain.select(*chain_cols)
+    return (
+        _pairs(small, key_cols)
+        .unionByName(_pairs(big, key_cols + ["sub"]))
+        .unionByName(chain_pairs)
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -105,17 +223,10 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` bounds the within-bucket self-join, which is
     otherwise O(m^2) in bucket size m: a degenerate corpus (boilerplate docs
     sharing every band) can put millions of docs in ONE bucket and a single
-    all-pairs bucket would dominate the whole job.  Buckets at or under the
-    cap generate all pairs as usual; OVERSIZED buckets switch to a STAR
-    topology — every member is paired with the bucket's min-id
-    representative only (m-1 pairs instead of m(m-1)/2).  The star keeps
-    every member reachable from the representative, so downstream
-    ``connected_components`` / ``resolve_duplicates`` still collapse the
-    bucket into one cluster; what is lost is only the explicit pairwise
-    jaccard between non-representative members.  The cap is never silent:
-    the oversized buckets and the number of skipped pairs are logged (one
-    tiny driver action on the bucket-size aggregate, only when a cap is
-    set).  Defaults to None (no cap, exact behavior)."""
+    all-pairs bucket would dominate the whole job.  Oversized buckets are
+    salt-split with a verified representative chain re-linking the splits —
+    semantics, bounds, and the no-silent-caps log line in
+    ``_capped_bucket_pairs``.  Defaults to None (no cap, exact behavior)."""
     rows = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),
@@ -149,44 +260,9 @@ def lsh_candidate_pairs(
 
     if max_bucket_size is None:
         return all_pairs(banded).distinct()
-    if max_bucket_size < 2:
-        raise ValueError("max_bucket_size must be >= 2 (pairs need 2 docs)")
-
-    # bucket sizes: same shuffle key as the join, map-side combined; output
-    # is one row per non-empty bucket
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    # no silent caps: surface what the cap drops before computing anything
-    m = F.col("n").cast("double")
-    rep = (
-        sizes.where(F.col("n") > max_bucket_size)
-        .agg(
-            F.count(F.lit(1)).alias("buckets"),
-            F.max("n").alias("largest"),
-            F.sum((m - 1) * (m - 2) / 2).alias("pairs_skipped"),
-        )
-        .first()
+    return _capped_bucket_pairs(
+        banded, ["band", "bucket"], id_col, max_bucket_size, label="LSH"
     )
-    if rep["buckets"]:
-        _log.warning(
-            "LSH cap: %d bucket(s) over max_bucket_size=%d (largest=%d) "
-            "switched to star pairing; ~%d non-representative pairwise "
-            "candidates skipped (cluster connectivity preserved via the "
-            "bucket representative)",
-            rep["buckets"], max_bucket_size, rep["largest"],
-            int(rep["pairs_skipped"]),
-        )
-    tagged = banded.join(sizes, ["band", "bucket"])
-    small_pairs = all_pairs(
-        tagged.where(F.col("n") <= max_bucket_size).drop("n")
-    )
-    big = tagged.where(F.col("n") > max_bucket_size).drop("n")
-    reps = big.groupBy("band", "bucket").agg(F.min(id_col).alias("rep"))
-    star_pairs = (
-        big.join(reps, ["band", "bucket"])
-        .where(F.col(id_col) != F.col("rep"))
-        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
-    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_pairs(
@@ -412,9 +488,9 @@ def simhash_near_duplicates(
 
     ``max_bucket_size`` bounds the within-bucket self-join exactly like
     ``lsh_candidate_pairs``: oversized key buckets (boilerplate corpora
-    hashing to one SimHash) switch to star pairing against the bucket's
-    min-id member — O(m) pairs, cluster connectivity preserved, skipped
-    pairwise candidates logged.  None = exact (no cap)."""
+    hashing to one SimHash) are salt-split with a verified representative
+    chain (see ``_capped_bucket_pairs``); skipped cross-sub-bucket
+    candidates are logged.  None = exact (no cap)."""
     sig = simhash(docs, id_col, text_col)
     n_bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
@@ -452,45 +528,14 @@ def simhash_near_duplicates(
     if max_bucket_size is None:
         pairs = all_pairs(banded).distinct()
     else:
-        if max_bucket_size < 2:
-            raise ValueError("max_bucket_size must be >= 2 (pairs need 2 docs)")
-        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-        m = F.col("n").cast("double")
-        rep = (
-            sizes.where(F.col("n") > max_bucket_size)
-            .agg(
-                F.count(F.lit(1)).alias("buckets"),
-                F.max("n").alias("largest"),
-                F.sum((m - 1) * (m - 2) / 2).alias("pairs_skipped"),
-            )
-            .first()
+        pairs = _capped_bucket_pairs(
+            banded,
+            ["band", "key"],
+            id_col,
+            max_bucket_size,
+            sig_col="simhash",
+            label="SimHash",
         )
-        if rep["buckets"]:
-            _log.warning(
-                "SimHash cap: %d bucket(s) over max_bucket_size=%d "
-                "(largest=%d) switched to star pairing; ~%d pairwise "
-                "candidates skipped",
-                rep["buckets"], max_bucket_size, rep["largest"],
-                int(rep["pairs_skipped"]),
-            )
-        tagged = banded.join(sizes, ["band", "key"])
-        small = all_pairs(tagged.where(F.col("n") <= max_bucket_size).drop("n"))
-        big = tagged.where(F.col("n") > max_bucket_size).drop("n")
-        reps = big.groupBy("band", "key").agg(
-            F.min(id_col).alias("rep"),
-            F.min_by("simhash", id_col).alias("rep_sig"),
-        )
-        star = (
-            big.join(reps, ["band", "key"])
-            .where(F.col(id_col) != F.col("rep"))
-            .select(
-                F.col("rep").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.col("rep_sig").alias("sig_a"),
-                F.col("simhash").alias("sig_b"),
-            )
-        )
-        pairs = small.unionByName(star).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming

@@ -249,7 +249,7 @@ class SegmentStore:
         term_dict: DataFrame,
         field_stats: DataFrame,
         segment_id: str,
-    ) -> None:
+    ) -> int:
         # sorted by term: parquet row-group min/max on `term` = dictionary seek.
         # one write partition per core — par//2 left half the cores idle
         # through the whole commit phase at low parallelism
@@ -261,6 +261,15 @@ class SegmentStore:
         term_dict.write.mode("overwrite").parquet(self.segment_dir(segment_id, "term_dict"))
         field_stats.write.mode("overwrite").parquet(
             self.segment_dir(segment_id, "field_stats")
+        )
+        # exact written-block count for lineage: lets fsck detect LOST
+        # postings files (physical < lineage) as an ERROR, which the doc
+        # count cannot (zero-token docs legitimately depress it).  Pinned
+        # 1-column projection; parquet count is a footer-metadata job.
+        return int(
+            blocks.sparkSession.read.schema("term string")
+            .parquet(self.segment_dir(segment_id, "postings"))
+            .count()
         )
 
     def commit_segment(
@@ -274,7 +283,9 @@ class SegmentStore:
         Data writes are idempotent (overwrite) so a crashed attempt is
         invisible until the manifest names the segment — Trinity's
         tmp-then-rename persist (indexer.cpp:286-300)."""
-        self._write_segment_data(blocks, term_dict, field_stats, meta.segment_id)
+        meta.lineage["n_blocks"] = self._write_segment_data(
+            blocks, term_dict, field_stats, meta.segment_id
+        )
         m = self.read_manifest()
         m["segments"] = [s for s in m["segments"] if s["segment_id"] != meta.segment_id]
         meta.generation = m["next_generation"]
@@ -298,7 +309,9 @@ class SegmentStore:
         it, both are visible — no window where the new version exists without
         the old one masked (or vice versa).  Returns the tombstone generation.
         """
-        self._write_segment_data(blocks, term_dict, field_stats, meta.segment_id)
+        meta.lineage["n_blocks"] = self._write_segment_data(
+            blocks, term_dict, field_stats, meta.segment_id
+        )
         m = self.read_manifest()
         seg_gen = m["next_generation"]
         del_gen = seg_gen + 1  # tombstones are the NEWER generation: they veto
@@ -465,7 +478,12 @@ class SegmentStore:
         (duplicate documents from a bad resume / double-applied batch) and
         errors; physical < manifest lands in ``warnings`` with the deficit
         (the zero-token-doc heuristic) so operators can compare it against
-        their corpus's empty-turn rate.
+        their corpus's empty-turn rate.  Orthogonally, the deep pass checks
+        the physical BLOCK count against the ``n_blocks`` recorded in
+        lineage at write time — an exact two-sided invariant (blocks exist
+        independent of token content), so lost/truncated postings
+        part-files error even when the doc-count heuristic would have
+        shrugged; segments written before n_blocks lineage skip it.
 
         Range disjointness is only asserted between NON-merged segments: a
         merge of a non-contiguous candidate set (legal — see merge.py's
@@ -548,6 +566,21 @@ class SegmentStore:
                 blocks = spark.read.parquet(
                     self.segment_dir(meta.segment_id, "postings")
                 )
+                # exact block-count vs write-time lineage: catches LOST or
+                # truncated postings part-files (physical < lineage), which
+                # the one-sided doc-count check above cannot — zero-token
+                # docs legitimately depress the doc count but never the
+                # block count.  Footer-metadata job, no decode.  Segments
+                # written before n_blocks lineage existed skip the check.
+                expect_blocks = meta.lineage.get("n_blocks")
+                if expect_blocks is not None:
+                    n_blocks = blocks.count()
+                    if n_blocks != expect_blocks:
+                        errors.append(
+                            f"{meta.segment_id}: physical block count "
+                            f"{n_blocks} != lineage n_blocks {expect_blocks} "
+                            "(lost or duplicated postings files)"
+                        )
                 docs = (
                     decode_segments(
                         blocks,
