@@ -320,6 +320,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint",
         )
 
+    def text_repetition(spark, sf):
+        # Gopher-style intra-document repetition metrics
+        # (trinity_spark/dataops/textstats.py:repetition_stats)
+        from trinity_spark.dataops.textstats import repetition_stats
+
+        return repetition_stats(_docs(spark, sf))
+
     def ann_topk(spark, sf):
         from trinity_spark.dataops.similarity import brute_force_topk
 
@@ -517,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curate_corpus"] = curate_corpus
     q["dedup_simhash"] = dedup_simhash
     q["text_analysis"] = text_analysis
+    q["text_repetition"] = text_repetition
     q["ann_cosine_topk"] = ann_topk
     q["media_feature_plumbing"] = media_n_bytes
     return q
@@ -1002,6 +1010,52 @@ SELECT doc_id, CAST({simhash_sum} AS BIGINT) AS simhash FROM votes
     de = "['der','die','und','das','ist','nicht','ein','ich','mit','zu']"
     fr = "['le','la','et','les','des','est','une','que','pas','pour']"
     es = "['el','la','los','que','de','es','una','por','con','para']"
+    o["text_repetition"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         (list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> ''))[1:2048] AS toks
+  FROM documents
+),
+linestats AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS dlf,
+         coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+           AS line_chars,
+         coalesce(list_aggregate(list_transform(list_distinct(lines),
+                                                x -> length(x)), 'sum'), 0)
+           AS dline_chars,
+         coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)
+           AS tok_chars
+  FROM base
+),
+flat AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM base
+),
+gmass AS (
+  SELECT doc_id, max(cnt * (length(g) - 1)) AS mass
+  FROM (
+    SELECT a.doc_id, a.tok || ' ' || b.tok AS g, count(*) AS cnt
+    FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    GROUP BY a.doc_id, g
+  )
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+       round(l.dlf, 6) AS dup_line_frac,
+       round(CASE WHEN l.line_chars > 0
+                  THEN 1.0 - CAST(l.dline_chars AS DOUBLE) / l.line_chars
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(CASE WHEN l.tok_chars > 0 AND m.mass IS NOT NULL
+                  THEN least(CAST(m.mass AS DOUBLE) / l.tok_chars, 1.0)
+                  ELSE 0.0 END, 6) AS top_ngram_char_frac
+FROM linestats l LEFT JOIN gmass m ON m.doc_id = l.doc_id
+"""
+
     o["text_analysis"] = f"""
 WITH base AS (
   SELECT doc_id, text,

@@ -107,6 +107,72 @@ def test_textstats_values(spark):
     assert rows[0]["fingerprint"] == expect
 
 
+def test_repetition_stats_values(spark):
+    """Hand-computed Gopher-style repetition metrics."""
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta\nalpha beta\ngamma"),  # 1 of 3 lines is a repeat
+            (1, "buy now buy now buy now"),  # top bigram covers everything
+            (2, "all distinct words here today"),
+            (3, ""),
+            (4, "one"),  # no bigram possible
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert rows[0]["dup_line_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    # line chars 10+10+5=25, distinct 15 -> 0.4
+    assert rows[0]["dup_line_char_frac"] == pytest.approx(0.4, abs=1e-6)
+    # "alpha beta" x2, 9 token chars each, over 23 total token chars
+    assert rows[0]["top_ngram_char_frac"] == pytest.approx(18 / 23, abs=1e-6)
+    assert rows[1]["top_ngram_char_frac"] == 1.0  # "buy now" x3 = 18/18
+    # singleton bigrams: heaviest is "distinct words" (13 chars) / 25
+    assert rows[2]["top_ngram_char_frac"] == pytest.approx(13 / 25, abs=1e-6)
+    for d in (3, 4):
+        assert rows[d]["dup_line_frac"] == 0.0
+        assert rows[d]["top_ngram_char_frac"] == 0.0
+
+
+def test_repetition_stats_scan_cap_and_validation(spark):
+    docs = _docs(spark, [(0, "x y " * 100 + "tail")])
+    # cap to the first 4 tokens: "x y x y" -> top bigram mass 2*3=6 over 4 chars -> clamped 1.0
+    r = textstats.repetition_stats(docs, max_scan_tokens=4).collect()[0]
+    assert r["top_ngram_char_frac"] == 1.0
+    with pytest.raises(ValueError):
+        textstats.repetition_stats(docs, ngram_n=0).collect()
+    with pytest.raises(ValueError):
+        textstats.repetition_stats(docs, max_scan_tokens=0).collect()
+
+
+def test_curate_repetitive_gate(spark):
+    from trinity_spark.dataops.curate import curate
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a normal english document that is about the weather and the news today for everyone"),
+            (1, "click here click here click here click here click here click here click here click here"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            docs,
+            min_quality=0.0,
+            languages=None,
+            max_top_ngram_char_frac=0.5,
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["reason"] == ""
+    assert not out[1]["keep"] and out[1]["reason"] == "repetitive"
+    # gate off by default: both kept
+    out2 = {
+        r["doc_id"]: r
+        for r in curate(docs, min_quality=0.0, languages=None).collect()
+    }
+    assert out2[1]["keep"]
+
+
 def test_fingerprint_order_sensitive(spark):
     docs = _docs(spark, [(0, "alpha beta gamma"), (1, "gamma beta alpha")])
     rows = {r["doc_id"]: r["fingerprint"] for r in textstats.analyze(docs).collect()}

@@ -41,6 +41,9 @@ def curate(
     near_dup_method: str = "exact",
     minhash_preset: str = "balanced",
     max_bucket_size: int | None = 10_000,
+    max_dup_line_frac: float | None = None,
+    max_top_ngram_char_frac: float | None = None,
+    rep_ngram_n: int = 2,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     bench_text_col: str = "text",
@@ -49,6 +52,12 @@ def curate(
 
     Gate order (first failure wins the ``reason``):
     ``too_short`` / ``too_long`` -> ``low_quality`` -> ``lang`` ->
+    ``repetitive`` (only when ``max_dup_line_frac`` and/or
+    ``max_top_ngram_char_frac`` is set: Gopher-style intra-document
+    repetition — duplicate-line fraction over the cap, or the heaviest
+    word ``rep_ngram_n``-gram's token-char share over the cap; pure
+    array expressions fused into the same stage-1 projection, zero
+    shuffle — ``textstats.repetition_stats``) ->
     ``contaminated`` (only when ``benchmark`` is set: shares a word
     ``decontam_n``-gram with the eval set — ``traindata.decontaminate``'s
     broadcast probe, run on cheap-gate survivors only) ->
@@ -100,6 +109,18 @@ def curate(
         gate = gate.when(
             ~F.col("lang").isin(list(languages)), F.lit("lang")
         )
+    if max_dup_line_frac is not None or max_top_ngram_char_frac is not None:
+        from .textstats import dup_line_frac, top_ngram_char_frac
+
+        rep = F.lit(False)
+        if max_dup_line_frac is not None:
+            rep = rep | (F.round(dup_line_frac(t), 6) > max_dup_line_frac)
+        if max_top_ngram_char_frac is not None:
+            rep = rep | (
+                F.round(top_ngram_char_frac(t, rep_ngram_n), 6)
+                > max_top_ngram_char_frac
+            )
+        gate = gate.when(rep, F.lit("repetitive"))
     annotated = annotated.withColumn("reason", F.coalesce(gate, F.lit("")))
 
     if benchmark is not None:

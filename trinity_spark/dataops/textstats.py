@@ -90,6 +90,110 @@ def fingerprint(text_col: Column) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: (acc + x) % M)
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+    max_scan_tokens: int = 2048,
+) -> DataFrame:
+    """Per-document repetition metrics in the Gopher/MassiveText family —
+    the filters that catch boilerplate, scraped navigation, and
+    degenerate-generation text that length/quality ratios miss.
+
+    Columns returned (all in [0, 1], rounded to 6):
+
+    - ``dup_line_frac``: fraction of non-empty lines that are repeats of a
+      line already seen in the document (1 - distinct/total).
+    - ``dup_line_char_frac``: fraction of line characters inside those
+      repeat occurrences (1 - distinct-line chars / total line chars).
+    - ``top_ngram_char_frac``: the heaviest word ``ngram_n``-gram's share
+      of token characters — max over n-grams of
+      count * token-chars(gram), divided by total token chars.  (Gopher
+      picks the most FREQUENT n-gram then measures its chars; taking the
+      max of the count*chars product instead is deterministic under count
+      ties and filters the same pathology.)  Overlapping occurrences can
+      overcount ("a a a" has two "a a" bigrams over three tokens), so the
+      ratio is clamped to 1.
+
+    Scale shape: a single fused projection, zero shuffle — every metric is
+    an array expression over the doc's own lines/tokens.  The n-gram scan
+    is O(distinct-grams * grams) per document, so it is bounded by
+    ``max_scan_tokens`` (first K tokens only, like production pipelines
+    scan a prefix); the cap is applied identically in the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.round(dup_line_frac(t), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac(t), 6).alias("dup_line_char_frac"),
+        F.round(top_ngram_char_frac(t, ngram_n, max_scan_tokens), 6).alias(
+            "top_ngram_char_frac"
+        ),
+    )
+
+
+def _lines(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, "\n"), lambda x: x != "")
+
+
+def _chars_of(arr: Column) -> Column:
+    return F.aggregate(
+        F.transform(arr, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+
+
+def dup_line_frac(text_col: Column) -> Column:
+    """Fraction of non-empty lines repeating an earlier line (Column form,
+    self-contained — composable into any projection, e.g. curate's gates)."""
+    lines = _lines(text_col)
+    n = F.size(lines)
+    return F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(lines)).cast("double") / n
+    ).otherwise(0.0)
+
+
+def dup_line_char_frac(text_col: Column) -> Column:
+    """Fraction of line characters inside repeat line occurrences."""
+    lines = _lines(text_col)
+    total = _chars_of(lines)
+    return F.when(
+        total > 0,
+        1.0 - _chars_of(F.array_distinct(lines)).cast("double") / total,
+    ).otherwise(0.0)
+
+
+def top_ngram_char_frac(
+    text_col: Column, ngram_n: int = 2, max_scan_tokens: int = 2048
+) -> Column:
+    """Heaviest word n-gram's (clamped) share of token characters."""
+    if ngram_n < 1:
+        raise ValueError("ngram_n must be >= 1")
+    if max_scan_tokens < 1:
+        raise ValueError("max_scan_tokens must be >= 1")
+    toks = F.slice(_tokens(text_col), 1, max_scan_tokens)
+    n_toks = F.size(toks)
+    # n-grams joined with ' '; gram token-chars = length - (n-1) separators
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(n_toks - (ngram_n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(ngram_n)]
+        ),
+    )
+    top_mass = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda d: F.size(F.filter(grams, lambda b: b == d))
+            * (F.length(d) - (ngram_n - 1)),
+        )
+    )
+    tok_chars = _chars_of(toks)
+    return F.when(
+        (tok_chars > 0) & (F.size(grams) > 0),
+        F.least(top_mass.cast("double") / tok_chars, F.lit(1.0)),
+    ).otherwise(0.0)
+
+
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass per-document analysis table."""
     t = F.col(text_col)
