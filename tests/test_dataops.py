@@ -231,6 +231,41 @@ def test_cosine_pairs_finds_planted_dup(spark, vectors):
     df, _ = vectors
     pairs = similarity.cosine_pairs(df, dim=8, threshold=0.999).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(7, 200)}
+    # cap active: planted dup still found, nothing spurious
+    capped = similarity.cosine_pairs(
+        df, dim=8, threshold=0.999, max_bucket_size=16
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in capped} == {(7, 200)}
+
+
+def test_cosine_pairs_bucket_cap_flood(spark, caplog):
+    """Adversarial embedding flood: identical vectors share every sign band,
+    so one bucket would generate O(n^2) verified pairs without the cap.
+    Capped: bounded pairs, all cosine 1.0, and the rep chain keeps the
+    flood in one connected cluster."""
+    import logging
+
+    n = 60
+    vec = [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    with caplog.at_level(logging.WARNING, logger="trinity_spark.dataops.dedup"):
+        pairs = similarity.cosine_pairs(
+            df, dim=8, threshold=0.999, max_bucket_size=8
+        ).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert 0 < len(got) <= n * 8
+    assert len(got) < n * (n - 1) // 2
+    assert all(p["cosine"] == 1.0 for p in pairs)
+    assert any("CosineLSH cap" in r.getMessage() for r in caplog.records)
+    from trinity_spark.dataops import dedup as _dedup
+
+    comp = _dedup.connected_components(
+        spark.createDataFrame(sorted(got), "id_a long, id_b long")
+    )
+    assert {r["doc_id"] for r in comp.collect()} == set(range(n))
+    assert {r["component"] for r in comp.collect()} == {0}
 
 
 # --- multimodal --------------------------------------------------------------

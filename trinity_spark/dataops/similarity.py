@@ -324,10 +324,17 @@ def cosine_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-banded self-join + exact
     cosine verify.  Bands of the sign signature bucket the join so the
-    self-join never goes quadratic."""
+    self-join never goes quadratic ACROSS buckets; ``max_bucket_size``
+    additionally bounds a single degenerate bucket (a flood of identical
+    or near-identical embeddings shares every sign band) the same way the
+    text-side LSH does — oversized buckets are salt-split into bounded
+    sub-buckets re-linked by a chain of representatives, every emitted
+    pair still exact-cosine verified, skip logged (see
+    ``dedup._capped_bucket_pairs``).  None = exact (no cap)."""
     sigged, _ = add_lsh_signatures(vectors, dim, bits, seed, vec_col)
     n_bands = math.ceil(bits / band_bits)
     mask = (1 << band_bits) - 1
@@ -347,22 +354,36 @@ def cosine_pairs(
             )
         ).alias("bb"),
     ).select(id_col, vec_col, "bb.band", "bb.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_bucket_size is not None:
+        from .dedup import _capped_bucket_pairs
+
+        pairs = _capped_bucket_pairs(
+            banded,
+            ["band", "key"],
+            id_col,
+            max_bucket_size,
+            sig_col=vec_col,
+            label="CosineLSH",
+        ).select(
+            "id_a", "id_b", F.col("sig_a").alias("va"), F.col("sig_b").alias("vb")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{vec_col}").alias("va"),
+                F.col(f"b.{vec_col}").alias("vb"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     cos = F.round(
         cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6
     )
