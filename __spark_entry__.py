@@ -479,6 +479,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hash_split(_docs(spark, sf)).select("doc_id", "bucket", "split")
 
+    def source_mixture(spark, sf):
+        # deterministic mixture reweighting (traindata.sample_sources):
+        # src0 upsampled to 2.5 epochs, src1 thinned to 0.4, src2 dropped,
+        # everything else kept at 1.0 — copy counts are a pure function of
+        # (seed, doc_id) so the mix is append-stable
+        from trinity_spark.dataops.traindata import sample_sources
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        return sample_sources(
+            docs, {"src0": 2.5, "src1": 0.4, "src2": 0.0}, seed=11
+        ).select("doc_id", "source", "epoch")
+
     def decontaminate_corpus(spark, sf):
         # eval-set decontamination: every 20th doc plays the benchmark, the
         # rest are checked for shared word 5-grams (broadcast probe join)
@@ -515,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_conv_topk"] = bm25_conv_topk
     q["data_split"] = data_split
+    q["source_mixture"] = source_mixture
     q["decontaminate_corpus"] = decontaminate_corpus
     q["pack_sequences"] = pack_sequences_bins
     q["ann_lsh_topk"] = ann_lsh_topk
@@ -1282,6 +1297,34 @@ SELECT doc_id, bucket,
             WHEN bucket < {_bounds[1]} THEN 'val'
             ELSE 'test' END AS split
 FROM b
+"""
+
+    # mixture copy counts: same integer-exact base/threshold derivation as
+    # traindata.sample_sources (base = int(w), thr = round(frac(w) * 2^32))
+    def _mix_parts(w):
+        base = int(w)
+        return base, int(round((w - base) * (1 << 32)))
+
+    _mix = {s: _mix_parts(w) for s, w in
+            (("src0", 2.5), ("src1", 0.4), ("src2", 0.0))}
+    _mix_base = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, (b, _) in _mix.items()
+    )
+    _mix_thr = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, (_, t) in _mix.items()
+    )
+    o["source_mixture"] = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CASE source {_mix_base} ELSE 1 END
+         + CASE WHEN ('0x' || substr(md5('11|' || doc_id), 1, 8))::BIGINT
+                     < CASE source {_mix_thr} ELSE 0 END
+                THEN 1 ELSE 0 END AS copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
+FROM c, unnest(range(c.copies)) u(e)
+WHERE c.copies > 0
 """
 
     o["decontaminate_corpus"] = """

@@ -7,7 +7,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from trinity_spark.dataops.traindata import decontaminate, hash_split, pack_sequences
+from trinity_spark.dataops.traindata import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    sample_sources,
+)
 
 _PROP = settings(
     max_examples=int(os.environ.get("TRINITY_PROP_EXAMPLES", "8")),
@@ -62,6 +67,79 @@ def test_hash_split_validates_weights(spark):
         hash_split(docs, weights={"train": 0.5, "test": 0.2})
     with pytest.raises(ValueError, match="non-negative"):
         hash_split(docs, weights={"train": 1.5, "test": -0.5})
+
+
+# --- source mixture sampling -------------------------------------------------
+
+
+def _src_docs(spark, n=1200):
+    rows = [(i, f"s{i % 4}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_sample_sources_copy_semantics(spark):
+    """Integer part exact, fractional part hash-thinned: rate 2.5 yields 2
+    or 3 copies per doc (~2.5 mean), 0.4 yields 0 or 1 (~0.4 mean), 0 drops
+    the source, unlisted sources keep exactly 1 copy."""
+    docs = _src_docs(spark)
+    out = sample_sources(docs, {"s0": 2.5, "s1": 0.4, "s2": 0.0}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], {}).setdefault(r["doc_id"], []).append(r["epoch"])
+    assert "s2" not in by_src
+    # unlisted source: every doc exactly once, epoch 0
+    assert all(v == [0] for v in by_src["s3"].values())
+    assert len(by_src["s3"]) == 300
+    for copies in by_src["s0"].values():
+        assert sorted(copies) in ([0, 1], [0, 1, 2])
+    total_s0 = sum(len(v) for v in by_src["s0"].values())
+    assert 2.0 * 300 < total_s0 < 3.0 * 300  # mean in (2, 3), ~2.5
+    for copies in by_src["s1"].values():
+        assert copies == [0]
+    assert 0.2 * 300 < len(by_src["s1"]) < 0.6 * 300  # ~0.4 acceptance
+
+
+def test_sample_sources_deterministic_and_append_stable(spark):
+    docs = _src_docs(spark, 400)
+    a = sorted(map(tuple, sample_sources(docs, {"s0": 1.5}).collect()))
+    b = sorted(map(tuple, sample_sources(docs, {"s0": 1.5}).collect()))
+    assert a == b
+    # append stability: the original docs' fates are unchanged by new rows
+    more = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400, 800)], "doc_id long, source string"
+    )
+    c = sorted(
+        t
+        for t in map(tuple, sample_sources(docs.union(more), {"s0": 1.5}).collect())
+        if t[0] < 400
+    )
+    assert a == c
+
+
+def test_sample_sources_matches_reference_hash(spark):
+    """Copy counts replicate the documented md5 formula exactly."""
+    import hashlib
+
+    docs = _src_docs(spark, 200)
+    out = {}
+    for r in sample_sources(docs, {"s0": 2.5, "s1": 0.4}, seed=11).collect():
+        out.setdefault((r["doc_id"], r["source"]), []).append(r["epoch"])
+    for i in range(200):
+        src = f"s{i % 4}"
+        bucket = int(hashlib.md5(f"11|{i}".encode()).hexdigest()[:8], 16)
+        w = {"s0": 2.5, "s1": 0.4}.get(src, 1.0)
+        base = int(w)
+        expect = base + (1 if bucket < int(round((w - base) * (1 << 32))) else 0)
+        got = out.get((i, src), [])
+        assert sorted(got) == list(range(expect)), (i, src, expect, got)
+
+
+def test_sample_sources_validates_rates(spark):
+    docs = _src_docs(spark, 8)
+    with pytest.raises(ValueError):
+        sample_sources(docs, {"s0": -0.1})
+    with pytest.raises(ValueError):
+        sample_sources(docs, {}, default_rate=-1.0)
 
 
 # --- decontaminate -----------------------------------------------------------

@@ -8,6 +8,10 @@ These are the passes that turn a curated corpus into model-ready data; at
   id (no sampling, no global sort), so re-runs, backfills, and incremental
   appends land every document in the same split forever.  One projection,
   zero shuffles.
+- ``sample_sources``: mixture reweighting (epochs per source) must also be
+  a pure function of (seed, id) — no RNG, no global count — so a domain's
+  up/downsampling is reproducible and append-stable.  One projection +
+  explode, zero shuffles.
 - ``decontaminate``: benchmark/eval sets are tiny (MBs) next to the corpus,
   so the n-gram probe is a broadcast join against the corpus's exploded
   shingles — the corpus is never shuffled; only MATCHING (doc, shingle)
@@ -85,6 +89,61 @@ def hash_split(
     for name, hi in reversed(list(zip(names[:-1], bounds))):
         expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
     return docs.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def sample_sources(
+    docs: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 11,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture sampling: replicate or thin each document by
+    its source's target rate — how a training mix reweights domains
+    (upsample high-quality sources past 1.0 epochs, downsample bulk web
+    below 1.0, drop a source with 0).
+
+    A source's rate ``w`` maps to per-document copy count
+    ``floor(w) + [hash_frac < frac(w)]`` with the fractional accept decided
+    by the same md5 bucket as ``hash_split`` (integer-exact threshold
+    ``int(frac(w) * 2^32)``, its own ``seed`` so mixture and split
+    decisions stay independent): expected copies = w per doc, exact
+    ``floor``/``ceil`` mix within a source, and the decision is a pure
+    function of (seed, id) — stable under re-runs, appends, and
+    repartitioning, so incremental pipeline runs never flip a document's
+    fate.  Unlisted sources take ``default_rate``.
+
+    Output: input columns + ``epoch`` (long, 0-based copy index; docs with
+    0 copies are dropped).  One projection + explode, zero shuffles, no
+    RNG state anywhere.
+    """
+    if any(w < 0 for w in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be non-negative")
+    bucket = split_bucket(id_col, seed)
+
+    def _parts(w: float) -> tuple[int, int]:
+        base = int(w)
+        return base, int(round((w - base) * (1 << 32)))
+
+    src = F.col(source_col)
+    db, dt = _parts(default_rate)
+    base_expr, thr_expr = F.lit(db), F.lit(dt)
+    for name, w in rates.items():
+        b, t = _parts(w)
+        base_expr = F.when(src == name, F.lit(b)).otherwise(base_expr)
+        thr_expr = F.when(src == name, F.lit(t)).otherwise(thr_expr)
+    copies = base_expr + F.when(bucket < thr_expr, 1).otherwise(0)
+    return (
+        docs.withColumn("_copies", copies)
+        .where(F.col("_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), (F.col("_copies") - 1).cast("int"))),
+        )
+        .drop("_copies")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )
 
 
 def decontaminate(
