@@ -493,6 +493,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"src0": 2.5, "src1": 0.4, "src2": 0.0}, seed=11
         ).select("doc_id", "source", "epoch")
 
+    def pii_redaction(spark, sf):
+        # pattern-tier PII scrubbing (dataops/scrub.redact_pii): the corpus
+        # is synthetic and clean, so every 5th doc gets a deterministic
+        # email + IPv4 suffix injected first — counts and replacement are
+        # then non-trivial; the oracle injects the identical suffix
+        from trinity_spark.dataops.scrub import redact_pii
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10.0.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return redact_pii(docs)
+
+    def doc_chunks(spark, sf):
+        # overlapping token-window chunking (dataops/scrub.chunk_documents):
+        # deterministic (doc_id, chunk_id) identity, verbatim token windows
+        from trinity_spark.dataops.scrub import chunk_documents
+
+        return chunk_documents(_docs(spark, sf), chunk_tokens=32, overlap=8)
+
     def decontaminate_corpus(spark, sf):
         # eval-set decontamination: every 20th doc plays the benchmark, the
         # rest are checked for shared word 5-grams (broadcast probe join)
@@ -530,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_conv_topk"] = bm25_conv_topk
     q["data_split"] = data_split
     q["source_mixture"] = source_mixture
+    q["pii_redaction"] = pii_redaction
+    q["doc_chunks"] = doc_chunks
     q["decontaminate_corpus"] = decontaminate_corpus
     q["pack_sequences"] = pack_sequences_bins
     q["ann_lsh_topk"] = ann_lsh_topk
@@ -1325,6 +1358,47 @@ WITH c AS (
 SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
 FROM c, unnest(range(c.copies)) u(e)
 WHERE c.copies > 0
+"""
+
+    # PII patterns shared VERBATIM with the engine (RE2-safe by design)
+    from trinity_spark.dataops.scrub import PII_PATTERNS as _PII
+
+    o["pii_redaction"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com from 10.0.0.' || (doc_id % 256)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII["email"]}', '<EMAIL>', 'g'),
+           '{_PII["ipv4"]}', '<IPV4>', 'g'),
+         '{_PII["phone"]}', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS BIGINT) AS n_phone
+FROM injected
+"""
+
+    o["doc_chunks"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+st AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s / 24 AS BIGINT) AS chunk_id,
+       array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+       CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
+FROM st
 """
 
     o["decontaminate_corpus"] = """

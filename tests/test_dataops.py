@@ -268,6 +268,72 @@ def test_cosine_pairs_bucket_cap_flood(spark, caplog):
     assert {r["component"] for r in comp.collect()} == {0}
 
 
+# --- scrub: PII redaction + chunking -----------------------------------------
+
+
+def test_redact_pii_values(spark):
+    from trinity_spark.dataops.scrub import redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            (0, "mail me at alice.smith+x@example.co.uk or bob@test.org now"),
+            (1, "server 10.0.0.1 and 192.168.255.3 rebooted"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "clean text with no pii at all"),
+            (4, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[0]["n_email"] == 2 and "<EMAIL>" in out[0]["text"]
+    assert "alice" not in out[0]["text"] and "bob@" not in out[0]["text"]
+    assert out[1]["n_ipv4"] == 2
+    assert out[1]["text"] == "server <IPV4> and <IPV4> rebooted"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["text"] == "call <PHONE> or <PHONE>"
+    assert out[3]["text"] == "clean text with no pii at all"
+    assert all(out[3][f"n_{k}"] == 0 for k in ("email", "ipv4", "phone"))
+    with pytest.raises(ValueError):
+        redact_pii(docs, kinds=("email", "dna")).collect()
+
+
+def test_chunk_documents_windows(spark):
+    from trinity_spark.dataops.scrub import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = _docs(spark, [(0, words), (1, "a b"), (2, "")])
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # step 3: starts 0,3,6,9 -> 4 chunks, last is the 1-token tail
+    assert sorted(by_doc[0]) == [0, 1, 2, 3]
+    assert by_doc[0][0]["chunk_text"] == "w0 w1 w2 w3"
+    assert by_doc[0][1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert by_doc[0][3]["chunk_text"] == "w9"
+    assert by_doc[0][3]["n_tokens"] == 1
+    assert by_doc[1][0]["chunk_text"] == "a b" and len(by_doc[1]) == 1
+    assert 2 not in by_doc  # zero-token doc -> zero chunks
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4).collect()
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0).collect()
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    """Non-overlapping chunks concatenate back to the token stream."""
+    from trinity_spark.dataops.scrub import chunk_documents
+
+    words = " ".join(f"t{i}" for i in range(257))
+    docs = _docs(spark, [(7, words)])
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=64, overlap=0).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert " ".join(r["chunk_text"] for r in rows) == words
+    assert [r["n_tokens"] for r in rows] == [64, 64, 64, 64, 1]
+
+
 # --- multimodal --------------------------------------------------------------
 
 def test_multimodal_feature_plumbing(spark):
