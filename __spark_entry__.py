@@ -493,6 +493,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"src0": 2.5, "src1": 0.4, "src2": 0.0}, seed=11
         ).select("doc_id", "source", "epoch")
 
+    def intersect_counts(spark, sf):
+        # token-subset intersection counting (intersect.cpp:5-230 parity;
+        # operators/intersect.py): docs per exact token-subset bitmask —
+        # bit 0 = 'join', bit 1 = 'merge', bit 2 = 'scan'
+        from trinity_spark.operators.fastbuild import postings_from_turns
+        from trinity_spark.operators.intersect import intersection_counts
+
+        postings = postings_from_turns(_docs(spark, sf))
+        return intersection_counts(postings, ["join", "merge", "scan"]).select(
+            F.col("mask").cast("long").alias("mask"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+        )
+
     def pii_redaction(spark, sf):
         # pattern-tier PII scrubbing (dataops/scrub.redact_pii): the corpus
         # is synthetic and clean, so every 5th doc gets a deterministic
@@ -561,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_conv_topk"] = bm25_conv_topk
     q["data_split"] = data_split
     q["source_mixture"] = source_mixture
+    q["intersect_counts"] = intersect_counts
     q["pii_redaction"] = pii_redaction
     q["doc_chunks"] = doc_chunks
     q["decontaminate_corpus"] = decontaminate_corpus
@@ -1362,6 +1376,20 @@ WHERE c.copies > 0
 
     # PII patterns shared VERBATIM with the engine (RE2-safe by design)
     from trinity_spark.dataops.scrub import PII_PATTERNS as _PII
+
+    o["intersect_counts"] = """
+WITH bits AS (
+  SELECT DISTINCT doc_id,
+         CASE term WHEN 'join' THEN 1 WHEN 'merge' THEN 2 WHEN 'scan' THEN 4 END AS bit
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN ('join', 'merge', 'scan')
+),
+masks AS (
+  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS mask FROM bits GROUP BY doc_id
+)
+SELECT mask, CAST(count(*) AS BIGINT) AS doc_count
+FROM masks GROUP BY mask
+"""
 
     o["pii_redaction"] = f"""
 WITH injected AS (
