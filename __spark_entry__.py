@@ -336,6 +336,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             vecs.where(F.col("vec_id") != 0), [float(x) for x in query], k=10
         )
 
+    def substring_dedup(spark, sf):
+        # Exact-substring (token-window) dedup metrics: hash every 8-token
+        # window, count corpus-wide, report per-doc duplicated-window counts
+        # and the token fraction covered by the union of duplicated windows
+        # (trinity_spark/dataops/dedup.py:substring_dup_stats).
+        from trinity_spark.dataops.dedup import substring_dup_stats
+
+        return substring_dup_stats(_docs(spark, sf), window=8)
+
     def media_n_bytes(spark, sf):
         from trinity_spark.dataops.multimodal import extract_features, make_media_table
 
@@ -395,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate(
             _docs(spark, sf), min_tokens=5, min_quality=0.3,
             languages=("en",), near_dup_threshold=None,
+            max_top_ngram_char_frac=0.2,
         ).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -587,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = dedup_simhash
     q["text_analysis"] = text_analysis
     q["text_repetition"] = text_repetition
+    q["substring_dedup"] = substring_dedup
     q["ann_cosine_topk"] = ann_topk
     q["media_feature_plumbing"] = media_n_bytes
     return q
@@ -993,6 +1004,54 @@ WHERE EXISTS (
   WHERE p1.doc_id = d.doc_id AND p1.term = 'table' AND p2.term = 'hash')
 """
 
+    o["substring_dedup"] = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+meta AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 8 THEN len(toks) - 8 + 1 ELSE 0 END AS n_windows
+  FROM base
+),
+starts AS (
+  SELECT doc_id, toks, CAST(unnest(range(0, len(toks) - 8 + 1)) AS INT) AS s
+  FROM base WHERE len(toks) >= 8
+),
+wins AS (
+  SELECT doc_id, s, md5(array_to_string(toks[s + 1 : s + 8], ' ')) AS whash
+  FROM starts
+),
+counts AS (
+  SELECT whash, count(*) AS n FROM wins GROUP BY whash HAVING count(*) >= 2
+),
+dup AS (
+  SELECT w.doc_id, w.s FROM wins w JOIN counts c USING (whash)
+),
+cov AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+              THEN 8
+              ELSE least(8, s - lag(s) OVER (PARTITION BY doc_id ORDER BY s))
+         END AS add
+  FROM dup
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_windows, sum(add) AS covered
+  FROM cov GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       CAST(m.n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       round(CASE WHEN m.n_windows > 0
+                  THEN CAST(coalesce(p.n_dup_windows, 0) AS DOUBLE) / m.n_windows
+                  ELSE 0.0 END, 6) AS dup_window_frac,
+       round(CASE WHEN m.n_tokens > 0
+                  THEN least(CAST(coalesce(p.covered, 0) AS DOUBLE) / m.n_tokens, 1.0)
+                  ELSE 0.0 END, 6) AS dup_token_frac
+FROM meta m LEFT JOIN per_doc p ON p.doc_id = m.doc_id
+"""
+
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SH},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1207,15 +1266,41 @@ metr AS (
          END AS lang
   FROM scored
 ),
+repflat AS (
+  SELECT doc_id, unnest(toks[1:2048]) AS tok,
+         generate_subscripts(toks[1:2048], 1) AS i
+  FROM base
+),
+repmass AS (
+  SELECT doc_id, max(cnt * (length(g) - 1)) AS mass
+  FROM (
+    SELECT a.doc_id, a.tok || ' ' || b.tok AS g, count(*) AS cnt
+    FROM repflat a JOIN repflat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    GROUP BY a.doc_id, g
+  )
+  GROUP BY doc_id
+),
+repfrac AS (
+  SELECT b.doc_id,
+         round(CASE WHEN coalesce(list_aggregate(list_transform(b.toks[1:2048],
+                                                 x -> length(x)), 'sum'), 0) > 0
+                         AND m.mass IS NOT NULL
+                    THEN least(CAST(m.mass AS DOUBLE)
+                               / list_aggregate(list_transform(b.toks[1:2048],
+                                                x -> length(x)), 'sum'), 1.0)
+                    ELSE 0.0 END, 6) AS tfrac
+  FROM base b LEFT JOIN repmass m ON m.doc_id = b.doc_id
+),
 gated AS (
-  SELECT *,
+  SELECT metr.*,
          CASE
            WHEN n_tokens < 5 THEN 'too_short'
            WHEN quality < 0.3 THEN 'low_quality'
            WHEN lang <> 'en' THEN 'lang'
+           WHEN r.tfrac > 0.2 THEN 'repetitive'
            ELSE ''
          END AS gate_reason
-  FROM metr
+  FROM metr JOIN repfrac r ON r.doc_id = metr.doc_id
 ),
 canon AS (
   SELECT md5(text) AS h, min(doc_id) AS canon_id

@@ -786,3 +786,76 @@ def test_curate_minhash_method(spark):
     assert mh[3][0]
     with pytest.raises(ValueError, match="near_dup_method"):
         curate(docs, near_dup_method="bogus")
+
+
+# --- substring-level (window) dedup ----------------------------------------
+
+def test_token_windows_and_duplicates(spark):
+    from trinity_spark.dataops.dedup import duplicate_windows, token_windows
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "x y a b c d z"), (2, "short one"),
+         (3, "a b c a b c a b")],
+        "doc_id long, text string",
+    )
+    wins = token_windows(docs, window=3).collect()
+    # doc0: 4 windows, doc1: 5, doc2 (too short): 0, doc3: 6
+    per_doc = {}
+    for r in wins:
+        per_doc.setdefault(r["doc_id"], []).append(r["start"])
+    assert {k: sorted(v) for k, v in per_doc.items()} == {
+        0: [0, 1, 2, 3], 1: [0, 1, 2, 3, 4], 3: [0, 1, 2, 3, 4, 5]
+    }
+
+    dup = {(r["doc_id"], r["start"]): r["n_occurrences"]
+           for r in duplicate_windows(docs, window=3).collect()}
+    # "a b c" occurs at doc0@0, doc1@2, doc3@0, doc3@3 -> 4 occurrences
+    assert dup[(0, 0)] == 4 and dup[(1, 2)] == 4
+    assert dup[(3, 0)] == 4 and dup[(3, 3)] == 4
+    # "b c d" occurs at doc0@1 and doc1@3
+    assert dup[(0, 1)] == 2 and dup[(1, 3)] == 2
+    # doc3's within-doc repeats ("b c a", "c a b") count too
+    assert dup[(3, 1)] == 2 and dup[(3, 2)] == 2
+    assert (2, 0) not in dup  # short doc emits no windows
+
+
+def test_token_windows_stride(spark):
+    from trinity_spark.dataops.dedup import token_windows
+
+    docs = spark.createDataFrame([(0, "a b c d e f g h")], "doc_id long, text string")
+    starts = sorted(r["start"] for r in token_windows(docs, window=3, stride=2).collect())
+    assert starts == [0, 2, 4]  # stride-aligned only
+
+
+def test_substring_dup_stats_interval_union(spark):
+    from trinity_spark.dataops.dedup import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "x y a b c d z"), (2, "short one"),
+         (3, "a b c a b c a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in substring_dup_stats(docs, window=3).collect()}
+    # doc0: dup windows at starts {0,1}; union covers tokens [0,4) = 4/6
+    assert got[0]["n_dup_windows"] == 2
+    assert got[0]["dup_window_frac"] == 0.5
+    assert abs(got[0]["dup_token_frac"] - 4 / 6) < 1e-6
+    # doc1: starts {2,3} -> union [2,6) = 4/7
+    assert abs(got[1]["dup_token_frac"] - 4 / 7) < 1e-6
+    # doc2: no windows at all -> all-zero row still present
+    assert got[2] == dict(doc_id=2, n_tokens=2, n_windows=0, n_dup_windows=0,
+                          dup_window_frac=0.0, dup_token_frac=0.0)
+    # doc3: every window duplicated, full coverage
+    assert got[3]["dup_window_frac"] == 1.0 and got[3]["dup_token_frac"] == 1.0
+
+
+def test_substring_dedup_validates(spark):
+    import pytest as _pytest
+
+    from trinity_spark.dataops.dedup import token_windows
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="window and stride"):
+        token_windows(docs, window=0)
+    with _pytest.raises(ValueError, match="window and stride"):
+        token_windows(docs, stride=0)

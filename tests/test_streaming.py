@@ -253,3 +253,51 @@ def test_micro_segment_compaction(spark, seeded_store):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) <= 1e-9
+
+
+# --- streaming percolator (alerts) -----------------------------------------
+
+def test_streaming_percolator_matches_batch(spark, tmp_path):
+    """percolate over a file stream == batch percolate over the same docs."""
+    from trinity_spark.operators.percolator import percolate
+    from trinity_spark.streaming.alerts import start_alert_stream
+
+    docs = [
+        (0, "disk failure on node seven"),
+        (1, "all systems nominal"),
+        (2, "failure to acquire lock retry scheduled"),
+        (3, "disk nearly full"),
+        (4, "lock failure disk failure"),
+    ]
+    queries = {
+        "alert_disk": "disk",
+        "alert_fail_not_retry": "failure NOT retry",
+        "alert_phrase": '"disk failure"',
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = sorted((r["doc_id"], r["query_id"])
+                  for r in percolate(df, queries).collect())
+    assert want  # non-trivial fixture
+
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sink = str(tmp_path / "alerts")
+    q = start_alert_stream(stream, queries, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted((r["doc_id"], r["query_id"])
+                 for r in spark.read.parquet(sink).collect())
+    assert got == want
+
+
+def test_streaming_percolator_is_stateless_projection(spark):
+    """The compiled plan must carry no aggregation or join: pure projection
+    (what makes it watermark-free and shuffle-free on a stream)."""
+    from trinity_spark.operators.percolator import percolate
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = percolate(df, {"q1": "a", "q2": '"a b"'})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -540,3 +540,157 @@ def simhash_near_duplicates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- substring-level (window) dedup ----------------------------------------
+#
+# Doc-level MinHash/SimHash miss the common web-corpus failure mode where a
+# long boilerplate passage (license header, nav bar, quoted reply) repeats
+# inside otherwise-distinct documents.  The standard fix is exact duplicate
+# detection over fixed-length token windows ("exact substring dedup"): hash
+# every w-token window, count occurrences corpus-wide, and flag/measure the
+# spans whose window hash occurs more than once.  Distributed shape: the
+# window explode is the big intermediate (|tokens| rows at stride=1 — use a
+# larger stride at the 100 TB tier to bound it, e.g. stride=w/2 still
+# guarantees any duplicated span of >= 1.5w tokens is caught), one
+# map-side-combined count shuffle on the window hash, one hash-partitioned
+# join back.  Hashes are md5 of the joined window so the DuckDB oracle
+# reproduces them bit-for-bit.
+
+def token_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 1,
+) -> DataFrame:
+    """(id, start, whash) for every stride-aligned ``window``-token window.
+
+    start is 0-based into the whitespace token array; whash =
+    md5(space-joined window tokens).  Docs shorter than ``window`` tokens
+    emit no rows.  Pure projection — zero shuffles."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.when(
+        F.size(toks) >= window,
+        F.filter(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: i % stride == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(
+            F.col(id_col),
+            F.explode("__starts").alias("start"),
+            F.col("__toks").alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("start"),
+            F.md5(
+                F.concat_ws(" ", F.slice("__toks", F.col("start") + 1, F.lit(window)))
+            ).alias("whash"),
+        )
+    )
+
+
+def duplicate_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Window occurrences whose hash appears >= min_count times corpus-wide
+    (within-doc repeats count, as in exact-substring training-data dedup).
+
+    Returns (id, start, whash, n_occurrences).  One count shuffle on whash
+    (map-side combined) + one hash-partitioned join back — both scale-safe:
+    the key is a uniform md5, so no skew beyond genuinely viral passages."""
+    wins = token_windows(docs, id_col, text_col, window, stride)
+    counts = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    return wins.join(counts, "whash").select(
+        id_col, "start", "whash", "n_occurrences"
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc exact-substring duplication metrics.
+
+    Columns: id, n_tokens, n_windows, n_dup_windows, dup_window_frac,
+    dup_token_frac — the last is |union of duplicated [start, start+window)
+    intervals| / n_tokens, the "how much of this doc is boilerplate that
+    also appears elsewhere" number curation gates want.
+
+    The interval union is computed per doc from the sorted start array:
+    contribution of the first interval is ``window``; each later start adds
+    min(window, gap to its predecessor) — valid because all intervals share
+    one width.  That keeps the union an O(dup windows per doc) JVM array
+    fold, no per-row Python."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    n_windows = F.when(
+        n_tokens >= window, (n_tokens - window) / stride + 1
+    ).otherwise(F.lit(0)).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_windows.alias("n_windows"),
+    )
+    dups = duplicate_windows(docs, id_col, text_col, window, stride, min_count)
+    ss = F.array_sort(F.collect_list("start"))
+    per_doc = dups.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"), ss.alias("__ss")
+    )
+    gaps = F.when(
+        F.size("__ss") >= 2,
+        F.zip_with(
+            F.slice("__ss", 2, F.size("__ss") - 1),
+            F.slice("__ss", 1, F.size("__ss") - 1),
+            lambda a, b: F.least(F.lit(window), a - b),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    covered = (
+        F.lit(window)
+        + F.aggregate(gaps, F.lit(0), lambda acc, g: acc + g)
+    ).cast("long")
+    per_doc = per_doc.select(
+        id_col, "n_dup_windows", covered.alias("__covered")
+    )
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.round(
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_window_frac"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.least(
+                    F.coalesce("__covered", F.lit(0)) / F.col("n_tokens"), F.lit(1.0)
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+    )
