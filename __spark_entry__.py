@@ -345,6 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return substring_dup_stats(_docs(spark, sf), window=8)
 
+    def remove_dup_spans(spark, sf):
+        # Exact-substring dedup remediation: cut every non-canonical
+        # duplicated 8-token span out of the corpus, keeping the globally
+        # smallest (start, doc_id) occurrence per window hash
+        # (trinity_spark/dataops/dedup.py:remove_duplicate_spans).
+        from trinity_spark.dataops.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(_docs(spark, sf), window=8)
+
     def media_n_bytes(spark, sf):
         from trinity_spark.dataops.multimodal import extract_features, make_media_table
 
@@ -598,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_analysis"] = text_analysis
     q["text_repetition"] = text_repetition
     q["substring_dedup"] = substring_dedup
+    q["remove_dup_spans"] = remove_dup_spans
     q["ann_cosine_topk"] = ann_topk
     q["media_feature_plumbing"] = media_n_bytes
     return q
@@ -1050,6 +1060,60 @@ SELECT m.doc_id,
                   THEN least(CAST(coalesce(p.covered, 0) AS DOUBLE) / m.n_tokens, 1.0)
                   ELSE 0.0 END, 6) AS dup_token_frac
 FROM meta m LEFT JOIN per_doc p ON p.doc_id = m.doc_id
+"""
+
+    o["remove_dup_spans"] = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, CAST(unnest(range(0, len(toks) - 8 + 1)) AS INT) AS s
+  FROM base WHERE len(toks) >= 8
+),
+wins AS (
+  SELECT doc_id, s, md5(array_to_string(toks[s + 1 : s + 8], ' ')) AS whash
+  FROM starts
+),
+counts AS (
+  SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2
+),
+dup AS (
+  SELECT w.doc_id, w.s, w.whash FROM wins w JOIN counts c USING (whash)
+),
+canon AS (
+  SELECT whash, doc_id, s FROM (
+    SELECT *, row_number() OVER (PARTITION BY whash ORDER BY s, doc_id) AS rn
+    FROM dup
+  ) WHERE rn = 1
+),
+removable AS (
+  SELECT d.doc_id, d.s
+  FROM dup d LEFT JOIN canon c
+    ON c.whash = d.whash AND c.doc_id = d.doc_id AND c.s = d.s
+  WHERE c.whash IS NULL
+),
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM base
+),
+keep AS (
+  SELECT t.doc_id, t.tok, t.i
+  FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removable r
+    WHERE r.doc_id = t.doc_id AND r.s <= t.i - 1 AND t.i - 1 < r.s + 8
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+         count(*) AS kept
+  FROM keep GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) - coalesce(a.kept, 0) AS BIGINT) AS n_removed_tokens
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
 
     o["dedup_ngram_jaccard"] = f"""

@@ -859,3 +859,80 @@ def test_substring_dedup_validates(spark):
         token_windows(docs, window=0)
     with _pytest.raises(ValueError, match="window and stride"):
         token_windows(docs, stride=0)
+
+
+def test_remove_duplicate_spans(spark):
+    from trinity_spark.dataops.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "x y a b c d z"), (2, "short one"),
+         (3, "a b c a b c a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in remove_duplicate_spans(docs, window=3).collect()}
+    # doc0 holds the canonical (smallest (start, doc_id)) copies -> untouched
+    assert got[0]["text_clean"] == "a b c d e f" and got[0]["n_removed_tokens"] == 0
+    # doc1 loses the shared "a b c d" run, keeps its unique tokens in order
+    assert got[1]["text_clean"] == "x y z" and got[1]["n_removed_tokens"] == 4
+    # too-short doc: no windows, untouched
+    assert got[2]["text_clean"] == "short one" and got[2]["n_removed_tokens"] == 0
+    # fully-boilerplate doc: overlapping removable spans cover everything
+    assert got[3]["text_clean"] == "" and got[3]["n_removed_tokens"] == 8
+    assert got[3]["n_tokens"] == 8
+
+
+def test_remove_duplicate_spans_canonical_tie(spark):
+    from trinity_spark.dataops.dedup import remove_duplicate_spans
+
+    # same span at the same start in two docs: lower doc_id is canonical
+    docs = spark.createDataFrame(
+        [(7, "p q r tail seven"), (9, "p q r tail nine")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_clean"]
+           for r in remove_duplicate_spans(docs, window=3).collect()}
+    assert got[7] == "p q r tail seven"
+    # doc9 shares windows "p q r"@0 AND "q r tail"@1 -> union [0,4) removed
+    assert got[9] == "nine"
+
+
+def test_curate_boilerplate_gate(spark):
+    from trinity_spark.dataops.curate import curate
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+            (1, shared + " iota kappa lams mu nu xi omicron pi"),
+            # doc2 is almost entirely the shared passage
+            (2, shared + " end"),
+            (3, "totally distinct words with no overlap across documents here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curate(docs, min_tokens=3, min_quality=0.0, languages=None,
+                           max_dup_token_frac=0.6, dup_window=5).collect()}
+    # docs 0/1: shared passage is ~half the doc -> under the 0.6 cap, kept
+    assert got[0] == (True, "") and got[1] == (True, "")
+    # doc2: 10 of 11 tokens covered by duplicated windows -> boilerplate
+    assert got[2] == (False, "boilerplate")
+    assert got[3] == (True, "")
+
+
+def test_curate_boilerplate_after_exact_dedup(spark):
+    from trinity_spark.dataops.curate import curate
+
+    # exact duplicates collapse FIRST: the canonical copy faces the
+    # boilerplate gate alone, so a doc duplicated only exactly is kept once
+    docs = spark.createDataFrame(
+        [(0, "a quick brown fox jumps over the lazy dog today"),
+         (1, "a quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curate(docs, min_tokens=3, min_quality=0.0, languages=None,
+                           max_dup_token_frac=0.5, dup_window=5).collect()}
+    assert got[0] == (True, "")
+    assert got[1] == (False, "exact_dup")

@@ -44,6 +44,9 @@ def curate(
     max_dup_line_frac: float | None = None,
     max_top_ngram_char_frac: float | None = None,
     rep_ngram_n: int = 2,
+    max_dup_token_frac: float | None = None,
+    dup_window: int = 20,
+    dup_stride: int = 1,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     bench_text_col: str = "text",
@@ -62,6 +65,14 @@ def curate(
     ``decontam_n``-gram with the eval set — ``traindata.decontaminate``'s
     broadcast probe, run on cheap-gate survivors only) ->
     ``exact_dup`` (md5(text) groups; smallest id is canonical) ->
+    ``boilerplate`` (only when ``max_dup_token_frac`` is set: the fraction
+    of the doc's tokens covered by corpus-wide duplicated ``dup_window``-
+    token windows exceeds the cap — ``dedup.substring_dup_stats`` over
+    exact-dedup survivors.  NOTE: this is a content-quality gate, not a
+    dedup stage — every member of a heavily-duplicated group is dropped,
+    canonical included, on the grounds that the content is boilerplate;
+    use ``dedup.remove_duplicate_spans`` when you want keep-one-copy
+    remediation instead) ->
     ``near_dup`` (only when ``near_dup_threshold`` is set: Jaccard pairs
     over survivors, connected components, smallest id per cluster
     survives).
@@ -176,6 +187,35 @@ def curate(
         )
         .drop("_canon")
     )
+
+    if max_dup_token_frac is not None:
+        # cross-doc boilerplate gate over exact-dedup survivors: one count
+        # shuffle on the window hash + one join back; the flagged set is the
+        # boilerplate tail, so the back-join stays AQE-broadcast
+        from .dedup import substring_dup_stats
+
+        flagged_bp = (
+            substring_dup_stats(
+                annotated.where(F.col("reason") == "").select(id_col, text_col),
+                id_col=id_col,
+                text_col=text_col,
+                window=dup_window,
+                stride=dup_stride,
+            )
+            .where(F.col("dup_token_frac") > max_dup_token_frac)
+            .select(F.col(id_col).alias("_bp_id"))
+        )
+        annotated = (
+            annotated.join(flagged_bp, annotated[id_col] == F.col("_bp_id"), "left")
+            .withColumn(
+                "reason",
+                F.when(
+                    (F.col("reason") == "") & F.col("_bp_id").isNotNull(),
+                    F.lit("boilerplate"),
+                ).otherwise(F.col("reason")),
+            )
+            .drop("_bp_id")
+        )
 
     annotated = annotated.withColumn("component", F.col(id_col))
     if near_dup_threshold is not None:

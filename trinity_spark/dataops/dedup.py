@@ -694,3 +694,68 @@ def substring_dup_stats(
             6,
         ).alias("dup_token_frac"),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut duplicated passages out of the corpus, keeping one canonical copy.
+
+    The remediation side of exact-substring dedup: every duplicated
+    ``window``-token span is removed from all documents EXCEPT its canonical
+    occurrence — the globally smallest (start, doc_id) for that window hash.
+    A canonical span is exempt from removal FOR ITS OWN hash but can still
+    lose tokens to an overlapping removable span in the same doc (inherent
+    to span cutting; a fully-boilerplate doc can come back empty even where
+    it held some canonical windows).  The guarantee is: no non-canonical
+    duplicated span survives intact, and at most one intact copy of any
+    repeated passage remains corpus-wide.
+
+    Returns (id, text_clean, n_tokens, n_removed_tokens).  text_clean is the
+    space-joined surviving tokens in original order (empty string when a doc
+    is entirely boilerplate).
+
+    Distributed shape: ``duplicate_windows``'s count shuffle + join, one
+    min-struct aggregation per window hash (map-side combined; the canonical
+    pick is deterministic), one per-doc collect of removable starts, one
+    hash join back to the corpus.  The final token filter is a JVM
+    higher-order expression, O(tokens x removable-intervals-per-doc) per doc
+    — bounded, since removable intervals per doc <= n_windows/stride."""
+    dups = duplicate_windows(docs, id_col, text_col, window, stride, min_count)
+    canon = dups.groupBy("whash").agg(
+        F.min(F.struct("start", id_col)).alias("__c")
+    )
+    removable = (
+        dups.join(canon, "whash")
+        .where(
+            ~(
+                (F.col(id_col) == F.col(f"__c.{id_col}"))
+                & (F.col("start") == F.col("__c.start"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("start")).alias("__rm"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = docs.join(removable, id_col, "left").select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.coalesce("__rm", F.array().cast("array<int>")).alias("__rm"),
+    )
+    kept = F.filter(
+        "__toks",
+        lambda x, i: ~F.exists(
+            "__rm", lambda s: (s <= i) & (i < s + F.lit(window))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )
