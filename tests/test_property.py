@@ -125,3 +125,93 @@ def test_docids_strictly_increasing_roundtrip(ids):
     back = delta_decode(delta_encode(arr))
     assert (np.diff(back.astype(np.int64)) > 0).all() if len(back) > 1 else True
     assert back.tolist() == arr.tolist()
+
+
+# --- substring-window dedup property gate -----------------------------------
+#
+# Brute-force python reference for the whole family: windows, corpus-wide
+# duplicate counts, per-doc interval-union coverage, and span removal with
+# the canonical (start, doc_id) exemption.
+
+def _py_substring(docs, window, stride=1, min_count=2):
+    wins = {}  # key -> [(doc, start)]
+    toks = {d: t.split() for d, t in docs}
+    for d, t in docs:
+        tk = toks[d]
+        for s in range(0, max(len(tk) - window + 1, 0), 1):
+            if s % stride:
+                continue
+            wins.setdefault(" ".join(tk[s:s + window]), []).append((d, s))
+    dup = {k: v for k, v in wins.items() if len(v) >= min_count}
+    per_doc_starts = {}
+    for occs in dup.values():
+        for d, s in occs:
+            per_doc_starts.setdefault(d, set()).add(s)
+    stats = {}
+    for d, t in docs:
+        tk = toks[d]
+        starts = sorted(per_doc_starts.get(d, ()))
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + window))
+        n_wins = (len(tk) - window) // stride + 1 if len(tk) >= window else 0
+        stats[d] = (len(tk), n_wins, len(starts), len(covered))
+    removable = {}
+    for occs in dup.values():
+        canon = min(occs, key=lambda p: (p[1], p[0]))  # (start, doc_id) min
+        for d, s in occs:
+            if (d, s) != canon:
+                removable.setdefault(d, set()).add(s)
+    cleaned = {}
+    for d, t in docs:
+        tk = toks[d]
+        cut = set()
+        for s in removable.get(d, ()):
+            cut.update(range(s, s + window))
+        cleaned[d] = " ".join(tok for i, tok in enumerate(tk) if i not in cut)
+    return stats, cleaned
+
+
+@st.composite
+def _dup_docs(draw):
+    vocab = ["a", "b", "c", "d", "e"]
+    n_docs = draw(st.integers(2, 6))
+    out = []
+    for d in range(n_docs):
+        n = draw(st.integers(0, 14))
+        out.append((d, " ".join(draw(st.sampled_from(vocab)) for _ in range(n))))
+    return out
+
+
+@settings(
+    max_examples=int(__import__("os").environ.get("TRINITY_PROP_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_dup_docs(), window=st.integers(2, 4), stride=st.integers(1, 3))
+def test_substring_family_matches_bruteforce(spark, docs, window, stride):
+    from trinity_spark.dataops.dedup import remove_duplicate_spans, substring_dup_stats
+
+    # strip whitespace-empty texts: split("") yields [''] both sides, but the
+    # python reference treats "" as zero tokens — keep the property crisp
+    docs = [(d, t) for d, t in docs if t]
+    if not docs:
+        return
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    stats, cleaned = _py_substring(docs, window, stride)
+
+    got = {r["doc_id"]: r for r in
+           substring_dup_stats(sdf, window=window, stride=stride).collect()}
+    assert set(got) == set(stats)
+    for d, (n_tok, n_win, n_dup, covered) in stats.items():
+        r = got[d]
+        assert r["n_tokens"] == n_tok, (d, docs)
+        assert r["n_windows"] == n_win, (d, docs)
+        assert r["n_dup_windows"] == n_dup, (d, docs)
+        want_frac = min(covered / n_tok, 1.0) if n_tok else 0.0
+        assert abs(r["dup_token_frac"] - want_frac) < 1e-6, (d, docs)
+
+    if stride == 1:  # canonical-removal reference assumes stride-1 windows
+        got_c = {r["doc_id"]: r["text_clean"] for r in
+                 remove_duplicate_spans(sdf, window=window).collect()}
+        assert got_c == cleaned, docs
