@@ -354,6 +354,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return remove_duplicate_spans(_docs(spark, sf), window=8)
 
+    def event_sessions(spark, sf):
+        # Gap-based sessionization of the events stream (6h idle gap) +
+        # per-session rollup (trinity_spark/dataops/sessions.py): one
+        # window shuffle on user_id, one map-side-combined aggregation.
+        from trinity_spark.dataops.sessions import session_stats
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return session_stats(ev, gap_minutes=360).select(
+            "user_id", "session_id", "n_events", "duration_sec", "value_sum"
+        )
+
     def media_n_bytes(spark, sf):
         from trinity_spark.dataops.multimodal import extract_features, make_media_table
 
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition"] = text_repetition
     q["substring_dedup"] = substring_dedup
     q["remove_dup_spans"] = remove_dup_spans
+    q["event_sessions"] = event_sessions
     q["ann_cosine_topk"] = ann_topk
     q["media_feature_plumbing"] = media_n_bytes
     return q
@@ -1060,6 +1072,31 @@ SELECT m.doc_id,
                   THEN least(CAST(coalesce(p.covered, 0) AS DOUBLE) / m.n_tokens, 1.0)
                   ELSE 0.0 END, 6) AS dup_token_frac
 FROM meta m LEFT JOIN per_doc p ON p.doc_id = m.doc_id
+"""
+
+    o["event_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, value, epoch_us(ts) / 1000000.0 AS sec,
+         CASE WHEN lag(epoch_us(ts) / 1000000.0) OVER w IS NULL
+                   OR epoch_us(ts) / 1000000.0
+                      - lag(epoch_us(ts) / 1000000.0) OVER w > 360 * 60.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(sec) - min(sec), 6) AS duration_sec,
+       round(sum(value), 6) AS value_sum
+FROM sess
+GROUP BY user_id, session_id
 """
 
     o["remove_dup_spans"] = """

@@ -91,3 +91,77 @@ def test_grouped_topk_end_to_end_with_planner(spark):
     )[:5]
     assert [(r["conv_id"], r["n_docs"], r["score"]) for r in got] == want
     turns.unpersist()
+
+
+# --- conversation context windows (transcript KWIC) -------------------------
+
+def test_context_windows_semantics(spark):
+    from trinity_spark.operators.grouped import context_windows
+
+    turns = spark.createDataFrame(
+        [
+            (0, "c1", 0, "intro"),
+            (1, "c1", 1, "the error happened"),
+            (2, "c1", 2, "stack trace follows"),
+            (3, "c1", 3, "resolved"),
+            (10, "c2", 0, "hello"),
+            (11, "c2", 1, "unrelated"),
+        ],
+        "doc_id long, conv_id string, turn_idx int, text string",
+    )
+    hits = spark.createDataFrame([(1,)], "doc_id long")
+    got = {(r["hit_doc_id"], r["doc_id"]): r["offset"]
+           for r in context_windows(hits, turns, window=1).collect()}
+    # hit at c1/1: neighbors 0 and 2, nothing from c2, no turn 3
+    assert got == {(1, 0): -1, (1, 1): 0, (1, 2): 1}
+
+
+def test_context_windows_edges_and_overlap(spark):
+    from trinity_spark.operators.grouped import context_windows
+
+    turns = spark.createDataFrame(
+        [(i, "c", i, f"t{i}") for i in range(5)],
+        "doc_id long, conv_id string, turn_idx int, text string",
+    )
+    # two hits with overlapping windows; window clipped at conversation edges
+    hits = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    rows = context_windows(hits, turns, window=2).collect()
+    per_hit = {}
+    for r in rows:
+        per_hit.setdefault(r["hit_doc_id"], set()).add((r["doc_id"], r["offset"]))
+    assert per_hit[0] == {(0, 0), (1, 1), (2, 2)}  # clipped at start
+    assert per_hit[2] == {(0, -2), (1, -1), (2, 0), (3, 1), (4, 2)}
+    # window=0 returns exactly the hits
+    only = context_windows(hits, turns, window=0).collect()
+    assert sorted((r["doc_id"], r["offset"]) for r in only) == [(0, 0), (2, 0)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        context_windows(hits, turns, window=-1)
+
+
+def test_context_windows_end_to_end_with_planner(spark):
+    """Planner hits -> context windows over the original turns table."""
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.build import (
+        build_field_stats, build_postings, build_term_dict, tokenize_turns,
+    )
+    from trinity_spark.operators.docids import assign_doc_ids
+    from trinity_spark.operators.grouped import context_windows
+    from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+
+    turns = assign_doc_ids(spark.createDataFrame(gen_transcripts(600)))
+    postings = build_postings(tokenize_turns(turns))
+    eng = QueryPlanner(LogicalIndex(
+        postings, build_term_dict(postings),
+        build_field_stats(postings, turns.count()),
+    ))
+    hits = eng.plan("error AND timeout", k=3)
+    ctx = context_windows(hits, turns, window=2).collect()
+    hit_ids = {r["doc_id"] for r in hits.collect()}
+    assert {r["hit_doc_id"] for r in ctx} == hit_ids
+    by_doc = {r["doc_id"]: r for r in turns.collect()}
+    for r in ctx:
+        h = by_doc[r["hit_doc_id"]]
+        assert r["conv_id"] == h["conv_id"]
+        assert abs(r["turn_idx"] - h["turn_idx"]) <= 2
+        assert r["offset"] == r["turn_idx"] - h["turn_idx"]

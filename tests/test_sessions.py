@@ -1,0 +1,59 @@
+"""Gap-based event sessionization: hand-computed fixtures + validation."""
+
+from datetime import datetime
+
+import pytest
+
+from trinity_spark.dataops.sessions import session_stats, sessionize
+
+
+def _events(spark):
+    rows = [
+        # user 1: 3 events 10 min apart, then a 2h gap, then 2 more
+        (0, datetime(2024, 1, 1, 8, 0, 0), 1, 2.0),
+        (1, datetime(2024, 1, 1, 8, 10, 0), 1, 3.0),
+        (2, datetime(2024, 1, 1, 8, 20, 0), 1, 4.0),
+        (3, datetime(2024, 1, 1, 10, 20, 0), 1, 5.0),
+        (4, datetime(2024, 1, 1, 10, 40, 0), 1, 6.0),
+        # user 2: single event
+        (5, datetime(2024, 1, 1, 9, 0, 0), 2, 1.5),
+        # user 3: exact-gap boundary (gap == 30 min continues the session)
+        (6, datetime(2024, 1, 1, 9, 0, 0), 3, 1.0),
+        (7, datetime(2024, 1, 1, 9, 30, 0), 3, 1.0),
+        (8, datetime(2024, 1, 1, 10, 0, 1), 3, 1.0),  # 30m01s -> new session
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(_events(spark), gap_minutes=30).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0, 7: 0, 8: 1}
+
+
+def test_session_stats_rollup(spark):
+    rows = {(r["user_id"], r["session_id"]): r.asDict()
+            for r in session_stats(_events(spark), gap_minutes=30).collect()}
+    s = rows[(1, 0)]
+    assert s["n_events"] == 3
+    assert s["duration_sec"] == pytest.approx(1200.0)
+    assert s["value_sum"] == pytest.approx(9.0)
+    assert rows[(2, 0)]["n_events"] == 1
+    assert rows[(2, 0)]["duration_sec"] == 0.0
+    # exact 30-min gap stayed one session; the 30m01s gap split
+    assert rows[(3, 0)]["n_events"] == 2
+    assert rows[(3, 1)]["n_events"] == 1
+
+
+def test_sessionize_validates(spark):
+    with pytest.raises(ValueError, match="gap_minutes"):
+        sessionize(_events(spark), gap_minutes=0)
+
+
+def test_sessionize_single_window_shuffle(spark):
+    """One exchange (the user_id window partition), no joins."""
+    plan = sessionize(_events(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan

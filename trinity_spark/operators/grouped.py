@@ -55,3 +55,50 @@ def grouped_topk(
         F.round(_AGGS[agg](score_col), 6).alias("score"),
     )
     return per_group.orderBy(F.desc("score"), F.asc(group_col)).limit(k)
+
+
+def context_windows(
+    hits: DataFrame,
+    turns: DataFrame,
+    window: int = 2,
+    id_col: str = "doc_id",
+    group_col: str = "conv_id",
+    pos_col: str = "turn_idx",
+) -> DataFrame:
+    """Matched turns with +/-``window`` neighboring turns from the same
+    conversation — the transcript KWIC: a hit is only interpretable with
+    its surrounding exchange, so retrieval UIs and context-assembly
+    pipelines fetch the window, not the lone turn.
+
+    ``hits``: (id_col[, score...]) — e.g. ``QueryPlanner.plan(q, k)``.
+    ``turns``: the corpus with (id_col, group_col, pos_col, ...).
+
+    Returns one row per (hit, context turn): all of ``turns``'s columns
+    plus ``hit_doc_id`` (the matched turn this row gives context for) and
+    ``offset`` (this turn's position minus the hit's, in [-window, window];
+    0 is the hit itself).  A turn neighboring two hits appears once per
+    hit — deduplicate on id_col downstream if a flat context set is wanted.
+
+    Distributed shape: the hit side is k rows (or df(query) for score_all
+    output) — a broadcast-sized build side joined on group_col with a
+    bounded |pos - hit_pos| <= window predicate, so the probe side is one
+    scan of the corpus co-partitioned by conversation; no window function,
+    no self-join of the corpus with itself."""
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    hit_pos = turns.select(
+        F.col(id_col).alias("hit_doc_id"),
+        F.col(group_col).alias("__g"),
+        F.col(pos_col).alias("__p"),
+    ).join(hits.select(F.col(id_col).alias("hit_doc_id")), "hit_doc_id")
+    out = turns.join(
+        hit_pos,
+        (turns[group_col] == F.col("__g"))
+        & (turns[pos_col] >= F.col("__p") - window)
+        & (turns[pos_col] <= F.col("__p") + window),
+    )
+    return out.select(
+        *[turns[c] for c in turns.columns],
+        F.col("hit_doc_id"),
+        (turns[pos_col] - F.col("__p")).cast("int").alias("offset"),
+    )
