@@ -301,3 +301,117 @@ def test_streaming_percolator_is_stateless_projection(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# --- streaming sessionization + watermarked window counts -------------------
+
+def test_sessionize_stream_state_spans_microbatches(spark, tmp_path):
+    """Gap sessions continue across micro-batches via applyInPandasWithState:
+    one file per trigger, second batch both continues an open session and
+    opens a new one after the gap."""
+    import time as _time
+    from datetime import datetime
+
+    from trinity_spark.streaming.sessions import sessionize_stream
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    rows1 = [
+        (0, datetime(2024, 1, 1, 8, 0, 0), 1, "click", 1.0, ""),
+        (1, datetime(2024, 1, 1, 8, 10, 0), 1, "click", 1.0, ""),
+        (5, datetime(2024, 1, 1, 9, 0, 0), 2, "view", 1.0, ""),
+    ]
+    rows2 = [
+        (2, datetime(2024, 1, 1, 8, 20, 0), 1, "click", 1.0, ""),   # continues
+        (3, datetime(2024, 1, 1, 10, 20, 0), 1, "error", 1.0, ""),  # 2h gap
+        (6, datetime(2024, 1, 1, 9, 10, 0), 2, "view", 1.0, ""),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    _time.sleep(1.1)  # distinct mtimes pin file-source processing order
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(rows1, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        sessionize_stream(stream, gap_minutes=30, state_ttl_min=None)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {r["event_id"]: r["session_id"]
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 5: 0, 6: 0}
+
+    # same ids as the batch sessionizer over the union (events in order)
+    from trinity_spark.dataops.sessions import sessionize
+
+    batch = sessionize(
+        spark.createDataFrame(rows1 + rows2, schema), gap_minutes=30
+    )
+    want = {r["event_id"]: r["session_id"] for r in batch.collect()}
+    assert got == want
+
+
+def test_sessionize_stream_validates(spark):
+    import pytest as _pytest
+
+    from trinity_spark.streaming.sessions import sessionize_stream
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value AS event_id", "timestamp AS ts", "value % 3 AS user_id"
+    )
+    with _pytest.raises(ValueError, match="gap_minutes"):
+        sessionize_stream(df, gap_minutes=0)
+
+
+def test_windowed_event_counts_watermark_finalization(spark, tmp_path):
+    """Append-mode tumbling windows emit exactly the finalized windows
+    (window_end <= final watermark); the straggler window stays open."""
+    from datetime import datetime
+
+    from trinity_spark.streaming.sessions import windowed_event_counts
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    rows = [
+        (0, datetime(2024, 1, 1, 8, 0, 0), 1, "click", 1.0, ""),
+        (1, datetime(2024, 1, 1, 8, 10, 0), 1, "click", 1.0, ""),
+        (2, datetime(2024, 1, 1, 8, 20, 0), 2, "click", 1.0, ""),
+        (3, datetime(2024, 1, 1, 9, 0, 0), 2, "view", 1.0, ""),
+        (4, datetime(2024, 1, 1, 9, 10, 0), 1, "view", 1.0, ""),
+        (5, datetime(2024, 1, 1, 10, 20, 0), 1, "error", 1.0, ""),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows, schema).schema
+    ).parquet(src)
+    sink = str(tmp_path / "out")
+    q = (
+        windowed_event_counts(stream, window="30 minutes", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # final watermark = 10:20 - 10min = 10:10 -> windows ending <= 10:10
+    # finalize; the error event's 10:00-10:30 window stays open (no row)
+    assert got == {
+        ("2024-01-01 08:00:00", "click"): 3,
+        ("2024-01-01 09:00:00", "view"): 2,
+    }
