@@ -1613,6 +1613,7 @@ SELECT doc_id,
        array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
        CAST(least(32, len(t) - s) AS BIGINT) AS n_tokens
 FROM st
+WHERE s = 0 OR s + 8 < len(t)
 """
 
     o["decontaminate_corpus"] = """

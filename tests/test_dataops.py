@@ -306,12 +306,13 @@ def test_chunk_documents_windows(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
-    # step 3: starts 0,3,6,9 -> 4 chunks, last is the 1-token tail
-    assert sorted(by_doc[0]) == [0, 1, 2, 3]
+    # step 3: starts 0,3,6; start 9 is suppressed — its only token w9 lies
+    # inside chunk 2's overlap (a strict-subset chunk would duplicate it)
+    assert sorted(by_doc[0]) == [0, 1, 2]
     assert by_doc[0][0]["chunk_text"] == "w0 w1 w2 w3"
     assert by_doc[0][1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
-    assert by_doc[0][3]["chunk_text"] == "w9"
-    assert by_doc[0][3]["n_tokens"] == 1
+    assert by_doc[0][2]["chunk_text"] == "w6 w7 w8 w9"
+    assert by_doc[0][2]["n_tokens"] == 4
     assert by_doc[1][0]["chunk_text"] == "a b" and len(by_doc[1]) == 1
     assert 2 not in by_doc  # zero-token doc -> zero chunks
     with pytest.raises(ValueError):
@@ -823,8 +824,47 @@ def test_token_windows_stride(spark):
     from trinity_spark.dataops.dedup import token_windows
 
     docs = spark.createDataFrame([(0, "a b c d e f g h")], "doc_id long, text string")
-    starts = sorted(r["start"] for r in token_windows(docs, window=3, stride=2).collect())
-    assert starts == [0, 2, 4]  # stride-aligned only
+    starts = sorted(
+        r["start"]
+        for r in token_windows(
+            docs, window=3, stride=2, anchor="position"
+        ).collect()
+    )
+    assert starts == [0, 2, 4]  # position grid
+    # content anchors: ~1/stride of positions, chosen by md5(first token)
+    got = sorted(
+        r["start"] for r in token_windows(docs, window=3, stride=2).collect()
+    )
+    import hashlib
+
+    toks = "a b c d e f g h".split()
+    want = [
+        i for i in range(len(toks) - 3 + 1)
+        if int(hashlib.md5(toks[i].encode()).hexdigest()[:8], 16) % 2 == 0
+    ]
+    assert got == want
+
+
+def test_content_anchors_catch_misaligned_spans(spark):
+    """The finding the content-anchor default fixes: the same >=1.5w-token
+    span at offsets differing mod stride is INVISIBLE to position-aligned
+    windows but caught by content anchors (span-relative anchor positions
+    are a function of the span's own tokens)."""
+    from trinity_spark.dataops.dedup import substring_dup_stats
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    docs = spark.createDataFrame(
+        [(0, span + " tail0 tail1"), (1, "off " + span + " tailz")],
+        "doc_id long, text string",
+    )
+    pos = {r["doc_id"]: r["n_dup_windows"]
+           for r in substring_dup_stats(
+               docs, window=5, stride=2, anchor="position"
+           ).collect()}
+    assert pos == {0: 0, 1: 0}  # misaligned mod 2 -> position grid blind
+    con = {r["doc_id"]: r["n_dup_windows"]
+           for r in substring_dup_stats(docs, window=5, stride=2).collect()}
+    assert con[0] > 0 and con[1] > 0  # content anchors detect the span
 
 
 def test_substring_dup_stats_interval_union(spark):

@@ -200,8 +200,12 @@ def test_substring_family_matches_bruteforce(spark, docs, window, stride):
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
     stats, cleaned = _py_substring(docs, window, stride)
 
+    # anchor="position": the brute-force reference models the position
+    # grid; the content-anchor default has its own dedicated test
     got = {r["doc_id"]: r for r in
-           substring_dup_stats(sdf, window=window, stride=stride).collect()}
+           substring_dup_stats(
+               sdf, window=window, stride=stride, anchor="position"
+           ).collect()}
     assert set(got) == set(stats)
     for d, (n_tok, n_win, n_dup, covered) in stats.items():
         r = got[d]

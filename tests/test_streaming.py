@@ -415,3 +415,55 @@ def test_windowed_event_counts_watermark_finalization(spark, tmp_path):
         ("2024-01-01 08:00:00", "click"): 3,
         ("2024-01-01 09:00:00", "view"): 2,
     }
+
+
+def test_sessionize_stream_sorts_across_arrow_chunks(spark, tmp_path):
+    """A hot key whose micro-batch spans several Arrow chunks must be
+    sorted as ONE batch — per-chunk sorting would regress last_sec and
+    misassign sessions (chunks arrive in arbitrary relative order)."""
+    from datetime import datetime, timedelta
+
+    from trinity_spark.dataops.sessions import sessionize
+    from trinity_spark.streaming.sessions import sessionize_stream
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = datetime(2024, 1, 1, 8, 0, 0)
+    # 40 events, shuffled order in the file, alternating 10-min and 50-min
+    # gaps when sorted -> many session breaks that only a global sort finds
+    ordered = []
+    t = base
+    for i in range(40):
+        ordered.append((i, t, 1, "click", 1.0, ""))
+        t += timedelta(minutes=(10 if i % 2 == 0 else 50))
+    shuffled = ordered[::2] + ordered[1::2]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(shuffled, schema).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(
+            spark.createDataFrame(shuffled, schema).schema
+        ).parquet(src)
+        sink = str(tmp_path / "out")
+        q = (
+            sessionize_stream(stream, gap_minutes=30, state_ttl_min=None)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {r["event_id"]: r["session_id"]
+           for r in spark.read.parquet(sink).collect()}
+    want = {r["event_id"]: r["session_id"]
+            for r in sessionize(
+                spark.createDataFrame(ordered, schema), gap_minutes=30
+            ).collect()}
+    assert got == want
+    assert max(got.values()) >= 10  # many breaks: the property is non-trivial

@@ -116,14 +116,34 @@ def _capped_bucket_pairs(
     pairs the verifier rejects.
 
     The cap is never silent: oversized-bucket count / largest size /
-    estimated skipped cross-sub candidates are logged.  To pay the
-    signature+banding pipeline exactly once (sizes aggregate, report, and
-    both join sides), ``banded`` is localCheckpoint'ed here — one
-    materialization of the narrow (id, band, key) projection when a cap is
-    set."""
+    estimated skipped cross-sub candidates are logged.  Routing needs the
+    bucket sizes up front, so ONE aggregation job runs at construction; on
+    the common healthy path (no bucket over the cap) that is the only
+    extra cost — the plain all-pairs plan is returned with no
+    materialization.  Only when a cap actually trips is ``banded``
+    localCheckpoint'ed, so the split path pays the signature+banding
+    pipeline exactly once across the sizes join and both self-join sides
+    (and, for embedding callers, the per-band vector duplication is only
+    ever stored in the degenerate case it protects against)."""
     if max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (pairs need 2 docs)")
-    banded = banded.localCheckpoint(eager=True)
+
+    def _pairs(src: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for k in keys:
+            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+        cols = [
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ]
+        if sig_col:
+            cols += [
+                F.col(f"a.{sig_col}").alias("sig_a"),
+                F.col(f"b.{sig_col}").alias("sig_b"),
+            ]
+        return a.join(b, cond).select(*cols)
+
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     m = F.col("n").cast("double")
     nsub_d = F.ceil(F.col("n") / F.lit(max_bucket_size)).cast("double")
@@ -139,6 +159,12 @@ def _capped_bucket_pairs(
         )
         .first()
     )
+    if not report["buckets"]:
+        # healthy path: every bucket within the cap — identical to the
+        # uncapped all-pairs plan (small = everything, big = empty)
+        return _pairs(banded, key_cols).distinct()
+    banded = banded.localCheckpoint(eager=True)
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     if report["buckets"]:
         _log.warning(
             "%s cap: %d bucket(s) over max_bucket_size=%d (largest=%d) "
@@ -164,22 +190,6 @@ def _capped_bucket_pairs(
         )
         .drop("n")
     )
-
-    def _pairs(src: DataFrame, keys: list[str]) -> DataFrame:
-        a, b = src.alias("a"), src.alias("b")
-        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        for k in keys:
-            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
-        cols = [
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        ]
-        if sig_col:
-            cols += [
-                F.col(f"a.{sig_col}").alias("sig_a"),
-                F.col(f"b.{sig_col}").alias("sig_b"),
-            ]
-        return a.join(b, cond).select(*cols)
 
     rep_aggs = [F.min(id_col).alias("rep")]
     if sig_col:
@@ -550,12 +560,44 @@ def simhash_near_duplicates(
 # detection over fixed-length token windows ("exact substring dedup"): hash
 # every w-token window, count occurrences corpus-wide, and flag/measure the
 # spans whose window hash occurs more than once.  Distributed shape: the
-# window explode is the big intermediate (|tokens| rows at stride=1 — use a
-# larger stride at the 100 TB tier to bound it, e.g. stride=w/2 still
-# guarantees any duplicated span of >= 1.5w tokens is caught), one
+# window explode is the big intermediate (|tokens| rows at stride=1), one
 # map-side-combined count shuffle on the window hash, one hash-partitioned
 # join back.  Hashes are md5 of the joined window so the DuckDB oracle
 # reproduces them bit-for-bit.
+#
+# Sparsification (stride > 1): POSITION-aligned subsampling (i % stride == 0)
+# only matches copies whose offsets agree mod stride — a span pasted one
+# token later in another doc is invisible.  The default is therefore
+# CONTENT-DEFINED anchoring (the winnowing/CDC idea): a window starts
+# wherever md5(first token) % stride == 0.  Identical spans pick identical
+# span-relative anchors in every copy, so cross-doc detection is
+# alignment-independent; expected window density is 1/stride, and any
+# duplicated span that contains an anchored window (expected once per
+# ~stride tokens) is caught deterministically given the content.
+
+
+def _window_starts(toks: Column, window: int, stride: int, anchor: str) -> Column:
+    """Array of window start positions (0-based) under the chosen scheme."""
+    all_starts = F.sequence(F.lit(0), F.size(toks) - window)
+    if stride == 1:
+        picked = all_starts
+    elif anchor == "position":
+        picked = F.filter(all_starts, lambda i: i % stride == 0)
+    elif anchor == "content":
+        picked = F.filter(
+            all_starts,
+            lambda i: F.conv(
+                F.substring(F.md5(F.element_at(toks, i + 1)), 1, 8), 16, 10
+            ).cast("long")
+            % stride
+            == 0,
+        )
+    else:
+        raise ValueError(f"anchor must be 'content' or 'position', got {anchor!r}")
+    return F.when(F.size(toks) >= window, picked).otherwise(
+        F.array().cast("array<int>")
+    )
+
 
 def token_windows(
     docs: DataFrame,
@@ -563,22 +605,24 @@ def token_windows(
     text_col: str = "text",
     window: int = 20,
     stride: int = 1,
+    anchor: str = "content",
 ) -> DataFrame:
-    """(id, start, whash) for every stride-aligned ``window``-token window.
+    """(id, start, whash) for sparsified ``window``-token windows.
 
     start is 0-based into the whitespace token array; whash =
     md5(space-joined window tokens).  Docs shorter than ``window`` tokens
-    emit no rows.  Pure projection — zero shuffles."""
+    emit no rows.  Pure projection — zero shuffles.
+
+    ``stride=1`` keeps every window.  ``stride>1`` keeps ~1/stride of them:
+    ``anchor="content"`` (default) starts windows at content-defined anchors
+    (md5(token) % stride == 0) so duplicated spans are detected regardless
+    of their alignment across documents; ``anchor="position"`` keeps the
+    position-aligned grid (i % stride == 0) — cheaper to reason about, but
+    it only matches copies whose offsets agree mod stride."""
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.when(
-        F.size(toks) >= window,
-        F.filter(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: i % stride == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    starts = _window_starts(toks, window, stride, anchor)
     return (
         docs.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
         .select(
@@ -603,6 +647,7 @@ def duplicate_windows(
     window: int = 20,
     stride: int = 1,
     min_count: int = 2,
+    anchor: str = "content",
 ) -> DataFrame:
     """Window occurrences whose hash appears >= min_count times corpus-wide
     (within-doc repeats count, as in exact-substring training-data dedup).
@@ -610,7 +655,7 @@ def duplicate_windows(
     Returns (id, start, whash, n_occurrences).  One count shuffle on whash
     (map-side combined) + one hash-partitioned join back — both scale-safe:
     the key is a uniform md5, so no skew beyond genuinely viral passages."""
-    wins = token_windows(docs, id_col, text_col, window, stride)
+    wins = token_windows(docs, id_col, text_col, window, stride, anchor)
     counts = (
         wins.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -628,6 +673,7 @@ def substring_dup_stats(
     window: int = 20,
     stride: int = 1,
     min_count: int = 2,
+    anchor: str = "content",
 ) -> DataFrame:
     """Per-doc exact-substring duplication metrics.
 
@@ -643,15 +689,16 @@ def substring_dup_stats(
     fold, no per-row Python."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tokens = F.size(toks)
-    n_windows = F.when(
-        n_tokens >= window, (n_tokens - window) / stride + 1
-    ).otherwise(F.lit(0)).cast("long")
+    # window count under the SAME sparsification scheme as the hashes
+    n_windows = F.size(_window_starts(toks, window, stride, anchor)).cast("long")
     base = docs.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
         n_windows.alias("n_windows"),
     )
-    dups = duplicate_windows(docs, id_col, text_col, window, stride, min_count)
+    dups = duplicate_windows(
+        docs, id_col, text_col, window, stride, min_count, anchor
+    )
     ss = F.array_sort(F.collect_list("start"))
     per_doc = dups.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_windows"), ss.alias("__ss")
@@ -703,6 +750,7 @@ def remove_duplicate_spans(
     window: int = 20,
     stride: int = 1,
     min_count: int = 2,
+    anchor: str = "content",
 ) -> DataFrame:
     """Cut duplicated passages out of the corpus, keeping one canonical copy.
 
@@ -726,7 +774,9 @@ def remove_duplicate_spans(
     hash join back to the corpus.  The final token filter is a JVM
     higher-order expression, O(tokens x removable-intervals-per-doc) per doc
     — bounded, since removable intervals per doc <= n_windows/stride."""
-    dups = duplicate_windows(docs, id_col, text_col, window, stride, min_count)
+    dups = duplicate_windows(
+        docs, id_col, text_col, window, stride, min_count, anchor
+    )
     canon = dups.groupBy("whash").agg(
         F.min(F.struct("start", id_col)).alias("__c")
     )

@@ -78,11 +78,15 @@ def chunk_documents(
     """(id, chunk_id, chunk_text, n_tokens) — overlapping token windows.
 
     Whitespace tokens; windows start every ``chunk_tokens - overlap``
-    tokens and span ``chunk_tokens`` (the last window is shorter).
-    ``chunk_id`` is the 0-based window index, so ``(doc_id, chunk_id)`` is
-    a deterministic, re-run-stable chunk identity and
-    ``doc_id = chunk.doc_id`` recovers provenance.  Documents with zero
-    tokens yield zero chunks.  One projection + explode, zero shuffles.
+    tokens and span ``chunk_tokens`` (the last window may be shorter).
+    A trailing window whose tokens all lie inside the previous window's
+    overlap is NOT emitted — it would be a strict subset duplicating
+    content (start s is kept iff s == 0 or s + overlap < n; every token
+    is still covered).  ``chunk_id`` is the 0-based window index, so
+    ``(doc_id, chunk_id)`` is a deterministic, re-run-stable chunk
+    identity and ``doc_id = chunk.doc_id`` recovers provenance.
+    Documents with zero tokens yield zero chunks.  One projection +
+    explode, zero shuffles.
     """
     if chunk_tokens < 1:
         raise ValueError("chunk_tokens must be >= 1")
@@ -93,7 +97,10 @@ def chunk_documents(
     toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     base = docs.select(F.col(id_col), toks.alias("_toks"))
     n = F.size(F.col("_toks"))
-    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        lambda s: (s == 0) | (s + overlap < n),
+    )
     chunked = (
         base.where(n > 0)
         .withColumn("chunk_id", F.explode(starts))

@@ -41,7 +41,11 @@ def sessionize(
     )
     w = Window.partitionBy(user_col).orderBy(*order)
     # NTZ timestamps cannot cast straight to double; epoch seconds via an
-    # intermediate timestamp cast (gaps are tz-invariant differences)
+    # intermediate timestamp cast.  CAVEAT: for TIMESTAMP_NTZ inputs the
+    # cast maps wall time through spark.sql.session.timeZone, so in a
+    # DST-observing session zone the repeated/skipped hour can distort a
+    # gap by +/-1h — run with a fixed-offset session tz (UTC is this
+    # deployment's default) for reproducible gaps on NTZ data
     sec = F.col(ts_col).cast("timestamp").cast("double")
     gap_sec = sec - F.lag(sec).over(w)
     new_session = F.when(

@@ -334,6 +334,18 @@ class SegmentIndex:
         self.spark = spark
         self.store = store
         codecs = sorted({store.segment_codec(m) for m in store.segments()})
+        # unknown codec tags must fail LOUD at open: the mixed-codec decode
+        # splits blocks by known-codec branches, so an unrecognized tag
+        # (corrupt manifest, store from a newer engine) would otherwise
+        # silently drop those segments' postings from every query
+        from .segments import CODECS
+
+        unknown = [c for c in codecs if c not in CODECS]
+        if unknown:
+            raise ValueError(
+                f"store has segments with unknown codec(s) {unknown}; "
+                f"this engine knows {list(CODECS)}"
+            )
         # single-codec stores (the normal case) read untagged blocks and
         # decode with that codec; a store holding segments written by
         # DIFFERENT codecs (pre-compaction mixing) reads codec-tagged blocks

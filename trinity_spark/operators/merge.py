@@ -92,7 +92,15 @@ def _merge_codec(metas) -> str | None:
     None when mixed — the merge.cpp:256-287 same-codec precondition for the
     raw-copy fast path: mixed-codec inputs disable byte reuse entirely and
     everything is decoded (per codec) and re-encoded at one codec."""
+    from .segments import CODECS
+
     codecs = {m.lineage.get("codec", "varbyte") for m in metas}
+    unknown = codecs - set(CODECS)
+    if unknown:
+        raise ValueError(
+            f"cannot merge segments with unknown codec(s) {sorted(unknown)}; "
+            f"this engine knows {list(CODECS)}"
+        )
     return codecs.pop() if len(codecs) == 1 else None
 
 

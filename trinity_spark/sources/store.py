@@ -91,12 +91,21 @@ class SegmentStore:
         return self.read_manifest().get("codec", "varbyte")
 
     def record_default_codec(self, codec: str) -> None:
-        """Record the store codec on first build; later calls must agree or
-        are ignored (per-segment lineage still records each segment's own)."""
+        """Record the store codec on first build.  A later build asking for
+        a DIFFERENT codec is an error — silently keeping the old default
+        would revert the caller's explicit choice and leave the store
+        permanently mixed (new segments one codec, NRT appends/merges the
+        other, byte reuse disabled).  Changing wires means a new store."""
         m = self.read_manifest()
         if "codec" not in m:
             m["codec"] = codec
             self._write_manifest(m)
+        elif m["codec"] != codec:
+            raise ValueError(
+                f"store codec is fixed to {m['codec']!r} by its first build; "
+                f"got codec={codec!r} — build into a fresh store to switch "
+                "wires"
+            )
 
     @staticmethod
     def segment_codec(meta: SegmentMeta) -> str:
@@ -581,6 +590,17 @@ class SegmentStore:
                             f"{n_blocks} != lineage n_blocks {expect_blocks} "
                             "(lost or duplicated postings files)"
                         )
+                else:
+                    # pre-upgrade segment: without the write-time block
+                    # count, lost postings files are INDISTINGUISHABLE from
+                    # zero-token docs here — surface that blind spot rather
+                    # than silently reporting ok (a merge/compaction rewrite
+                    # records n_blocks and closes it)
+                    warnings.append(
+                        f"{meta.segment_id}: no n_blocks in lineage "
+                        "(written pre-upgrade) — file-loss check skipped; "
+                        "re-encode via merge/compaction to enable it"
+                    )
                 docs = (
                     decode_segments(
                         blocks,

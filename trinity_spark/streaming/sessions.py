@@ -116,23 +116,34 @@ def sessionize_stream(
         last_sec, session_id = (
             state.get if state.exists else (None, -1)
         )
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            secs = pdf["ts"].astype("int64") / 1e9
-            out_sessions = []
-            for s in secs:
-                if last_sec is None or s - last_sec > gap_sec:
-                    session_id += 1
-                last_sec = s
-                out_sessions.append(session_id)
-            yield pd.DataFrame(
-                {
-                    "user_id": key[0],
-                    "event_id": pdf["event_id"].values,
-                    "ts": pdf["ts"].values,
-                    "session_id": out_sessions,
-                }
-            )
+        # the runtime hands one key's micro-batch as SEVERAL pandas chunks
+        # (split at arrow maxRecordsPerBatch) in arbitrary relative order —
+        # sort must span the whole batch, not each chunk, or a hot key's
+        # later-chunk-but-earlier-time events would regress last_sec and
+        # land in the wrong session
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            if state.exists and use_ttl:
+                state.setTimeoutDuration(int(state_ttl_min * 60 * 1000))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        secs = pdf["ts"].astype("int64") / 1e9
+        out_sessions = []
+        for s in secs:
+            if last_sec is None or s - last_sec > gap_sec:
+                session_id += 1
+            last_sec = s
+            out_sessions.append(session_id)
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": pdf["event_id"].values,
+                "ts": pdf["ts"].values,
+                "session_id": out_sessions,
+            }
+        )
         state.update((float(last_sec), int(session_id)))
         if use_ttl:
             state.setTimeoutDuration(int(state_ttl_min * 60 * 1000))
