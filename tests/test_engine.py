@@ -103,3 +103,40 @@ def test_queries_have_hits(oracle):
         node = parse_query(q["query"])
         assert node is not None
         assert oracle.topk(node, k=1), f"{q['id']} has no hits in fixture"
+
+
+@pytest.mark.parametrize("qs", [
+    "<error> <timeout>",          # all-optional AND: matches nothing
+    "error error OR error",       # duplicate-term OR branches survive normalize
+    "error OR error OR timeout",  # exact-duplicate branch dedup
+])
+def test_rank_identity_edge_shapes(qs, engine, oracle):
+    """Regression shapes from the round-4 core review: all-optional AND used
+    to crash _compile_nary (reduce over empty required), and duplicate-term
+    ORs must never route through the pruned path's single-count bound."""
+    eng, _ = engine
+    node = parse_query(qs)
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in eng.plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want], qs
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9
+
+
+def test_custom_similarity_may_return_null(engine, oracle):
+    """A custom scorer returning NULL for some matched rows must not drop
+    the doc on the CASE-map nary path (presence is aggregated separately)."""
+    from pyspark.sql import functions as F
+
+    eng, _ = engine
+
+    def nullish(ctx, freq):
+        # null score whenever tf is even; matched docs must still match
+        from trinity_spark.plans.planner import default_similarity
+
+        return F.when(freq % 2 == 1, default_similarity(ctx, freq))
+
+    nul = QueryPlanner(eng.index, similarity=nullish)
+    got = nul.plan("error AND timeout", k=100000).collect()
+    base = eng.plan("error AND timeout", k=100000).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in base}

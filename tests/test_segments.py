@@ -616,3 +616,75 @@ def test_merge_mixed_chunk_bits_reencodes_everything(spark, tmp_path_factory):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) <= 1e-9
+
+
+def test_merge_preserves_payloads_in_reencoded_blocks(spark, tmp_path_factory):
+    """Round-4 review regression: blocks routed to the re-encode path
+    (tombstone-hit or repacked) must carry their per-hit payloads through
+    the merge — only reused blocks kept them before."""
+    from trinity_spark.operators.build import (
+        field_stats_from_blocks,
+        term_dict_from_blocks,
+    )
+    from trinity_spark.sources.store import SegmentMeta
+
+    base = str(tmp_path_factory.mktemp("paymerge"))
+    store = SegmentStore(base)
+    n_docs = 30
+    rows = [
+        ("alpha", d, 1, [1], [d * 11 + 3]) for d in range(n_docs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "term string, doc_id long, tf int, positions array<int>, payloads array<long>",
+    )
+    blocks = encode_postings(df)
+    meta = SegmentMeta(
+        segment_id=f"seg-{0:014d}-{n_docs:014d}", generation=0,
+        doc_lo=0, doc_hi=n_docs, docs_cnt=n_docs,
+    )
+    store.commit_segment(
+        blocks, term_dict_from_blocks(blocks),
+        field_stats_from_blocks(blocks, docs_cnt=n_docs), meta,
+    )
+    # a tombstone forces alpha's block through the re-encode path
+    store.add_deletes(spark, [7])
+    merged = merge_segments(spark, store)
+    assert merged.lineage["deletes_applied"] == 1
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    out = planner.plan("alpha", k=n_docs, with_hits=True, with_payloads=True)
+    got = {r["doc_id"]: r["hits"][0]["payloads"] for r in out.collect()}
+    assert 7 not in got
+    assert len(got) == n_docs - 1
+    for d, pay in got.items():
+        assert list(pay) == [d * 11 + 3], d
+
+
+def test_merge_delete_accounting_counts_zero_token_docs(spark, tmp_path_factory):
+    """Round-4 review regression: deleting a zero-token doc (assigned id,
+    no postings) must still decrement docs_cnt at merge — presence-based
+    counting missed it and left N (hence every idf) inflated forever."""
+    base = tmp_path_factory.mktemp("zerodel")
+    corpus = gen_transcripts(200)
+    corpus.loc[5, "text"] = "   "  # doc 5 tokenizes to zero terms
+    store = SegmentStore(str(base / "idx"))
+    build_index(
+        spark, spark.createDataFrame(corpus), store, rows_per_segment=100
+    )
+    assert sum(m.docs_cnt for m in store.segments()) == 200
+    store.add_deletes(spark, [5])
+    merged = merge_segments(spark, store)
+    assert merged.lineage["deletes_applied"] == 1
+    assert merged.docs_cnt == 199
+    # scoring N matches the oracle built without doc 5
+    oracle = OracleIndex.build(
+        [(d, ("" if d == 5 else t)) for d, t in docs_in_stable_order(corpus)]
+    )
+    oracle.n_docs = 199
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    node = parse_query("error")
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9

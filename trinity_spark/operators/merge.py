@@ -127,23 +127,49 @@ def merge_segments(
     blocks = store.read_blocks(spark, ids, with_codec=cdc is None)
     read_gens: list[int] = []
     in_range = None
+    n_deleted = 0
     if apply_deletes:
         read_gens = [d["gen"] for d in store.read_manifest()["deletes"]]
-        deletes = store.read_deletes(spark)
+        deletes = store.read_deletes_with_gen(spark)
         if deletes is not None:
             # only tombstones inside a merged segment's ACTUAL range matter —
             # per-meta ranges, not [min_lo, max_hi): merge sets can be
             # non-contiguous and ids in the gaps belong to other segments
             from functools import reduce
 
-            cond = reduce(
-                lambda a, b: a | b,
-                [
-                    (F.col("doc_id") >= m.doc_lo) & (F.col("doc_id") < m.doc_hi)
-                    for m in metas
-                ],
-            )
-            in_range = deletes.where(cond)
+            def _rng(m):
+                return (F.col("doc_id") >= m.doc_lo) & (
+                    F.col("doc_id") < m.doc_hi
+                )
+
+            cond = reduce(lambda a, b: a | b, [_rng(m) for m in metas])
+            in_range = deletes.where(cond).select("doc_id").distinct()
+            # docs_cnt accounting is GEN-AWARE: a tombstone counts against a
+            # covering segment only if that segment has not already applied
+            # its generation (lineage ``deletes_gens``, written below) — a
+            # partial merge followed by a full merge re-reads the same
+            # unretired tombstone and must not subtract the doc twice.
+            # Counting by tombstone id (not decoded-posting presence) is
+            # what keeps zero-token docs (assigned ids with no postings)
+            # correctly subtracted.  Ranges are disjoint, so each id has
+            # exactly one covering segment.
+            def _applied(m):
+                gens = m.lineage.get("deletes_gens", [])
+                return F.col("gen").isin([int(g) for g in gens]) if gens else F.lit(False)
+
+            countable = deletes.where(
+                reduce(
+                    lambda a, b: a | b,
+                    [_rng(m) & ~_applied(m) for m in metas],
+                )
+            ).select("doc_id").distinct()
+            already = deletes.where(
+                reduce(
+                    lambda a, b: a | b,
+                    [_rng(m) & _applied(m) for m in metas],
+                )
+            ).select("doc_id").distinct()
+            n_deleted = countable.join(already, "doc_id", "left_anti").count()
 
     # One chunk width AND one codec per output segment: re-encoded blocks
     # use the inputs' common chunk_bits/codec so reused + re-encoded blocks
@@ -202,25 +228,24 @@ def merge_segments(
             rest = needs_repack
 
     # mixed-codec `rest` carries the codec tag column -> decode splits per
-    # codec; single-codec inputs decode with that codec directly
+    # codec; single-codec inputs decode with that codec directly.  Decode
+    # WITH payloads: re-encoded blocks must carry their per-hit payload
+    # stream through the merge (reused blocks keep theirs byte-for-byte, so
+    # dropping them here would silently strip payloads from exactly the
+    # repacked/tombstone-hit blocks); payload-free stores round-trip an
+    # empty stream
     rest_postings = (
-        decode_segments(rest) if cdc is None else decode_segments(rest, codec=cdc)
+        decode_segments(rest, with_payloads=True)
+        if cdc is None
+        else decode_segments(rest, with_payloads=True, codec=cdc)
     )
-    n_deleted = 0
     if in_range is not None:
-        # presence-based accounting: count only tombstones that hit a doc
-        # still present (deleted docs' postings all live in tombstone-hit
-        # blocks, so the decoded `rest` stream sees every one of them)
-        n_deleted = (
-            rest_postings.select("doc_id")
-            .distinct()
-            .join(F.broadcast(in_range), "doc_id", "left_semi")
-            .count()
-        )
+        # physical removal anti-joins ALL in-range tombstone ids (removing
+        # already-absent ids is a no-op); the docs_cnt arithmetic used the
+        # gen-aware count computed above
         rest_postings = rest_postings.join(
             F.broadcast(in_range), "doc_id", "left_anti"
         )
-    rest_postings = rest_postings.persist()
 
     docs_cnt = sum(m.docs_cnt for m in metas) - n_deleted
     # tag reused rows BEFORE the union so the metrics pass is one cheap
@@ -250,6 +275,17 @@ def merge_segments(
         lineage={
             "merged_from": ids,
             "deletes_applied": n_deleted,
+            # every gen read now is fully applied to this segment's range,
+            # as is every gen an input had already applied — later merges
+            # must not re-count them (see the gen-aware accounting above)
+            "deletes_gens": sorted(
+                set(read_gens)
+                | {
+                    int(g)
+                    for m in metas
+                    for g in m.lineage.get("deletes_gens", [])
+                }
+            ),
             "chunk_bits": out_bits,
             "codec": out_codec,
             "engine_version": __version__,

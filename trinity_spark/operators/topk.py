@@ -247,6 +247,10 @@ def pruned_or_topk(
     ``index`` must expose block metadata (SegmentIndex)."""
     from ..plans.planner import QueryPlanner
 
+    if k < 1:
+        # pass-1 peeks sub_top[-1]; k=0 has no threshold to prune against
+        raise ValueError(f"k must be >= 1, got {k}")
+
     if node is None:
         node = Or(tuple(Token(t) for t in terms)).normalize()
     planner = QueryPlanner(index)

@@ -316,8 +316,15 @@ class QueryPlanner:
             cb = getattr(self.index, "chunk_bits", 16)
             if (
                 isinstance(node, Or)
+                and k >= 1  # k=0 has no pruning threshold; single pass
                 and doc_filter is None
                 and self.similarity is None  # the chunk bound is BM25-shaped
+                # duplicate term strings (e.g. 'a a OR a OR b' survives
+                # normalize as two a-branches) would double-count in the
+                # scorer while the chunk bound single-counts — and the
+                # pruned path's idf map would hit a duplicate key; route
+                # such queries through the always-correct single pass
+                and len(set(terms)) == len(terms)
             ):
                 rep = or_gate_report(stats, terms, k, chunk_bits=cb)
                 self.last_route = {
@@ -357,6 +364,11 @@ class QueryPlanner:
         )
         if node is None:
             return topk.withColumn("hits", empty_hits)
+        # topk is referenced TWICE below (the winner-id semi-join build side
+        # and the final join) and there is no reusable exchange above a
+        # TakeOrderedAndProject — without a cut, one collect would execute
+        # the whole scoring/top-k pipeline twice.  k rows: materialize once.
+        topk = topk.localCheckpoint(eager=False)
         terms = positive_terms(node)
         if with_payloads:
             pf = getattr(self.index, "postings_with_payloads_for", None)
@@ -416,6 +428,9 @@ class QueryPlanner:
         Position-0-only matches fall back to the document head."""
         from ..tokenizer import tokens_column
 
+        # same double-reference shape as attach_hits: cut so the upstream
+        # scoring pipeline (usually a with_hits plan) executes once
+        hit_rows = hit_rows.localCheckpoint(eager=False)
         winners = docs.join(
             F.broadcast(hit_rows.select(F.col("doc_id").alias(id_col)).distinct()),
             id_col,
@@ -876,30 +891,41 @@ class QueryPlanner:
                 for i, b in enumerate(branches)
             ]
             u = reduce(lambda a, b: a.unionByName(b), tagged)
+        # presence is aggregated SEPARATELY from the score: a custom
+        # similarity may legally return null for a matched row (the map
+        # compiler documents the same contract), so score-NULLness must not
+        # double as the match flag
         agg = u.groupBy("doc_id").agg(
             *[
                 F.max(F.when(F.col("bid") == i, F.col("score"))).alias(f"s{i}")
                 for i in range(n)
-            ]
-        )
-        if isinstance(node, And):
-            keep = reduce(
-                lambda a, b: a & b, [F.col(f"s{i}").isNotNull() for i in required]
-            )
-            score_cols = [
-                F.col(f"s{i}") if i in required else F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+            ],
+            *[
+                F.max(F.when(F.col("bid") == i, F.lit(1))).alias(f"p{i}")
                 for i in range(n)
-            ]
+            ],
+        )
+        score_cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(n)]
+        if isinstance(node, And):
+            # all-optional AND matches nothing (oracle semantics; the map
+            # compiler has the same explicit case) — reduce() over an empty
+            # required list would otherwise crash
+            keep = (
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(f"p{i}").isNotNull() for i in required],
+                )
+                if required
+                else F.lit(False)
+            )
         elif isinstance(node, Some):
             matched = reduce(
                 lambda a, b: a + b,
-                [F.col(f"s{i}").isNotNull().cast("int") for i in range(n)],
+                [F.col(f"p{i}").isNotNull().cast("int") for i in range(n)],
             )
             keep = matched >= node.k
-            score_cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(n)]
         else:  # Or
             keep = F.lit(True)
-            score_cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(n)]
         # fixed left-to-right float64 summation (matches the oracle exactly)
         score = reduce(lambda a, b: a + b, score_cols)
         return agg.where(keep).select("doc_id", score.alias("score"))

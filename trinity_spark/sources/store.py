@@ -469,6 +469,20 @@ class SegmentStore:
             .distinct()
         )
 
+    def read_deletes_with_gen(self, spark: SparkSession) -> DataFrame | None:
+        """Tombstones with their generation — merge's delete ACCOUNTING needs
+        the gen to skip tombstones a segment already applied (recorded in
+        its lineage ``deletes_gens``), or a partial merge followed by a full
+        merge would subtract the same doc twice."""
+        m = self.read_manifest()
+        if not m["deletes"]:
+            return None
+        return (
+            spark.read.schema("doc_id long, gen int")
+            .parquet(*[d["path"] for d in m["deletes"]])
+            .distinct()
+        )
+
     def fsck(self, spark: SparkSession | None = None, deep: bool = False) -> dict[str, Any]:
         """Store integrity check (the operational tool Trinity leaves to apps:
         its segment model makes these invariants checkable but ships no
