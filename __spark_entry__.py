@@ -501,6 +501,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
         return cosine_pairs(vecs, dim=64, threshold=0.35, bits=12, band_bits=6, seed=7)
 
+    def semantic_dedup_pairs(spark, sf):
+        # SemDeDup-style cluster-scoped semantic near-dup pairs
+        # (similarity.semantic_dedup_pairs, arXiv:2303.09540): k-means
+        # partition the embeddings, then exact cosine ONLY within clusters.
+        # Deterministic init centroids (iters=0: the 4 smallest-md5(id)
+        # vectors) keep the assignment SQL-replicable; the oracle re-derives
+        # init, argmax-cosine assignment (ties to the higher list id, the
+        # array_max struct order), within-cluster pairing, and the verify —
+        # so a wrong assignment changes the pair set and fails the hash.
+        # Scalable Lloyd training is pinned by pytest (ivf_index_scalable).
+        from trinity_spark.dataops.similarity import (
+            ivf_index,
+            semantic_dedup_pairs as sd_pairs,
+        )
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        indexed, _cents = ivf_index(vecs, n_lists=4, iters=0)
+        return sd_pairs(indexed, threshold=0.35)
+
     def data_split(spark, sf):
         # deterministic hash-based train/val/test split: pure function of
         # (seed, doc_id), stable under appends/re-runs — the property a
@@ -612,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = ann_lsh_topk
     q["ann_ivf_topk"] = ann_ivf_topk
     q["embedding_near_dup"] = embedding_near_dup
+    q["semantic_dedup_pairs"] = semantic_dedup_pairs
     q["bm25_pfor_store"] = bm25_pfor_store
     q["curate_corpus"] = curate_corpus
     q["dedup_simhash"] = dedup_simhash
@@ -1510,6 +1532,49 @@ verified AS (
   JOIN ev eb ON eb.vec_id = p.id_b
 )
 SELECT id_a, id_b, cosine FROM verified WHERE cosine >= 0.35
+"""
+
+    # SemDeDup cluster-scoped pairs: re-derives ivf_index's deterministic
+    # init (the n_lists vectors with smallest md5(CAST(id AS VARCHAR)),
+    # ordered (md5, id) — similarity.py::ivf_index init), the argmax-cosine
+    # assignment with ties to the HIGHER list id (array_max struct order of
+    # _argmax_cosine), the within-cluster self-join, and the exact-cosine
+    # verify.  list_dot_product folds left-to-right like F.aggregate, so
+    # cosines agree bit-for-bit (verified: 0/98 pair mismatches at sf0.01).
+    o["semantic_dedup_pairs"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+init AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rk
+  FROM ev
+),
+cents AS (SELECT rk::INT AS list_id, v AS c FROM init WHERE rk < 4),
+scored AS (
+  SELECT e.vec_id, c.list_id,
+         list_dot_product(e.v, c.c)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(c.c, c.c))) AS cos
+  FROM ev e, cents c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id DESC) AS rn
+    FROM scored) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+FROM pairs p
+JOIN ev ea ON ea.vec_id = p.id_a
+JOIN ev eb ON eb.vec_id = p.id_b
+WHERE cosine >= 0.35
 """
 
     # split boundaries: the SAME float accumulation as traindata.hash_split

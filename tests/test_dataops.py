@@ -268,6 +268,80 @@ def test_cosine_pairs_bucket_cap_flood(spark, caplog):
     assert {r["component"] for r in comp.collect()} == {0}
 
 
+# --- SemDeDup: cluster-scoped semantic dedup ----------------------------------
+
+
+def test_semantic_dedup_pairs_single_cluster_equals_all_pairs(spark, vectors):
+    """n_lists=1 degenerates to exact all-pairs cosine at the threshold —
+    the correctness baseline the clustered path must match within a cell."""
+    from pyspark.sql import functions as F
+
+    df, rows = vectors
+    indexed = df.withColumn("list_id", F.lit(0))
+    got = {
+        (p["id_a"], p["id_b"]): p["cosine"]
+        for p in similarity.semantic_dedup_pairs(indexed, threshold=0.9).collect()
+    }
+    M = np.array([r[1] for r in rows])
+    norms = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(norms, norms)
+    ids = [r[0] for r in rows]
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(float(cos[i, j]), 6)
+            if c >= 0.9:
+                expect[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = c
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 1e-6
+
+
+def test_semantic_dedup_end_to_end_resolves_planted_dup(spark, vectors):
+    """Full pipeline with distributed Lloyd training: the planted exact dup
+    (7, 200) lands in one cluster (identical vectors cannot cross a cosine
+    argmax), pairs at 0.999, and resolution keeps the smaller id."""
+    df, rows = vectors
+    out = similarity.semantic_dedup(df, n_lists=4, iters=1, threshold=0.999)
+    by_id = {r["vec_id"]: r for r in out.collect()}
+    assert len(by_id) == len(rows)  # nothing dropped or duplicated
+    assert by_id[200]["component"] == 7 and not by_id[200]["is_canonical"]
+    assert by_id[7]["component"] == 7 and by_id[7]["is_canonical"]
+    canon = [r for r in by_id.values() if r["is_canonical"]]
+    assert len(canon) == len(rows) - 1  # exactly the one duplicate removed
+
+
+def test_semantic_dedup_cluster_cap_flood(spark, caplog):
+    """Identical-embedding flood assigns to ONE centroid, so the
+    within-cluster self-join would be O(n^2) uncapped; max_cluster_size
+    bounds it, logs the cap, and the verified rep chain keeps the flood a
+    single connected cluster."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    n = 60
+    vec = [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    indexed = df.withColumn("list_id", F.lit(0))
+    with caplog.at_level(logging.WARNING, logger="trinity_spark.dataops.dedup"):
+        pairs = similarity.semantic_dedup_pairs(
+            indexed, threshold=0.999, max_cluster_size=8
+        ).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert 0 < len(got) < n * (n - 1) // 2
+    assert all(p["cosine"] == 1.0 for p in pairs)
+    assert any("SemDeDup cap" in r.getMessage() for r in caplog.records)
+    from trinity_spark.dataops import dedup as _dedup
+
+    comp = _dedup.connected_components(
+        spark.createDataFrame(sorted(got), "id_a long, id_b long")
+    )
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
 # --- scrub: PII redaction + chunking -----------------------------------------
 
 

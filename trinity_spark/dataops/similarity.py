@@ -390,3 +390,109 @@ def cosine_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+
+
+# --- SemDeDup: cluster-scoped semantic dedup ----------------------------------
+
+
+def semantic_dedup_pairs(
+    indexed: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Within-cluster exact-cosine near-duplicate pairs over a CLUSTERED
+    embedding table — the SemDeDup recipe (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the corpus, then verify pairwise
+    cosine only inside each cluster.  This is the published scale path for
+    embedding-level dedup: the quadratic term is bounded by cluster size
+    (|corpus| / n_lists on average) instead of the corpus, and the
+    self-join shuffles once on ``list_col``.  It is the semantic complement
+    of ``cosine_pairs`` — LSH bands catch high-cosine twins cheaply; k-means
+    clusters catch "same meaning, different wording" groups whose cosine
+    sits below the band-collision operating point but inside one centroid's
+    cell.
+
+    ``indexed`` is the output of ``ivf_index`` / ``ivf_index_scalable`` /
+    ``ivf_assign_join`` (id, embedding, list_id) — the SAME centroids and
+    assignment serve ANN probing and dedup, so a pipeline pays for k-means
+    once.  ``max_cluster_size`` bounds a degenerate cluster (an
+    identical-embedding flood assigns to one centroid) exactly like the
+    text-side LSH cap: oversized clusters salt-split into bounded
+    sub-buckets re-linked by a verified representative chain, skip logged
+    (``dedup._capped_bucket_pairs``).  None = exact within-cluster
+    all-pairs.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    """
+    src = indexed.select(F.col(id_col), F.col(vec_col), F.col(list_col))
+    if max_cluster_size is not None:
+        from .dedup import _capped_bucket_pairs
+
+        pairs = _capped_bucket_pairs(
+            src,
+            [list_col],
+            id_col,
+            max_cluster_size,
+            sig_col=vec_col,
+            label="SemDeDup",
+        ).select(
+            "id_a", "id_b", F.col("sig_a").alias("va"), F.col("sig_b").alias("vb")
+        )
+    else:
+        a, b = src.alias("a"), src.alias("b")
+        pairs = a.join(
+            b,
+            (F.col(f"a.{list_col}") == F.col(f"b.{list_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+    cos = F.round(
+        cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_lists: int = 256,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """End-to-end SemDeDup: train deterministic k-means in Spark
+    (``ivf_index_scalable`` — no driver materialization), generate
+    within-cluster pairs at ``threshold``, and resolve duplicate clusters
+    to a canonical representative (smallest id, via the shared min-label
+    connected-components pass).  Returns every input id with
+    (list_id, component, is_canonical); ``.where("is_canonical")`` is the
+    semantically deduplicated corpus."""
+    from .dedup import resolve_duplicates
+
+    indexed, _cents = ivf_index_scalable(
+        vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    pairs = semantic_dedup_pairs(
+        indexed,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_cluster_size=max_cluster_size,
+    )
+    resolved = resolve_duplicates(
+        indexed.select(id_col, "list_id"), pairs, id_col=id_col
+    )
+    return indexed.select(F.col(id_col), F.col("list_id")).join(
+        resolved.select(F.col(id_col).alias("_rid"), "component", "is_canonical"),
+        F.col(id_col) == F.col("_rid"),
+    ).drop("_rid")
