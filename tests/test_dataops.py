@@ -342,6 +342,162 @@ def test_semantic_dedup_cluster_cap_flood(spark, caplog):
     assert {r["component"] for r in comp.collect()} == {0}
 
 
+# --- Arrow matrix kernels (throughput path) match the SQL fold path ----------
+
+
+def test_arrow_kernels_match_sql_paths(spark, vectors):
+    """The Arrow matrix kernels (one M @ C.T / einsum per batch) must agree
+    with the JVM fold paths: same assignments (incl. the tie-to-higher-list
+    rule), same LSH signatures, same verified pair sets."""
+    from pyspark.sql import functions as F
+
+    df, rows = vectors
+    cents = [rows[i][1] for i in (0, 3, 9, 11)]
+    a_join = {
+        r["vec_id"]: r["list_id"]
+        for r in similarity.ivf_assign_join(df, cents).collect()
+    }
+    a_arrow = {
+        r["vec_id"]: r["list_id"]
+        for r in similarity.ivf_assign_arrow(df, cents).collect()
+    }
+    assert a_join == a_arrow
+
+    s_fold, planes_f = similarity.add_lsh_signatures(df, dim=8, bits=12)
+    s_arrow, planes_a = similarity.add_lsh_signatures_arrow(df, dim=8, bits=12)
+    assert planes_f == planes_a
+    assert {(r["vec_id"], r["lsh_sig"]) for r in s_fold.collect()} == {
+        (r["vec_id"], r["lsh_sig"]) for r in s_arrow.collect()
+    }
+
+    indexed = df.withColumn("list_id", F.lit(0))
+    sqlp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.semantic_dedup_pairs(indexed, threshold=0.9).collect()
+    }
+    arrp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.semantic_dedup_pairs(
+            indexed, threshold=0.9, kernel="arrow"
+        ).collect()
+    }
+    assert set(sqlp) == set(arrp) and len(sqlp) > 0
+    for key, v in sqlp.items():
+        assert abs(v - arrp[key]) < 2e-6
+
+
+def test_cosine_pairs_arrow_kernel_finds_planted_dup(spark, vectors):
+    df, _ = vectors
+    got = similarity.cosine_pairs(df, dim=8, threshold=0.999, kernel="arrow").collect()
+    assert {(p["id_a"], p["id_b"]) for p in got} == {(7, 200)}
+
+
+def test_gram_kernel_matches_sql_pairs(spark, vectors):
+    """The per-bucket Gram verify must produce the same pair set and (to
+    summation order) the same cosines as the per-pair SQL fold — both for
+    the cluster-scoped semantic path and the banded LSH path."""
+    from pyspark.sql import functions as F
+
+    df, _ = vectors
+    indexed = df.withColumn("list_id", F.lit(0))
+    sqlp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.semantic_dedup_pairs(indexed, threshold=0.9).collect()
+    }
+    gramp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.semantic_dedup_pairs(
+            indexed, threshold=0.9, kernel="gram"
+        ).collect()
+    }
+    assert set(sqlp) == set(gramp) and len(gramp) > 0
+    for key, v in sqlp.items():
+        assert abs(v - gramp[key]) < 2e-6
+
+    lsql = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs(df, dim=8, threshold=0.9).collect()
+    }
+    lgram = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs(
+            df, dim=8, threshold=0.9, kernel="gram"
+        ).collect()
+    }
+    assert set(lsql) == set(lgram)
+    for key, v in lsql.items():
+        assert abs(v - lgram[key]) < 2e-6
+
+
+def test_gram_kernel_capped_flood(spark, caplog):
+    """Identical-vector flood through the gram kernel with a cluster cap:
+    bounded output (sub-bucket all-pairs + rep chain), every cosine 1.0,
+    still one connected cluster."""
+    from pyspark.sql import functions as F
+
+    n = 60
+    vec = [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    indexed = df.withColumn("list_id", F.lit(0))
+    pairs = similarity.semantic_dedup_pairs(
+        indexed, threshold=0.999, max_cluster_size=8, kernel="gram"
+    ).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert 0 < len(got) < n * (n - 1) // 2
+    assert all(p["cosine"] == 1.0 for p in pairs)
+    from trinity_spark.dataops import dedup as _dedup
+
+    comp = _dedup.connected_components(
+        spark.createDataFrame(sorted(got), "id_a long, id_b long")
+    )
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_ivf_partitioned_prunes_and_matches(spark, vectors, tmp_path):
+    """write_ivf_partitioned + ivf_topk_partitioned: the probe predicate
+    must land in the scan's PartitionFilters (metadata pruning, not a data
+    filter), only the probed lists' files are read, and results are
+    rank-identical to the in-memory ivf_topk."""
+    df, rows = vectors
+    q = rows[3][1]
+    indexed, cents = similarity.ivf_index(df, n_lists=6, iters=1)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_partitioned(indexed, path)
+
+    got = similarity.ivf_topk_partitioned(spark, path, cents, q, k=5, n_probe=2)
+    expect = [
+        (r["vec_id"], r["score"])
+        for r in similarity.ivf_topk(indexed, cents, q, k=5, n_probe=2).collect()
+    ]
+    assert [(r["vec_id"], r["score"]) for r in got.collect()] == expect
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the probe predicate must appear as a PARTITION filter on the scan
+    # (metadata pruning), not only as a post-scan data filter
+    assert "PartitionFilters" in plan and "list_id" in plan
+    probes = set(similarity._probe_order(q, cents)[:2])
+    from pyspark.sql import functions as F
+
+    pruned = spark.read.parquet(path).where(F.col("list_id").isin(list(probes)))
+    assert {r["list_id"] for r in pruned.select("list_id").distinct().collect()} <= probes
+    expect_rows = indexed.where(F.col("list_id").isin(list(probes))).count()
+    assert pruned.count() == expect_rows > 0
+
+
+def test_unknown_kernel_raises(spark, vectors):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    df, _ = vectors
+    with _pytest.raises(ValueError, match="unknown kernel"):
+        similarity.semantic_dedup_pairs(
+            df.withColumn("list_id", F.lit(0)), kernel="numpyish"
+        )
+
+
 # --- scrub: PII redaction + chunking -----------------------------------------
 
 

@@ -48,6 +48,78 @@ def test_percolate(spark):
     ]
 
 
+def test_routing_terms_soundness_rules():
+    from trinity_spark.operators.percolator import routing_terms
+    from trinity_spark.plans.parser import parse_query
+
+    # AND routes on its cheapest required child
+    assert routing_terms(parse_query("error AND timeout")) in (
+        frozenset({"error"}),
+        frozenset({"timeout"}),
+    )
+    # OR must union every branch
+    assert routing_terms(parse_query("error OR timeout")) == frozenset(
+        {"error", "timeout"}
+    )
+    # NOT routes on the required side only
+    assert routing_terms(parse_query("gpu NOT kernel")) == frozenset({"gpu"})
+    # phrase needs all members -> first is enough
+    assert routing_terms(parse_query('"connection reset by peer"')) == frozenset(
+        {"connection"}
+    )
+    # minmatch (k>=1) unions its children
+    assert routing_terms(parse_query("[error, gpu, peer] min=2")) == frozenset(
+        {"error", "gpu", "peer"}
+    )
+    # an all-optional AND can match docs sharing no term -> unroutable
+    assert routing_terms(parse_query("<error> <gpu>")) is None
+
+
+def test_percolate_all_optional_matches_nothing(spark):
+    """Engine/oracle rule: an AND with no required child (and a bare
+    top-level optional) matches NOTHING — the percolator predicate must
+    agree, not degenerate to always-true."""
+    docs = spark.createDataFrame(
+        [(0, "error timeout"), (1, "all quiet")], "doc_id long, text string"
+    )
+    got = percolate(docs, {"q": "<error> <timeout>", "q2": "<error>"}).collect()
+    assert got == []
+    # but optional branches still never reject alongside a required one
+    got2 = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate(docs, {"q": "error <zzz>"}).collect()
+    )
+    assert got2 == [(0, "q")]
+
+
+def test_percolate_routed_equals_full_scan(spark):
+    """Routing must be invisible in the results: same matches as percolate,
+    including fallback queries (unroutable optionals) and no-hit queries."""
+    from trinity_spark.operators.percolator import percolate_routed
+
+    corpus = gen_transcripts(300)
+    sdf = assign_doc_ids(spark.createDataFrame(corpus), num_partitions=3)
+    queries = {
+        "a": "error AND timeout",
+        "b": "retry OR backoff",
+        "c": '"connection reset by peer"',
+        "d": "gpu NOT kernel",
+        "e": "[error, gpu, peer] min=2",
+        "f": "zzznothing",
+        "g": "error <gpu>",      # routable on 'error', optional branch
+        "h": "<error> <gpu>",    # unroutable -> full-scan fallback
+        "i": '"site:a.com error"',  # positionless phrase: const-false
+    }
+    full = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(sdf, queries).collect()
+    )
+    routed = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate_routed(sdf, queries).collect()
+    )
+    assert routed == full and len(full) > 0
+
+
 def test_percolate_matches_oracle_eval(spark):
     corpus = gen_transcripts(300)
     docs = docs_in_stable_order(corpus)

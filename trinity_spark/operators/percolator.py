@@ -51,12 +51,13 @@ def _predicate(node: Node, toks: Column) -> Column:
         )
         return F.exists(idxs, match_at)
     if isinstance(node, And):
-        # ConstTrue children never reject (optional-match semantics)
-        preds = [
-            F.lit(True) if isinstance(c, ConstTrue) else _predicate(c, toks)
-            for c in node.children
-        ]
-        return reduce(lambda a, b: a & b, preds)
+        # ConstTrue children never reject (optional-match semantics); an AND
+        # with NO required child matches nothing — the engine/oracle rule
+        # (oracle.py ConstTrue + all-optional AND), not everything
+        required = [c for c in node.children if not isinstance(c, ConstTrue)]
+        if not required:
+            return F.lit(False)
+        return reduce(lambda a, b: a & b, [_predicate(c, toks) for c in required])
     if isinstance(node, Or):
         return reduce(lambda a, b: a | b, [_predicate(c, toks) for c in node.children])
     if isinstance(node, Some):
@@ -68,7 +69,9 @@ def _predicate(node: Node, toks: Column) -> Column:
     if isinstance(node, Not):
         return _predicate(node.req, toks) & ~_predicate(node.excl, toks)
     if isinstance(node, ConstTrue):
-        return F.lit(True)
+        # top-level optional matches nothing by itself (oracle.py:93-94);
+        # inside OR/Some it contributes no match, matching eval() = {}
+        return F.lit(False)
     raise TypeError(type(node))
 
 
@@ -82,12 +85,26 @@ def percolate(
 
     Returns (doc_id, query_id) for each match; one projection pass over docs
     (tokenize once, evaluate all predicates on the token array)."""
+    parsed = _parse_all(queries)
+    with_toks = docs.select(F.col(id_col), tokens_column(F.col(text_col)).alias("toks"))
+    return _percolate_toks(with_toks, parsed, id_col)
+
+
+def _parse_all(queries: dict[str, str | Node]) -> dict[str, Node]:
     parsed: dict[str, Node] = {}
     for qid, q in queries.items():
         node = parse_query(q) if isinstance(q, str) else q
         if node is not None:
             parsed[qid] = node
-    with_toks = docs.select(F.col(id_col), tokens_column(F.col(text_col)).alias("toks"))
+    return parsed
+
+
+def _percolate_toks(
+    with_toks: DataFrame, parsed: dict[str, Node], id_col: str
+) -> DataFrame:
+    if not parsed:
+        spark = with_toks.sparkSession
+        return spark.createDataFrame([], f"{id_col} long, query_id string")
     hits = F.filter(
         F.array(
             *[
@@ -100,3 +117,102 @@ def percolate(
     return with_toks.select(
         F.col(id_col), F.explode(hits).alias("query_id")
     )
+
+
+def routing_terms(node: Node) -> frozenset[str] | None:
+    """A SOUND routing set: every document matching ``node`` contains at
+    least one of the returned terms; ``None`` = unroutable (the query can
+    match documents sharing no term with it — e.g. a top-level optional).
+
+    This is the percolator-index idea (route documents to candidate
+    queries by term, verify only candidates) reduced to its document-
+    pruning core: AND picks its cheapest required child's set, OR/Some
+    union their children's, NOT routes on its required side."""
+    if isinstance(node, Token):
+        return frozenset((node.term,))
+    if isinstance(node, Phrase):
+        # positionless (word:tail) phrases compile to const-false — any
+        # routing set is vacuously sound; a normal phrase requires all its
+        # members, so the first is enough
+        return frozenset((node.terms[0],))
+    if isinstance(node, And):
+        best: frozenset[str] | None = None
+        for c in node.children:
+            if isinstance(c, ConstTrue):
+                continue  # optional branch never rejects -> cannot route
+            s = routing_terms(c)
+            if s is not None and (best is None or len(s) < len(best)):
+                best = s
+        return best
+    if isinstance(node, (Or, Some)):
+        out: set[str] = set()
+        for c in node.children:
+            s = routing_terms(c)
+            if s is None:
+                return None
+            out |= s
+        return frozenset(out)
+    if isinstance(node, Not):
+        return routing_terms(node.req)
+    if isinstance(node, ConstTrue):
+        return None
+    raise TypeError(type(node))
+
+
+def percolate_routed(
+    docs: DataFrame,
+    queries: dict[str, str | Node],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-routed percolation — the many-registered-queries scale path.
+
+    ``percolate`` evaluates every query against every document: one
+    zero-shuffle projection, measured linear in both (the right shape up
+    to ~10^3 queries).  At alerting scale (10^5+ registered queries whose
+    required terms are selective) most documents match nothing, so this
+    variant first ROUTES: each query contributes a sound routing-term set
+    (``routing_terms``), documents join their distinct tokens against the
+    broadcast routing table, and only documents holding at least one
+    routing term are verified — by the same compiled projection, so
+    results are identical (verified by test).  Queries with no sound
+    routing set (pure optionals) fall back to the full scan.
+
+    Cost: tokenize once + one broadcast semi-join + the projection over
+    candidate documents only.  The win is the candidate-doc fraction; with
+    stopword-routed queries it degenerates gracefully to ``percolate``.
+
+    Reference analog: percolator.cpp:1-134 evaluates per-document against
+    a compiled query; the routing index is our distributed addition (the
+    reference percolates one document at a time, where routing is free)."""
+    parsed = _parse_all(queries)
+    routable: dict[str, Node] = {}
+    fallback: dict[str, Node] = {}
+    routing_rows: list[tuple[str, str]] = []
+    for qid, node in parsed.items():
+        s = routing_terms(node)
+        if s is None:
+            fallback[qid] = node
+        else:
+            routable[qid] = node
+            routing_rows.extend((qid, t) for t in sorted(s))
+    spark = docs.sparkSession
+    with_toks = docs.select(
+        F.col(id_col), tokens_column(F.col(text_col)).alias("toks")
+    )
+    out = _percolate_toks(with_toks, fallback, id_col)
+    if routable:
+        route_terms = spark.createDataFrame(
+            sorted({(t,) for _, t in routing_rows}), "term string"
+        )
+        cand_ids = (
+            with_toks.select(
+                F.col(id_col), F.explode(F.array_distinct("toks")).alias("term")
+            )
+            .join(F.broadcast(route_terms), "term")
+            .select(id_col)
+            .distinct()
+        )
+        cand_toks = with_toks.join(cand_ids, id_col, "left_semi")
+        out = out.unionByName(_percolate_toks(cand_toks, routable, id_col))
+    return out
