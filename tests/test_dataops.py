@@ -486,6 +486,18 @@ def test_ivf_partitioned_prunes_and_matches(spark, vectors, tmp_path):
     assert pruned.count() == expect_rows > 0
 
 
+def test_exact_embedding_groups(spark, vectors):
+    """Identical embeddings collapse to the smallest id with no
+    verification — the documented first step before a capped near-dup
+    pass."""
+    df, rows = vectors
+    out = {r["vec_id"]: r for r in similarity.exact_embedding_groups(df).collect()}
+    assert len(out) == len(rows)
+    assert out[200]["component"] == 7 and not out[200]["is_canonical"]
+    assert out[7]["component"] == 7 and out[7]["is_canonical"]
+    assert sum(1 for r in out.values() if r["is_canonical"]) == len(rows) - 1
+
+
 def test_unknown_kernel_raises(spark, vectors):
     import pytest as _pytest
 

@@ -219,3 +219,48 @@ def test_substring_family_matches_bruteforce(spark, docs, window, stride):
         got_c = {r["doc_id"]: r["text_clean"] for r in
                  remove_duplicate_spans(sdf, window=window).collect()}
         assert got_c == cleaned, docs
+
+
+@given(
+    corpus=corpora(),
+    qs=st.lists(asts(), min_size=2, max_size=5),
+    add_optionals=st.booleans(),
+)
+@settings(
+    max_examples=int(__import__("os").environ.get("TRINITY_PROP_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_percolate_routed_matches_full(sparkref, corpus, qs, add_optionals):
+    """Routing soundness as a property: for random registries (incl.
+    optional-only and mixed-optional queries) over random corpora, the
+    term-routed percolation must produce exactly the full-scan match set —
+    if routing_terms ever returned an unsound set, a match would go missing
+    here."""
+    from trinity_spark.operators.percolator import percolate, percolate_routed
+    from trinity_spark.plans.ast import ConstTrue
+
+    spark = sparkref
+    nodes = {}
+    for i, q in enumerate(qs):
+        n = q.normalize()
+        if n is not None:
+            nodes[f"q{i}"] = n
+    if add_optionals and nodes:
+        first = next(iter(nodes.values()))
+        nodes["opt_all"] = And((ConstTrue(Token("error")), ConstTrue(Token("gpu"))))
+        nodes["opt_mix"] = And((ConstTrue(Token("gpu")), first))
+    if not nodes:
+        return
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, _, t) in enumerate(sorted(corpus))],
+        "doc_id long, text string",
+    )
+    full = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(docs, nodes).collect()
+    )
+    routed = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate_routed(docs, nodes).collect()
+    )
+    assert routed == full

@@ -862,3 +862,27 @@ def semantic_dedup_pairs_gram(
         F.col(list_col).alias("_list"),
     )
     return _gram_bucket_pairs(src, ["_list"], threshold, max_cluster_size)
+
+
+def exact_embedding_groups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Collapse exactly-identical embeddings: every row gets the group's
+    smallest id as ``component`` and ``is_canonical`` — the embedding analog
+    of exact text dedup, and the documented FIRST step before a capped
+    near-dup pass (identical-vector floods would otherwise be split across
+    sub-buckets by the cap's id-salt, costing recall; collapsed to one
+    representative they cost nothing).  One shuffle on the vector value
+    (window min), no join, no verification needed — equality is exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(vec_col)
+    return (
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        )
+        .select(F.col(id_col), F.min(id_col).over(w).alias("component"))
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )

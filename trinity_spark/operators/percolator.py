@@ -200,6 +200,10 @@ def percolate_routed(
     with_toks = docs.select(
         F.col(id_col), tokens_column(F.col(text_col)).alias("toks")
     )
+    if routable:
+        # with_toks branches (routing join side + verify side, plus any
+        # fallback scan): cut the lineage so tokenization runs once
+        with_toks = with_toks.localCheckpoint(eager=False)
     out = _percolate_toks(with_toks, fallback, id_col)
     if routable:
         route_terms = spark.createDataFrame(
