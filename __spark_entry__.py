@@ -295,6 +295,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long").alias("doc_id"), "query_id"
         )
 
+    def percolator_routed_entry(spark, sf):
+        # term-routed percolation (the many-registered-queries scale path):
+        # same registry, same matches as the full scan — the oracle is the
+        # SAME EXISTS SQL, so an unsound routing set (a pruned-away match)
+        # fails the hash
+        from trinity_spark.operators.percolator import percolate_routed
+
+        qmap = {
+            "q_and": "join AND merge",
+            "q_or": "scan OR vector",
+            "q_not": "hash NOT join",
+            "q_phrase": '"table hash"',
+        }
+        return percolate_routed(_docs(spark, sf), qmap).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "query_id"
+        )
+
+    def embedding_exact_groups(spark, sf):
+        # exact embedding dedup (window min over the vector value, one
+        # shuffle, no verify); planted dups: every 10th vector re-appears
+        # under id+100000, so groups are non-trivial
+        from trinity_spark.dataops.similarity import exact_embedding_groups
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dups = vecs.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        return exact_embedding_groups(vecs.unionByName(dups))
+
     def dedup_ngram_jaccard(spark, sf):
         from trinity_spark.dataops.dedup import ngram_jaccard_pairs
 
@@ -397,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_signatures"] = dedup_minhash_signatures
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
     q["percolator"] = percolator_route
+    q["percolator_routed"] = percolator_routed_entry
+    q["embedding_exact_groups"] = embedding_exact_groups
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     # duplicate-CLUSTER resolution: exact n-gram-Jaccard pairs -> connected
@@ -1046,6 +1079,20 @@ WHERE EXISTS (
   SELECT 1 FROM pos p1 JOIN pos p2
     ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
   WHERE p1.doc_id = d.doc_id AND p1.term = 'table' AND p2.term = 'hash')
+"""
+
+    o["percolator_routed"] = o["percolator"]
+
+    o["embedding_exact_groups"] = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT vec_id,
+       min(vec_id) OVER (PARTITION BY embedding) AS component,
+       vec_id = min(vec_id) OVER (PARTITION BY embedding) AS is_canonical
+FROM base
 """
 
     o["substring_dedup"] = """
