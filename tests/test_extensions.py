@@ -75,6 +75,21 @@ def test_routing_terms_soundness_rules():
     assert routing_terms(parse_query("<error> <gpu>")) is None
 
 
+def test_percolate_routed_string_doc_ids(spark):
+    """The routed path must work for non-long id columns (the empty
+    fallback frame takes the INPUT's id type, not a hard-coded long)."""
+    from trinity_spark.operators.percolator import percolate_routed
+
+    docs = spark.createDataFrame(
+        [("a", "error timeout"), ("b", "all quiet")], "doc_id string, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate_routed(docs, {"q": "error AND timeout"}).collect()
+    )
+    assert got == [("a", "q")]
+
+
 def test_percolate_all_optional_matches_nothing(spark):
     """Engine/oracle rule: an AND with no required child (and a bare
     top-level optional) matches NOTHING — the percolator predicate must

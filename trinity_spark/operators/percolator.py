@@ -103,8 +103,11 @@ def _percolate_toks(
     with_toks: DataFrame, parsed: dict[str, Node], id_col: str
 ) -> DataFrame:
     if not parsed:
-        spark = with_toks.sparkSession
-        return spark.createDataFrame([], f"{id_col} long, query_id string")
+        # empty result with the INPUT's id type (a literal schema would
+        # break the routed path's union for non-long id columns)
+        return with_toks.where(F.lit(False)).select(
+            F.col(id_col), F.lit("").alias("query_id")
+        )
     hits = F.filter(
         F.array(
             *[
