@@ -326,6 +326,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return exact_embedding_groups(vecs.unionByName(dups))
 
+    def conversation_dedup(spark, sf):
+        # conversation-SCOPE exact dedup (dedup.conversation_texts): docs
+        # grouped into pseudo-conversations of 5 turns, every 7th
+        # conversation re-posted under conv_id+100000 — the whole-transcript
+        # duplicate per-turn dedup can't see; groups resolve to the smallest
+        # conv_id.  Oracle replicates the turn-ordered concatenation with
+        # string_agg(ORDER BY turn_idx)
+        from trinity_spark.dataops.dedup import conversation_texts, exact_duplicates
+
+        turns = _docs(spark, sf).select(
+            F.floor(F.col("doc_id") / 5).cast("long").alias("conv_id"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("turn_idx"),
+            "text",
+        )
+        dups = turns.where(F.col("conv_id") % 7 == 0).withColumn(
+            "conv_id", F.col("conv_id") + 100000
+        )
+        convs = conversation_texts(turns.unionByName(dups))
+        g = exact_duplicates(convs, id_col="conv_id")
+        return g.select(
+            "hash",
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.array_min("doc_ids").cast("long").alias("min_conv_id"),
+        )
+
     def dedup_ngram_jaccard(spark, sf):
         from trinity_spark.dataops.dedup import ngram_jaccard_pairs
 
@@ -429,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
     q["percolator"] = percolator_route
     q["percolator_routed"] = percolator_routed_entry
+    q["conversation_dedup"] = conversation_dedup
     q["embedding_exact_groups"] = embedding_exact_groups
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
@@ -1082,6 +1108,31 @@ WHERE EXISTS (
 """
 
     o["percolator_routed"] = o["percolator"]
+
+    # conversation texts = turn-ordered concatenation; groups = identical
+    # concatenations, resolved to the smallest conv_id
+    o["conversation_dedup"] = """
+WITH turns AS (
+  SELECT CAST(floor(doc_id / 5) AS BIGINT) AS conv_id,
+         CAST(doc_id % 5 AS INT) AS turn_idx, text
+  FROM documents
+),
+all_turns AS (
+  SELECT * FROM turns
+  UNION ALL
+  SELECT conv_id + 100000, turn_idx, text FROM turns WHERE conv_id % 7 = 0
+),
+convs AS (
+  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx, text) AS text
+  FROM all_turns GROUP BY conv_id
+),
+g AS (
+  SELECT md5(text) AS hash, count(*) AS dup_count, min(conv_id) AS min_conv_id
+  FROM convs GROUP BY md5(text)
+)
+SELECT hash, CAST(dup_count AS BIGINT) AS dup_count, min_conv_id
+FROM g WHERE dup_count > 1
+"""
 
     o["embedding_exact_groups"] = """
 WITH base AS (

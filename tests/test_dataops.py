@@ -268,6 +268,30 @@ def test_cosine_pairs_bucket_cap_flood(spark, caplog):
     assert {r["component"] for r in comp.collect()} == {0}
 
 
+def test_conversation_texts_orders_turns(spark):
+    """Turn order must come from turn_idx, not input row order, and the
+    scope change makes whole-conversation duplicates visible to the
+    document-level exact dedup."""
+    from trinity_spark.dataops.dedup import conversation_texts, exact_duplicates
+
+    rows = [
+        ("c1", 2, "gamma"), ("c1", 0, "alpha"), ("c1", 1, "beta"),
+        ("c2", 1, "beta"), ("c2", 0, "alpha"), ("c2", 2, "gamma"),
+        ("c3", 0, "other"),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    convs = {r["conv_id"]: r["text"] for r in conversation_texts(turns).collect()}
+    assert convs == {
+        "c1": "alpha beta gamma",
+        "c2": "alpha beta gamma",
+        "c3": "other",
+    }
+    groups = exact_duplicates(
+        conversation_texts(turns), id_col="conv_id"
+    ).collect()
+    assert len(groups) == 1 and sorted(groups[0]["doc_ids"]) == ["c1", "c2"]
+
+
 # --- SemDeDup: cluster-scoped semantic dedup ----------------------------------
 
 

@@ -56,6 +56,29 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return ranked.join(keeper, [id_col, "hash"], "left_semi").drop("hash")
 
 
+def conversation_texts(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_id, text): a conversation's turns concatenated in turn order —
+    the scope change that turns every document-level dedup/fingerprint op
+    into a CONVERSATION-level one (re-posted transcripts, template
+    conversations, agent-loop spam share whole-conversation content that
+    per-turn dedup can't see).  One aggregation: collect (turn_idx, text)
+    structs, array_sort (struct order = field order, so turn_idx leads),
+    join texts.  Compose: ``dedup_exact(conversation_texts(t), id_col=
+    conv_col)``, ``minhash_near_duplicates(conversation_texts(t), ...)``."""
+    struct = F.struct(F.col(idx_col).alias("i"), F.col(text_col).alias("t"))
+    return turns.groupBy(conv_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(struct)), lambda s: s["t"]),
+        ).alias(text_col)
+    )
+
+
 # --- shingles ---------------------------------------------------------------
 
 def shingles(text_col: Column, n: int = 3) -> Column:
