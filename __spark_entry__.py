@@ -581,6 +581,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         indexed, _cents = ivf_index(vecs, n_lists=4, iters=0)
         return sd_pairs(indexed, threshold=0.35)
 
+    def ann_batch_topk(spark, sf):
+        # batched exact ANN (brute_force_topk_many): three query vectors,
+        # ONE corpus scan (M @ Q.T per Arrow batch, batch-local top-k under
+        # the final total order, tiny candidate shuffle).  Oracle computes
+        # each query's cosine top-k independently and unions them.
+        from trinity_spark.dataops.similarity import brute_force_topk_many
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        qrows = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in vecs.where(F.col("vec_id") < 3).collect()
+        }
+        queries = [(f"q{i}", qrows[i]) for i in sorted(qrows)]
+        return brute_force_topk_many(
+            vecs.where(F.col("vec_id") >= 3), queries, k=10
+        )
+
     def data_split(spark, sf):
         # deterministic hash-based train/val/test split: pure function of
         # (seed, doc_id), stable under appends/re-runs — the property a
@@ -691,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = pack_sequences_bins
     q["ann_lsh_topk"] = ann_lsh_topk
     q["ann_ivf_topk"] = ann_ivf_topk
+    q["ann_batch_topk"] = ann_batch_topk
     q["embedding_near_dup"] = embedding_near_dup
     q["semantic_dedup_pairs"] = semantic_dedup_pairs
     q["bm25_pfor_store"] = bm25_pfor_store
@@ -1108,6 +1128,28 @@ WHERE EXISTS (
 """
 
     o["percolator_routed"] = o["percolator"]
+
+    # batched ANN: per-query cosine top-k, unioned; queries are the first
+    # three stored vectors, corpus is the rest
+    o["ann_batch_topk"] = """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+qs AS (SELECT 'q' || vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM ev e, qs q WHERE e.vec_id >= 3
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+"""
 
     # conversation texts = turn-ordered concatenation; groups = identical
     # concatenations, resolved to the smallest conv_id

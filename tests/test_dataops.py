@@ -510,6 +510,28 @@ def test_ivf_partitioned_prunes_and_matches(spark, vectors, tmp_path):
     assert pruned.count() == expect_rows > 0
 
 
+def test_brute_force_topk_many_matches_per_query(spark, vectors):
+    """The batched one-scan path must return exactly the per-query
+    brute_force_topk rows (same ids, same rounded scores, same tie-break),
+    including a duplicate-vector tie at the top."""
+    df, rows = vectors
+    queries = [("qa", rows[7][1]), ("qb", rows[3][1]), ("qc", rows[11][1])]
+    got = similarity.brute_force_topk_many(df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert set(by_q) == {"qa", "qb", "qc"}
+    for qid, qv in queries:
+        expect = [
+            (r["vec_id"], r["score"])
+            for r in similarity.brute_force_topk(df, qv, k=5).collect()
+        ]
+        assert sorted(by_q[qid], key=lambda t: (-t[1], t[0])) == expect, qid
+    # qa's query IS vector 7 (and its exact dup 200): both lead at 1.0
+    qa = sorted(by_q["qa"], key=lambda t: (-t[1], t[0]))
+    assert [qa[0][0], qa[1][0]] == [7, 200]
+
+
 def test_exact_embedding_groups(spark, vectors):
     """Identical embeddings collapse to the smallest id with no
     verification — the documented first step before a capped near-dup

@@ -886,3 +886,75 @@ def exact_embedding_groups(
         .select(F.col(id_col), F.min(id_col).over(w).alias("component"))
         .withColumn("is_canonical", F.col(id_col) == F.col("component"))
     )
+
+
+def brute_force_topk_many(
+    vectors: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus scan.
+
+    ``brute_force_topk`` is one scan per query; scoring Q queries that way
+    reads the corpus Q times.  Here the query matrix rides into every Arrow
+    batch (broadcast with the kernel closure), cosines compute as one
+    ``Mn @ Qn.T`` per batch, each batch emits its LOCAL top-k per query
+    under the final total order (rounded score desc, id asc — so pruning
+    can never change the global answer), and a single tiny shuffle of
+    n_batches x Q x k candidate rows picks the global top-k per query.
+
+    Returns (query_id, vec_id, score), the same rows as per-query
+    ``brute_force_topk`` (parity-tested), score rounded to 6.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qids = [q[0] for q in queries]
+    Q = np.asarray([q[1] for q in queries], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def kern(batches):
+        for b in batches:
+            M = _batch_matrix(b, vec_col)
+            if M is None:
+                continue
+            ids = b.column(id_col).to_numpy()
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            cos = np.round(Mn @ Qn.T, 6)
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(qids)):
+                top = np.lexsort((ids, -cos[:, j]))[:k]
+                out_q.extend([j] * len(top))
+                out_i.append(ids[top])
+                out_s.append(cos[top, j])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(out_q, dtype=np.int32), type=pa.int32()),
+                    pa.array(np.concatenate(out_i), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                ["_qidx", id_col, "score"],
+            )
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    cand = v.mapInArrow(kern, f"_qidx int, {id_col} long, score double")
+    from pyspark.sql import Window
+
+    qid_map = F.array(*[F.lit(q) for q in qids])
+    w = Window.partitionBy("_qidx").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.element_at(qid_map, F.col("_qidx") + 1).alias("query_id"),
+            F.col(id_col),
+            "score",
+        )
+    )
