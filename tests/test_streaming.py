@@ -467,3 +467,36 @@ def test_sessionize_stream_sorts_across_arrow_chunks(spark, tmp_path):
             ).collect()}
     assert got == want
     assert max(got.values()) >= 10  # many breaks: the property is non-trivial
+
+
+def test_stream_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed on the shared content hash: the
+    first arrival of each distinct text is admitted, in-horizon duplicates
+    are dropped; identity matches the batch side's content_hash."""
+    from datetime import datetime
+
+    from trinity_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        (0, "alpha beta", datetime(2026, 1, 1, 10, 0, 0)),
+        (1, "gamma delta", datetime(2026, 1, 1, 10, 0, 1)),
+        (2, "alpha beta", datetime(2026, 1, 1, 10, 0, 2)),   # dup of 0
+        (3, "epsilon", datetime(2026, 1, 1, 10, 0, 3)),
+        (4, "gamma delta", datetime(2026, 1, 1, 10, 0, 4)),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sink = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, watermark_delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [0, 1, 3]
