@@ -410,6 +410,35 @@ def test_arrow_kernels_match_sql_paths(spark, vectors):
         assert abs(v - arrp[key]) < 2e-6
 
 
+def test_batch_matrix_rejects_ragged_and_null_rows(spark):
+    """_batch_matrix must fail loudly on malformed embedding columns.
+
+    The ragged case is chosen so the TOTAL value count still divides the row
+    count (2 rows, dims 3+5 = 8 values): a divisibility-only check would
+    silently reshape into a wrong 2x4 matrix and corrupt every cosine."""
+    import pyarrow as pa
+
+    from trinity_spark.dataops.similarity import _batch_matrix
+
+    ragged = pa.RecordBatch.from_pydict(
+        {"embedding": pa.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0, 7.0, 8.0]])}
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        _batch_matrix(ragged, "embedding")
+
+    withnull = pa.RecordBatch.from_pydict(
+        {"embedding": pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))}
+    )
+    with pytest.raises(ValueError, match="null"):
+        _batch_matrix(withnull, "embedding")
+
+    ok = pa.RecordBatch.from_pydict(
+        {"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]])}
+    )
+    M = _batch_matrix(ok, "embedding")
+    assert M.shape == (2, 2) and M[1, 0] == 3.0
+
+
 def test_cosine_pairs_arrow_kernel_finds_planted_dup(spark, vectors):
     df, _ = vectors
     got = similarity.cosine_pairs(df, dim=8, threshold=0.999, kernel="arrow").collect()

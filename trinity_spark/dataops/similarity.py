@@ -633,15 +633,22 @@ def _batch_matrix(batch, vec_col: str):
     import numpy as np
     import pyarrow as pa  # noqa: F401  (kept local: executors import lazily)
 
+    import pyarrow.compute as pc
+
     col = batch.column(vec_col)
-    flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
     if n == 0:
         return None
-    d = len(flat) // n
-    if n * d != len(flat):
-        raise ValueError(f"ragged {vec_col!r} column: {len(flat)} values / {n} rows")
-    return flat.reshape(n, d).astype("float64", copy=False)
+    if col.null_count:
+        raise ValueError(f"null {vec_col!r} rows: {col.null_count} in batch")
+    lens = pc.list_value_length(col)
+    lmin, lmax = pc.min_max(lens).values()
+    if lmin != lmax:
+        raise ValueError(
+            f"ragged {vec_col!r} column: row dims {lmin.as_py()}..{lmax.as_py()}"
+        )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, lmax.as_py()).astype("float64", copy=False)
 
 
 def ivf_assign_arrow(
