@@ -622,6 +622,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"src0": 2.5, "src1": 0.4, "src2": 0.0}, seed=11
         ).select("doc_id", "source", "epoch")
 
+    def balanced_corpus(spark, sf):
+        # exact per-stratum balanced downsample (traindata.balanced_sample):
+        # equal doc counts per language in deterministic md5(seed|id) order —
+        # the class-balancing pass classifier training data needs; per-row
+        # probabilistic sampling can't hit exact counts
+        from trinity_spark.dataops.traindata import balanced_sample
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        return balanced_sample(docs, "lang", n_per_stratum=50, seed=13)
+
+    def knn_labels(spark, sf):
+        # kNN label propagation (similarity.knn_classify): vectors 0-99 act
+        # as the labeled seed set, every other vector takes the majority
+        # label of its 5 nearest seeds by cosine — ONE corpus scan, zero
+        # shuffles (the seed matrix rides into each Arrow batch).  Contract:
+        # cosine rounded to 6, neighbor ties by seed id asc, vote ties by
+        # label asc — all replicated in the oracle
+        from trinity_spark.dataops.similarity import knn_classify
+
+        ev = spark.read.parquet(f"{sf}/embeddings.parquet")
+        labeled = [
+            (int(r["vec_id"]), int(r["label"]), [float(x) for x in r["embedding"]])
+            for r in ev.where(F.col("vec_id") < 100).collect()
+        ]
+        return knn_classify(
+            ev.where(F.col("vec_id") >= 100).select("vec_id", "embedding"),
+            labeled,
+            k=5,
+        )
+
     def intersect_counts(spark, sf):
         # token-subset intersection counting (intersect.cpp:5-230 parity;
         # operators/intersect.py): docs per exact token-subset bitmask —
@@ -723,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["event_sessions"] = event_sessions
     q["ann_cosine_topk"] = ann_topk
     q["media_feature_plumbing"] = media_n_bytes
+    q["balanced_sample"] = balanced_corpus
+    q["knn_classify"] = knn_labels
     return q
 
 
@@ -1149,6 +1183,54 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+"""
+
+    # balanced sample: per-lang row_number in md5('13|'||id) order (8-char
+    # lowercase hex sorts identically to its numeric bucket value), ties by id
+    o["balanced_sample"] = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 50
+"""
+
+    # kNN label propagation: seeds = vec_id < 100; 5 nearest by rounded
+    # cosine (ties by seed id), majority vote (ties by label)
+    o["knn_classify"] = """
+WITH ev AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+lab AS (SELECT * FROM ev WHERE vec_id < 100),
+unl AS (SELECT * FROM ev WHERE vec_id >= 100),
+scored AS (
+  SELECT u.vec_id, l.vec_id AS lid, l.label,
+         round(list_dot_product(u.v, l.v)
+               / (sqrt(list_dot_product(u.v, u.v))
+                  * sqrt(list_dot_product(l.v, l.v))), 6) AS s
+  FROM unl u, lab l
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY s DESC, lid ASC) AS rn
+  FROM scored
+),
+votes AS (
+  SELECT vec_id, label, count(*) AS c
+  FROM ranked WHERE rn <= 5 GROUP BY vec_id, label
+),
+win AS (
+  SELECT vec_id, label, c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, label ASC) AS rn
+  FROM votes
+)
+SELECT vec_id, label AS pred_label, CAST(c AS INT) AS votes
+FROM win WHERE rn = 1
 """
 
     # conversation texts = turn-ordered concatenation; groups = identical

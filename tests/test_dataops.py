@@ -410,6 +410,59 @@ def test_arrow_kernels_match_sql_paths(spark, vectors):
         assert abs(v - arrp[key]) < 2e-6
 
 
+def test_knn_classify_matches_numpy_reference(spark, vectors):
+    """Predictions == a pure-numpy kNN with the same contract (cosine
+    rounded to 6, neighbor ties by id asc, vote ties by label asc)."""
+    from pyspark.sql import functions as F
+
+    df, rows = vectors
+    labeled = [(int(r[0]), int(r[0]) % 3, r[1]) for r in rows[:40]]
+    unl = df.where(F.col("vec_id") >= 40)
+    got = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify(unl, labeled, k=5).collect()
+    }
+    C = np.array([t[2] for t in labeled])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    labs = np.array([t[1] for t in labeled])
+    for r in rows[40:]:
+        v = np.array(r[1])
+        cos = np.round((Cn @ (v / np.linalg.norm(v))), 6)
+        order = sorted(range(40), key=lambda i: (-cos[i], labeled[i][0]))[:5]
+        votes = {}
+        for i in order:
+            votes[labs[i]] = votes.get(labs[i], 0) + 1
+        win = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[r[0]] == (int(win[0]), int(win[1])), r[0]
+    assert len(got) == len(rows) - 40
+
+
+def test_knn_classify_tie_breaks(spark):
+    """k=2 with one vote each -> smaller label wins; an exact-duplicate
+    neighbor pair ties on score and resolves by neighbor id."""
+    labeled = [
+        (0, 7, [1.0, 0.0]),   # same direction as the query
+        (1, 3, [0.9, 0.1]),   # nearly same
+        (2, 9, [-1.0, 0.0]),  # opposite
+    ]
+    unl = spark.createDataFrame([(10, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    r = similarity.knn_classify(unl, labeled, k=2).collect()[0]
+    assert (r["pred_label"], r["votes"]) == (3, 1)  # tie 1-1 -> label 3 < 7
+
+    # duplicate vectors: ids 0 and 1 identical; k=1 must pick id 0's label
+    labeled2 = [(1, 5, [1.0, 0.0]), (0, 2, [1.0, 0.0])]
+    r2 = similarity.knn_classify(unl, labeled2, k=1).collect()[0]
+    assert (r2["pred_label"], r2["votes"]) == (2, 1)
+
+
+def test_knn_classify_validates(spark):
+    unl = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k must"):
+        similarity.knn_classify(unl, [(0, 0, [1.0])], k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.knn_classify(unl, [])
+
+
 def test_batch_matrix_rejects_ragged_and_null_rows(spark):
     """_batch_matrix must fail loudly on malformed embedding columns.
 

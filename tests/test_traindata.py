@@ -8,6 +8,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from trinity_spark.dataops.traindata import (
+    balanced_sample,
     decontaminate,
     hash_split,
     pack_sequences,
@@ -318,3 +319,67 @@ def test_pack_sequences_validates_budget(spark):
     docs = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(docs, budget=0)
+
+
+# --- balanced_sample ---------------------------------------------------------
+
+def _strata(spark):
+    # skewed strata: a=60, b=25, c=8 rows
+    rows = [(i, "a") for i in range(60)]
+    rows += [(100 + i, "b") for i in range(25)]
+    rows += [(200 + i, "c") for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_balanced_sample_exact_counts_and_reference_order(spark):
+    """Exact method keeps EXACTLY n per stratum, and membership equals the
+    driver-side md5-order reference (ties by id)."""
+    import hashlib
+
+    docs = _strata(spark)
+    got = balanced_sample(docs, "lang", n_per_stratum=5, seed=13).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in by_lang.items()} == {"a": 5, "b": 5, "c": 5}
+
+    ids = {"a": range(60), "b": range(100, 125), "c": range(200, 208)}
+    for lang, rng in ids.items():
+        order = sorted(
+            rng, key=lambda i: (hashlib.md5(f"13|{i}".encode()).hexdigest()[:8], i)
+        )
+        assert by_lang[lang] == set(order[:5]), lang
+
+
+def test_balanced_sample_default_n_is_min_stratum(spark):
+    docs = _strata(spark)
+    got = balanced_sample(docs, "lang").groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"a": 8, "b": 8, "c": 8}
+
+
+def test_balanced_sample_deterministic(spark):
+    docs = _strata(spark)
+    a = {r["doc_id"] for r in balanced_sample(docs, "lang", 4).collect()}
+    b = {r["doc_id"] for r in balanced_sample(docs, "lang", 4).collect()}
+    assert a == b and len(a) == 12
+
+
+def test_balanced_sample_threshold_method_bounds(spark):
+    """Threshold method: no per-stratum funnel, counts near target, a
+    stratum at-or-under target keeps everything (threshold saturates)."""
+    docs = _strata(spark)
+    got = balanced_sample(docs, "lang", n_per_stratum=8, method="threshold")
+    counts = {r["lang"]: r["count"] for r in got.groupBy("lang").count().collect()}
+    assert counts["c"] == 8  # n == stratum size -> threshold 2^32 keeps all
+    # probabilistic strata: expected 8, allow generous noise but require a cut
+    assert 1 <= counts["a"] < 25 and 1 <= counts["b"] <= 25
+
+
+def test_balanced_sample_validates(spark):
+    docs = _strata(spark)
+    with pytest.raises(ValueError, match="method"):
+        balanced_sample(docs, "lang", 5, method="nope")
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        balanced_sample(docs, "lang", 0)
+    with pytest.raises(ValueError, match="empty"):
+        balanced_sample(docs.where(F.lit(False)), "lang")

@@ -950,6 +950,8 @@ def brute_force_topk_many(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    if not queries:
+        raise ValueError("queries must be non-empty")
     qids = [q[0] for q in queries]
     Q = np.asarray([q[1] for q in queries], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -994,3 +996,76 @@ def brute_force_topk_many(
             "score",
         )
     )
+
+
+def knn_classify(
+    unlabeled: DataFrame,
+    labeled: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN label propagation over embeddings: predict each unlabeled
+    vector's label as the majority among its ``k`` nearest labeled
+    neighbors by cosine — the weak-labeling / seed-expansion pass a
+    training-data pipeline uses to grow a small hand-labeled set into
+    corpus-scale labels (quality tiers, topics, safety classes).
+
+    ``labeled`` is the SEED set, ``(neighbor_id, label, vector)`` triples,
+    collected driver-side by the caller: seed sets are small by
+    construction (the thing being amplified), so the labeled matrix rides
+    into every Arrow batch with the kernel closure and the whole pass is
+    ONE corpus scan with ZERO shuffles — each unlabeled vector's k
+    neighbors, vote counts, and winner all resolve inside its own batch
+    (one ``Mn @ Cn.T`` per batch).  Practical bound: |labeled| x dim
+    doubles must fit an executor comfortably (~10^5 x 1024 = 0.8 GB is
+    the ceiling); past that, route candidates through IVF probing first.
+
+    Determinism contract (the DuckDB-oracle-replicable part): cosines
+    round to 6 places; neighbor selection ties break by ascending
+    neighbor id; the vote ties break by ascending label.
+
+    Returns (``id_col``, ``pred_label`` int, ``votes`` int) — ``votes`` =
+    the winning label's count among the k neighbors.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not labeled:
+        raise ValueError("labeled seed set must be non-empty")
+    trip = sorted(labeled)  # neighbor-id ascending: stable argsort = id tie-break
+    C = np.asarray([t[2] for t in trip], dtype=np.float64)
+    labs = np.asarray([t[1] for t in trip], dtype=np.int64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    # vote columns ordered by ascending label so argmax's first-max = min label
+    uniq = np.unique(labs)
+    onehot = (labs[None, :] == uniq[:, None]).astype(np.int32)  # (n_uniq, m)
+    kk = min(k, len(trip))
+
+    def kern(batches):
+        for b in batches:
+            M = _batch_matrix(b, vec_col)
+            if M is None:
+                continue
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            cos = np.round(Mn @ Cn.T, 6)
+            nb = np.argsort(-cos, axis=1, kind="stable")[:, :kk]  # (n, kk)
+            votes = np.zeros((len(M), len(uniq)), dtype=np.int32)
+            for j in range(kk):  # kk iterations, each fully vectorized over rows
+                votes += onehot[:, nb[:, j]].T
+            win = votes.argmax(axis=1)  # first max = smallest label
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pa.array(uniq[win].astype(np.int32), type=pa.int32()),
+                    pa.array(votes[np.arange(len(M)), win], type=pa.int32()),
+                ],
+                [id_col, "pred_label", "votes"],
+            )
+
+    v = unlabeled.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    return v.mapInArrow(kern, f"{id_col} long, pred_label int, votes int")

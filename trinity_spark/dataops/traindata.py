@@ -146,6 +146,73 @@ def sample_sources(
     )
 
 
+def balanced_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int | None = None,
+    seed: int = 13,
+    id_col: str = "doc_id",
+    method: str = "exact",
+) -> DataFrame:
+    """Balanced per-stratum downsample: equal document counts per class /
+    language / source — the balancing pass classifier training data needs
+    (``hash_split`` / ``sample_sources`` are per-row probabilistic, so
+    their per-stratum counts carry +-sqrt(n) noise; balancing wants EXACT
+    counts).
+
+    ``method="exact"`` (default): keep each stratum's first ``n`` rows in
+    deterministic md5(seed|id) order (ties by id) via a per-stratum
+    row_number — ONE shuffle of a narrow projection.  The window funnels
+    each stratum through one task, so this is the right tool while
+    per-stratum volume fits a task (millions of narrow rows); it is
+    deterministic for a fixed corpus but NOT append-stable (ranks shift
+    as rows arrive) — exact counts and append stability are mutually
+    exclusive by construction.
+
+    ``method="threshold"``: zero-funnel scale path — keep rows whose
+    md5 bucket falls under the per-stratum acceptance threshold
+    ``n / count_s * 2^32`` (one count aggregation, then a pure
+    projection).  Counts land at n +- O(sqrt(n)) instead of exactly n,
+    but no stratum ever concentrates on one task — the form that holds
+    at 10^12 rows per stratum.
+
+    ``n_per_stratum=None`` -> the smallest stratum's count (one extra
+    aggregation).  Output: the input columns, filtered.
+    """
+    if method not in ("exact", "threshold"):
+        raise ValueError(f"unknown method {method!r}; use 'exact' or 'threshold'")
+    if n_per_stratum is not None and n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    counts = docs.groupBy(stratum_col).count()
+    if n_per_stratum is None:
+        row = counts.agg(F.min("count").alias("m")).collect()[0]
+        if row["m"] is None:
+            raise ValueError("balanced_sample of an empty DataFrame")
+        n_per_stratum = int(row["m"])
+    bucket = split_bucket(id_col, seed)
+    if method == "threshold":
+        thr = F.least(
+            (F.lit(n_per_stratum) / F.col("count") * F.lit(1 << 32)).cast("long"),
+            F.lit(1 << 32),
+        )
+        keep = counts.select(F.col(stratum_col), thr.alias("_thr"))
+        return (
+            docs.withColumn("_b", bucket)
+            .join(F.broadcast(keep), stratum_col)
+            .where(F.col("_b") < F.col("_thr"))
+            .drop("_b", "_thr")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_b"), F.col(id_col))
+    return (
+        docs.withColumn("_b", bucket)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_b", "_rn")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
