@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> None:
     f.add_argument("--deep", action="store_true",
                    help="decode blocks and verify physical doc counts")
     sub.add_parser("gc", help="remove data no manifest snapshot references")
+    sub.add_parser("snapshots", help="list retained store snapshots")
+    e = sub.add_parser(
+        "expire-snapshots",
+        help="drop all but the newest N retained snapshots (then run gc)",
+    )
+    e.add_argument("--keep-last", type=int, default=1)
     args = ap.parse_args(argv)
 
     from trinity_spark.sources.store import SegmentStore
@@ -39,6 +45,13 @@ def main(argv: list[str] | None = None) -> None:
     store = SegmentStore(args.index_dir)
     if args.action == "gc":
         print("MAINTAIN_GC " + json.dumps(store.gc()))
+        return
+    if args.action == "snapshots":
+        print("MAINTAIN_SNAPSHOTS " + json.dumps(store.list_snapshots()))
+        return
+    if args.action == "expire-snapshots":
+        expired = store.expire_snapshots(keep_last=args.keep_last)
+        print("MAINTAIN_EXPIRE " + json.dumps({"expired": expired}))
         return
 
     from pyspark.sql import SparkSession

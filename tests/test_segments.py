@@ -300,12 +300,18 @@ def test_payload_free_blocks_decode_empty_payloads(spark):
 
 def test_gc_removes_only_unreferenced(spark, tmp_path_factory):
     """store.gc() deletes merged-away segment dirs + retired tombstone files
-    and NOTHING the manifest still references; queries unaffected."""
+    and NOTHING the manifest still references; queries unaffected.  While
+    pre-merge snapshots are retained, gc removes nothing (time-travel
+    protection); after expire_snapshots it reclaims."""
     store, corpus = _fresh_index(spark, tmp_path_factory, "gc")
     store.add_deletes(spark, [5])
     meta = merge_segments(spark, store)  # retires inputs + the tombstone gen
     seg_root = os.path.join(store.base, "segments")
     assert len(os.listdir(seg_root)) == 3  # 2 retired dirs + 1 merged
+    protected = store.gc()  # retained snapshots still reference the inputs
+    assert protected == {"segments": [], "deletes": []}
+    assert len(os.listdir(seg_root)) == 3
+    store.expire_snapshots(keep_last=1)
     removed = store.gc()
     assert len(removed["segments"]) == 2  # the two retired input segments
     assert len(removed["deletes"]) == 1  # the retired tombstone file
@@ -321,6 +327,64 @@ def test_gc_removes_only_unreferenced(spark, tmp_path_factory):
     want = oracle.topk(node, k=10)
     got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_time_travel_query_pre_delete(spark, tmp_path_factory):
+    """store.at(snapshot_id) answers queries AS OF that commit: a document
+    deleted later is still visible (and scored identically) through the
+    pinned view, while the live store masks it."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "tt")
+    pre = store.read_manifest()["snapshot_id"]
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    node = parse_query("error")
+    want = oracle.topk(node, k=5)
+    victim = want[0][0]
+    store.add_deletes(spark, [victim])
+
+    live = QueryPlanner(SegmentIndex(spark, store)).plan(node, k=5).collect()
+    assert victim not in [r["doc_id"] for r in live]
+
+    pinned = QueryPlanner(SegmentIndex(spark, store.at(pre))).plan(node, k=5)
+    got = [(r["doc_id"], r["score"]) for r in pinned.collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9
+
+    snaps = store.list_snapshots()
+    assert [s["snapshot_id"] for s in snaps] == sorted(
+        s["snapshot_id"] for s in snaps
+    )
+    assert snaps[-1]["n_delete_files"] == 1 and snaps[-1]["n_segments"] == 2
+
+    with pytest.raises(ValueError, match="no snapshot 9999"):
+        store.at(9999)
+    with pytest.raises(RuntimeError, match="pinned"):
+        store.at(pre).add_deletes(spark, [1])
+
+
+def test_time_travel_pre_merge_until_expired(spark, tmp_path_factory):
+    """A pre-merge snapshot stays queryable after the merge retires its
+    input segments (gc protects snapshot-referenced data); expire_snapshots
+    + gc reclaims and the pinned id is gone."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "ttm")
+    pre = store.read_manifest()["snapshot_id"]
+    merge_segments(spark, store)
+    store.gc()  # pre-merge snapshot still pins the retired inputs
+
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    node = parse_query("retry OR backoff")
+    want = oracle.topk(node, k=5)
+    pinned = QueryPlanner(SegmentIndex(spark, store.at(pre))).plan(node, k=5)
+    assert [r["doc_id"] for r in pinned.collect()] == [d for d, _ in want]
+
+    expired = store.expire_snapshots(keep_last=1)
+    assert pre in expired
+    store.gc()
+    with pytest.raises(ValueError, match="no snapshot"):
+        store.at(pre)
+    # live store unaffected throughout
+    live = QueryPlanner(SegmentIndex(spark, store)).plan(node, k=5)
+    assert [r["doc_id"] for r in live.collect()] == [d for d, _ in want]
 
 
 def test_payloads_in_hits_surface(spark, tmp_path_factory):

@@ -81,6 +81,12 @@ def compact(
     (a round's outputs can fill a higher tier), then GC retired data.
     Returns the metas of every merged segment produced.
 
+    ``gc=True`` reclaims IMMEDIATELY: it first expires all retained store
+    snapshots but the newest (``store.gc`` honors snapshot-referenced data,
+    so the pre-compaction states would otherwise pin the merged-away
+    inputs on disk).  Pass ``gc=False`` to keep time-travel history across
+    the compaction and reclaim later via ``expire_snapshots`` + ``gc``.
+
     If ``max_rounds`` is exhausted with eligible merges still pending, a
     ``RuntimeWarning`` is emitted naming the pending group count (the caller
     asked for quiescence and did not get it — re-run or raise max_rounds);
@@ -109,5 +115,6 @@ def compact(
                 stacklevel=2,
             )
     if gc:
+        store.expire_snapshots(keep_last=1)
         store.gc()
     return produced

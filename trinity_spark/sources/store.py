@@ -73,13 +73,92 @@ class SegmentStore:
             return json.load(f)
 
     def _write_manifest(self, m: dict[str, Any]) -> None:
+        """Atomic commit + retained snapshot.  Every manifest write bumps
+        ``snapshot_id`` and RETAINS the full new state as
+        ``snapshots/<id>.json`` (Iceberg's snapshot-per-commit model;
+        reference analog: generation-ordered sources,
+        index_source.h:191-204) — ``at(id)`` time-travels to any retained
+        snapshot, ``expire_snapshots`` + ``gc`` reclaim.  The snapshot file
+        lands BEFORE the manifest flips, so a crash between the two leaves
+        only a harmless orphan snapshot, never a manifest without its
+        snapshot."""
+        m["snapshot_id"] = int(m.get("snapshot_id", 0)) + 1
+        m["committed_at"] = time.time()
+        blob = json.dumps(m, indent=1, sort_keys=True)
+        snap_dir = os.path.join(self.base, "snapshots")
+        os.makedirs(snap_dir, exist_ok=True)
+        snap = os.path.join(snap_dir, f"{m['snapshot_id']}.json")
+        with open(snap + ".tmp", "w") as f:
+            f.write(blob)
+        os.replace(snap + ".tmp", snap)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
+            f.write(blob)
         os.replace(tmp, self._manifest_path())  # atomic snapshot commit
 
     def segments(self) -> list[SegmentMeta]:
         return [SegmentMeta(**s) for s in self.read_manifest()["segments"]]
+
+    # --- snapshots / time travel ---
+
+    def _snapshot_files(self) -> list[tuple[int, str]]:
+        snap_dir = os.path.join(self.base, "snapshots")
+        out = []
+        if os.path.isdir(snap_dir):
+            for name in os.listdir(snap_dir):
+                if name.endswith(".json"):
+                    out.append((int(name[:-5]), os.path.join(snap_dir, name)))
+        return sorted(out)
+
+    def list_snapshots(self) -> list[dict[str, Any]]:
+        """Retained snapshots, oldest first: (snapshot_id, committed_at,
+        n_segments, n_docs, n_delete_files) — the store's commit history."""
+        out = []
+        for sid, path in self._snapshot_files():
+            with open(path) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "snapshot_id": sid,
+                    "committed_at": m.get("committed_at"),
+                    "n_segments": len(m["segments"]),
+                    "n_docs": sum(s["docs_cnt"] for s in m["segments"]),
+                    "n_delete_files": len(m["deletes"]),
+                }
+            )
+        return out
+
+    def at(self, snapshot_id: int) -> "SegmentStore":
+        """Read-only view of the store AS OF a retained snapshot — open it
+        with ``SegmentIndex(spark, store.at(id))`` and every query answers
+        against that commit's segment set and tombstones (later deletes are
+        invisible; later-retired segments resolve as long as ``gc`` hasn't
+        reclaimed them, and ``gc`` keeps everything any retained snapshot
+        references).  Writes through the view raise.  The docid map is not
+        versioned: it grows append-only (per-segment slices), so old
+        snapshots' mappings remain valid."""
+        path = os.path.join(self.base, "snapshots", f"{int(snapshot_id)}.json")
+        if not os.path.exists(path):
+            have = [sid for sid, _ in self._snapshot_files()]
+            raise ValueError(
+                f"no snapshot {snapshot_id} in {self.base!r}; retained: {have}"
+            )
+        with open(path) as f:
+            return _PinnedSnapshotStore(self.base, json.load(f))
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` retained snapshots
+        (Iceberg ``expire_snapshots``).  Reclaims only HISTORY — the current
+        manifest is not a snapshot file and stays authoritative regardless;
+        run ``gc`` afterwards to reclaim data files only the expired
+        snapshots referenced.  Returns the expired ids."""
+        if keep_last < 0:
+            raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+        files = self._snapshot_files()
+        drop = files[: len(files) - keep_last] if keep_last else files
+        for _, path in drop:
+            os.remove(path)
+        return [sid for sid, _ in drop]
 
     # --- codec identity (codecs.h:93-95: the segment records which codec
     # wrote it; indexer.cpp:268-270) ---
@@ -430,16 +509,26 @@ class SegmentStore:
         retired by merges and tombstone files whose generation was retired by
         a full merge (the reference's deferred reclamation — merge.cpp's
         retention verdict marks, actual deletion is the app's GC pass; in
-        Iceberg terms this is expire_snapshots + remove_orphan_files).
+        Iceberg terms this is remove_orphan_files after expire_snapshots).
 
-        Safe by construction: the manifest is read ONCE and only paths absent
-        from it are deleted, so a concurrent commit can at worst make this
-        pass conservative (skip), never destructive."""
+        "No snapshot" means the CURRENT manifest and every RETAINED snapshot
+        file: data an old snapshot still references survives gc so ``at(id)``
+        keeps working — run ``expire_snapshots`` first to release history.
+
+        Safe by construction: the manifests are read ONCE and only paths
+        absent from all of them are deleted, so a concurrent commit can at
+        worst make this pass conservative (skip), never destructive."""
         import shutil
 
-        m = self.read_manifest()
-        live_segments = {s["segment_id"] for s in m["segments"]}
-        live_deletes = {os.path.abspath(d["path"]) for d in m["deletes"]}
+        live_segments: set[str] = set()
+        live_deletes: set[str] = set()
+        manifests = [self.read_manifest()]
+        for _, path in self._snapshot_files():
+            with open(path) as f:
+                manifests.append(json.load(f))
+        for m in manifests:  # union over current state + retained history
+            live_segments.update(s["segment_id"] for s in m["segments"])
+            live_deletes.update(os.path.abspath(d["path"]) for d in m["deletes"])
         removed: dict[str, list[str]] = {"segments": [], "deletes": []}
         seg_root = os.path.join(self.base, "segments")
         if os.path.isdir(seg_root):
@@ -652,3 +741,27 @@ class SegmentStore:
             "segments_checked": len(metas),
         }
 
+
+
+class _PinnedSnapshotStore(SegmentStore):
+    """Read-only ``SegmentStore`` view pinned to one retained snapshot
+    (``SegmentStore.at``).  ``read_manifest`` returns the pinned state (a
+    fresh copy each call — callers may mutate their copy), so every read
+    path (``segments`` / ``read_blocks`` / ``read_term_dict`` /
+    ``read_field_stats`` / ``read_deletes`` / ``SegmentIndex`` open) answers
+    as of that commit.  Any manifest write raises: time travel is a view,
+    not a branch — to fork history, build into a fresh store."""
+
+    def __init__(self, base: str, manifest: dict[str, Any]):
+        self.base = base  # no mkdir: a pinned view never creates the store
+        self._pinned_blob = json.dumps(manifest)
+
+    def read_manifest(self) -> dict[str, Any]:
+        return json.loads(self._pinned_blob)
+
+    def _write_manifest(self, m: dict[str, Any]) -> None:
+        raise RuntimeError(
+            "store view is pinned to snapshot "
+            f"{json.loads(self._pinned_blob).get('snapshot_id')}; writes must "
+            "go through the live SegmentStore"
+        )
