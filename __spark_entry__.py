@@ -622,6 +622,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"src0": 2.5, "src1": 0.4, "src2": 0.0}, seed=11
         ).select("doc_id", "source", "epoch")
 
+    def bm25_page2(spark, sf):
+        # search-after deep paging: the SECOND page (rows 11-20) of a BM25
+        # disjunction, fetched with a cursor filter — never re-materializing
+        # the first page.  Entry-side cursor works on the ROUNDED order all
+        # bm25_* entries share (cross-engine float noise can't flip the page
+        # boundary); the engine's plan(after=...) raw-score cursor is pinned
+        # rank-identical by the pocket-oracle paging tests in test_engine.py
+        scored = _index(spark, sf).score_all("scan OR vector OR batch").select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        p1 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+        s, d = p1[-1]["score"], p1[-1]["doc_id"]
+        cursor = (F.col("score") < F.lit(s)) | (
+            (F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d))
+        )
+        return (
+            scored.where(cursor)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
     def balanced_corpus(spark, sf):
         # exact per-stratum balanced downsample (traindata.balanced_sample):
         # equal doc counts per language in deterministic md5(seed|id) order —
@@ -757,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_feature_plumbing"] = media_n_bytes
     q["balanced_sample"] = balanced_corpus
     q["knn_classify"] = knn_labels
+    q["bm25_page2"] = bm25_page2
     return q
 
 
@@ -1183,6 +1205,28 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+"""
+
+    # deep paging: rows 11-20 of the rounded deterministic order (the
+    # cursor formulation on the Spark side selects exactly the rows after
+    # rank 10, so an offset window is the equivalent oracle)
+    o["bm25_page2"] = f"""
+WITH {_TOKS}, {_STATS},
+scored AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf / (t.tf + {K1}))) AS raw
+  FROM toks t
+  JOIN dfs d ON d.term = t.term
+  CROSS JOIN stats s
+  WHERE t.term IN ('scan', 'vector', 'batch')
+  GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(raw, 6) AS score,
+         row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, score FROM ranked WHERE rn BETWEEN 11 AND 20
 """
 
     # balanced sample: per-lang row_number in md5('13|'||id) order (8-char

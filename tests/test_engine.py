@@ -140,3 +140,64 @@ def test_custom_similarity_may_return_null(engine, oracle):
     got = nul.plan("error AND timeout", k=100000).collect()
     base = eng.plan("error AND timeout", k=100000).collect()
     assert {r["doc_id"] for r in got} == {r["doc_id"] for r in base}
+
+
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "error",
+        "error OR timeout OR retry",          # pruned-routable OR shape
+        "error AND timeout",
+        '"connection reset by peer" OR error',
+    ],
+)
+def test_search_after_pages_reconstruct_topk(qs, engine, oracle):
+    """plan(after=cursor) paging: concatenating pages of size 5 must equal
+    the oracle's top-15 exactly (ids and scores); cursor queries must route
+    single-pass with the reason recorded."""
+    eng, _ = engine
+    node = parse_query(qs)
+    want = oracle.topk(node, k=15)
+
+    got, cursor = [], None
+    for _ in range(3):
+        page = eng.plan(node, k=5, after=cursor).collect()
+        if cursor is not None:
+            assert eng.last_route["gate"]["type"] == "search_after"
+        if not page:
+            break
+        got.extend((r["doc_id"], r["score"]) for r in page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+
+    assert [d for d, _ in got] == [d for d, _ in want], qs
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9
+
+
+def test_search_after_tie_boundary(engine, oracle):
+    """A cursor that lands INSIDE a tie group (equal scores, doc_id
+    tie-break) must not skip or duplicate the remaining tied docs."""
+    eng, _ = engine
+    node = parse_query("the")  # high-df term: many equal-score docs
+    want = oracle.topk(node, k=40)
+    scores = [s for _, s in want]
+    assert len(set(scores)) < len(scores), "fixture lost its tie group"
+
+    # choose a page size that splits the largest tie group
+    k1 = next(
+        i for i in range(1, len(want)) if want[i][1] == want[i - 1][1]
+    )
+    p1 = eng.plan(node, k=k1).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = eng.plan(node, k=len(want) - k1, after=cur).collect()
+    got = [(r["doc_id"], r["score"]) for r in p1 + p2]
+    assert [d for d, _ in got] == [d for d, _ in want[: len(got)]]
+    assert len(got) == len(set(d for d, _ in got))  # no dup across the seam
+
+
+def test_search_after_past_end_returns_empty(engine, oracle):
+    eng, _ = engine
+    node = parse_query("zxqv-marker-7")
+    all_rows = eng.plan(node, k=100000).collect()
+    last = all_rows[-1]
+    assert eng.plan(node, k=5, after=(last["score"], last["doc_id"])).collect() == []

@@ -243,9 +243,20 @@ class QueryPlanner:
         block_pruning: bool = True,
         with_hits: bool = False,
         with_payloads: bool = False,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Compile to a DataFrame (doc_id long, score double), top-k ordered
         by score DESC, doc_id ASC (the mandatory deterministic tie-break).
+
+        ``after=(score, doc_id)`` pages the result: return the next ``k``
+        docs STRICTLY after that cursor in the global (score desc, doc_id
+        asc) order — stable deep paging without re-fetching (or even
+        materializing) a growing prefix, the search_after idiom.  Pass the
+        last row of the previous page verbatim (its raw float64 score —
+        scores are deterministic re-run to re-run, so the cursor filter is
+        exact).  Cursor queries route single-pass: the block-max pruning
+        bound is shaped for the top of the list, not an arbitrary cursor
+        depth (recorded in ``last_route``).
 
         ``doc_filter`` (a DataFrame with a doc_id column) is the app-supplied
         document pre-filter (IndexDocumentsFilter, matches.h:188-201):
@@ -269,7 +280,32 @@ class QueryPlanner:
         pay_bytes column never touches the scoring scan."""
         node = parse_query(query) if isinstance(query, str) else query
         self.last_route = {"path": "single_pass", "gate": None}
-        top = self._plan_topk(node, k, doc_filter, block_pruning)
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            self.last_route = {
+                "path": "single_pass",
+                "gate": {
+                    "type": "search_after",
+                    "open": False,
+                    "reason": "cursor paging routes single-pass (pruning "
+                    "bound is top-of-list-shaped)",
+                },
+            }
+            scored = self.score_all(node)
+            if doc_filter is not None:
+                scored = scored.join(
+                    doc_filter.select("doc_id"), "doc_id", "left_semi"
+                )
+            cursor = (F.col("score") < F.lit(s)) | (
+                (F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d))
+            )
+            top = (
+                scored.where(cursor)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        else:
+            top = self._plan_topk(node, k, doc_filter, block_pruning)
         if with_hits:
             top = self.attach_hits(top, node, with_payloads=with_payloads)
         return top
