@@ -387,6 +387,30 @@ def test_time_travel_pre_merge_until_expired(spark, tmp_path_factory):
     assert [r["doc_id"] for r in live.collect()] == [d for d, _ in want]
 
 
+def test_snapshot_retention_caps_history(spark, tmp_path_factory):
+    """snapshot_retention auto-trims history on every commit: an NRT stream
+    commits once per micro-batch, so unbounded retention would leak one
+    snapshot file per epoch forever."""
+    base = str(tmp_path_factory.mktemp("retain"))
+    store = SegmentStore(base)
+    store.set_snapshot_retention(3)
+    for i in range(6):
+        store.add_deletes(spark, [i])
+    snaps = store.list_snapshots()
+    assert len(snaps) == 3
+    ids = [s["snapshot_id"] for s in snaps]
+    assert ids == sorted(ids) and ids[-1] == store.read_manifest()["snapshot_id"]
+    store.at(ids[0])  # newest retained: still reachable
+    with pytest.raises(ValueError, match="no snapshot"):
+        store.at(1)
+    with pytest.raises(ValueError, match="keep_last"):
+        store.set_snapshot_retention(0)
+    store.set_snapshot_retention(None)  # back to retain-all
+    n = len(store.list_snapshots())
+    store.add_deletes(spark, [99])
+    assert len(store.list_snapshots()) == n + 1
+
+
 def test_payloads_in_hits_surface(spark, tmp_path_factory):
     """Indexed per-hit payloads round-trip to plan(with_hits=True,
     with_payloads=True) for top-k winners (runtime.h:8-20 term_hit.payload,

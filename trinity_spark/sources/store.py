@@ -95,6 +95,29 @@ class SegmentStore:
         with open(tmp, "w") as f:
             f.write(blob)
         os.replace(tmp, self._manifest_path())  # atomic snapshot commit
+        retain = m.get("snapshot_retention")
+        if retain is not None:
+            # bounded history: a streaming ingest commits once per
+            # micro-batch, so unbounded retention is an operational leak at
+            # NRT cadence — the policy trims the files, data reclaim still
+            # waits for the next gc pass
+            self.expire_snapshots(keep_last=int(retain))
+
+    def set_snapshot_retention(self, keep_last: int | None) -> None:
+        """Cap retained history at ``keep_last`` snapshots, auto-trimmed on
+        every commit (None = retain all, the default).  A streaming ingest
+        commits once per micro-batch — without a cap, a long-running NRT
+        stream accretes one snapshot file per epoch forever.  Time travel
+        stays available within the window; ``gc`` reclaims data the trimmed
+        snapshots pinned."""
+        if keep_last is not None and keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1 or None, got {keep_last}")
+        m = self.read_manifest()
+        if keep_last is None:
+            m.pop("snapshot_retention", None)
+        else:
+            m["snapshot_retention"] = int(keep_last)
+        self._write_manifest(m)
 
     def segments(self) -> list[SegmentMeta]:
         return [SegmentMeta(**s) for s in self.read_manifest()["segments"]]
@@ -155,7 +178,7 @@ class SegmentStore:
         if keep_last < 0:
             raise ValueError(f"keep_last must be >= 0, got {keep_last}")
         files = self._snapshot_files()
-        drop = files[: len(files) - keep_last] if keep_last else files
+        drop = files[: max(0, len(files) - keep_last)] if keep_last else files
         for _, path in drop:
             os.remove(path)
         return [sid for sid, _ in drop]

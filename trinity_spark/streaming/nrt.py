@@ -187,6 +187,12 @@ def start_indexing_stream(
     Streaming's checkpoint dedupes batch replays by epoch id — a replayed
     epoch re-commits the same segment_id, which commit_segment overwrites
     idempotently (same doc range => same content).
+
+    Operational note: every micro-batch is a store commit, and commits
+    retain time-travel snapshots — for a long-running stream set
+    ``store.set_snapshot_retention(n)`` first (bounded history,
+    auto-trimmed per commit) or schedule ``expire_snapshots`` + ``gc``,
+    or snapshot metadata grows one file per epoch forever.
     """
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
