@@ -1273,7 +1273,7 @@ win AS (
                             ORDER BY c DESC, label ASC) AS rn
   FROM votes
 )
-SELECT vec_id, label AS pred_label, CAST(c AS INT) AS votes
+SELECT vec_id, CAST(label AS BIGINT) AS pred_label, CAST(c AS INT) AS votes
 FROM win WHERE rn = 1
 """
 

@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.action == "expire-snapshots":
         expired = store.expire_snapshots(keep_last=args.keep_last)
-        print("MAINTAIN_EXPIRE " + json.dumps({"expired": expired}))
+        removed = store.gc()  # reclaim what only the expired history pinned
+        print("MAINTAIN_EXPIRE " + json.dumps({"expired": expired, "gc": removed}))
         return
 
     from pyspark.sql import SparkSession

@@ -455,6 +455,18 @@ def test_knn_classify_tie_breaks(spark):
     assert (r2["pred_label"], r2["votes"]) == (2, 1)
 
 
+def test_knn_classify_int32_ids_and_wide_labels(spark):
+    """Non-long id columns are cast (not crashed on by the Arrow schema),
+    and 64-bit label values survive without int32 truncation."""
+    big = 3_000_000_000  # > 2^31
+    labeled = [(0, big, [1.0, 0.0]), (1, 7, [-1.0, 0.0])]
+    unl = spark.createDataFrame(
+        [(5, [1.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    r = similarity.knn_classify(unl, labeled, k=1).collect()[0]
+    assert (r["vec_id"], r["pred_label"], r["votes"]) == (5, big, 1)
+
+
 def test_knn_classify_validates(spark):
     unl = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="k must"):

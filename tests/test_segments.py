@@ -411,6 +411,22 @@ def test_snapshot_retention_caps_history(spark, tmp_path_factory):
     assert len(store.list_snapshots()) == n + 1
 
 
+def test_compact_gc_honors_snapshot_retention(spark, tmp_path_factory):
+    """compact(gc=True) must not destroy a user-configured retention
+    window: it expires down to snapshot_retention, not to 1."""
+    from trinity_spark.operators.compaction import compact
+
+    store, _ = _fresh_index(spark, tmp_path_factory, "cretain", n_turns=400,
+                            rows_per_segment=100)
+    store.set_snapshot_retention(6)
+    compact(spark, store, min_merge=2, max_merge=8, micro_docs=200)
+    assert len(store.list_snapshots()) == 6
+    # without retention the same call collapses history to the newest
+    store.set_snapshot_retention(None)
+    compact(spark, store, min_merge=2, max_merge=8, micro_docs=200)
+    assert len(store.list_snapshots()) == 1
+
+
 def test_payloads_in_hits_surface(spark, tmp_path_factory):
     """Indexed per-hit payloads round-trip to plan(with_hits=True,
     with_payloads=True) for top-k winners (runtime.h:8-20 term_hit.payload,

@@ -375,6 +375,20 @@ def test_balanced_sample_threshold_method_bounds(spark):
     assert 1 <= counts["a"] < 25 and 1 <= counts["b"] <= 25
 
 
+def test_balanced_sample_null_stratum_consistent(spark):
+    """Both methods treat a NULL stratum as a real group: exact samples it
+    via the window, threshold must null-safe-join it (a plain equi-join
+    would silently drop every null-stratum row)."""
+    rows = [(i, "a") for i in range(10)] + [(100 + i, None) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    ex = balanced_sample(docs, "lang", n_per_stratum=4).collect()
+    assert sum(1 for r in ex if r["lang"] is None) == 4
+    th = balanced_sample(docs, "lang", n_per_stratum=10, method="threshold")
+    got = th.collect()
+    assert sum(1 for r in got if r["lang"] is None) == 10  # thr saturates
+    assert len(got) == 20
+
+
 def test_balanced_sample_validates(spark):
     docs = _strata(spark)
     with pytest.raises(ValueError, match="method"):

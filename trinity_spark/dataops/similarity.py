@@ -1025,8 +1025,8 @@ def knn_classify(
     round to 6 places; neighbor selection ties break by ascending
     neighbor id; the vote ties break by ascending label.
 
-    Returns (``id_col``, ``pred_label`` int, ``votes`` int) — ``votes`` =
-    the winning label's count among the k neighbors.
+    Returns (``id_col`` long, ``pred_label`` long, ``votes`` int) —
+    ``votes`` = the winning label's count among the k neighbors.
     """
     import numpy as np
     import pyarrow as pa
@@ -1059,13 +1059,14 @@ def knn_classify(
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(id_col),
-                    pa.array(uniq[win].astype(np.int32), type=pa.int32()),
+                    pa.array(uniq[win], type=pa.int64()),
                     pa.array(votes[np.arange(len(M)), win], type=pa.int32()),
                 ],
                 [id_col, "pred_label", "votes"],
             )
 
     v = unlabeled.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
     )
-    return v.mapInArrow(kern, f"{id_col} long, pred_label int, votes int")
+    return v.mapInArrow(kern, f"{id_col} long, pred_label long, votes int")

@@ -195,12 +195,20 @@ def balanced_sample(
             (F.lit(n_per_stratum) / F.col("count") * F.lit(1 << 32)).cast("long"),
             F.lit(1 << 32),
         )
-        keep = counts.select(F.col(stratum_col), thr.alias("_thr"))
+        keep = counts.select(
+            F.col(stratum_col).alias("_stratum"), thr.alias("_thr")
+        )
+        # null-safe join: groupBy counts a NULL stratum as a group (exact
+        # method samples it too), so the threshold join must match it —
+        # a plain equi-join would silently drop every null-stratum row
         return (
             docs.withColumn("_b", bucket)
-            .join(F.broadcast(keep), stratum_col)
+            .join(
+                F.broadcast(keep),
+                F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+            )
             .where(F.col("_b") < F.col("_thr"))
-            .drop("_b", "_thr")
+            .drop("_b", "_thr", "_stratum")
         )
     from pyspark.sql import Window
 

@@ -81,11 +81,13 @@ def compact(
     (a round's outputs can fill a higher tier), then GC retired data.
     Returns the metas of every merged segment produced.
 
-    ``gc=True`` reclaims IMMEDIATELY: it first expires all retained store
-    snapshots but the newest (``store.gc`` honors snapshot-referenced data,
-    so the pre-compaction states would otherwise pin the merged-away
-    inputs on disk).  Pass ``gc=False`` to keep time-travel history across
-    the compaction and reclaim later via ``expire_snapshots`` + ``gc``.
+    ``gc=True`` reclaims IMMEDIATELY: it first expires retained store
+    snapshots down to the store's configured ``snapshot_retention`` window
+    (or just the newest when no retention is set — ``store.gc`` honors
+    snapshot-referenced data, so the pre-compaction states would otherwise
+    pin the merged-away inputs on disk).  Pass ``gc=False`` to keep all
+    history across the compaction and reclaim later via
+    ``expire_snapshots`` + ``gc``.
 
     If ``max_rounds`` is exhausted with eligible merges still pending, a
     ``RuntimeWarning`` is emitted naming the pending group count (the caller
@@ -115,6 +117,9 @@ def compact(
                 stacklevel=2,
             )
     if gc:
-        store.expire_snapshots(keep_last=1)
+        # honor a user-configured retention window: only without one does
+        # immediate reclaim collapse history to the current state
+        retain = store.read_manifest().get("snapshot_retention")
+        store.expire_snapshots(keep_last=int(retain) if retain else 1)
         store.gc()
     return produced

@@ -281,7 +281,8 @@ class QueryPlanner:
         node = parse_query(query) if isinstance(query, str) else query
         self.last_route = {"path": "single_pass", "gate": None}
         if after is not None:
-            s, d = float(after[0]), int(after[1])
+            # cursor queries bypass the pruned routes: the block-max bound
+            # is shaped for the top of the list, not an arbitrary depth
             self.last_route = {
                 "path": "single_pass",
                 "gate": {
@@ -291,21 +292,8 @@ class QueryPlanner:
                     "bound is top-of-list-shaped)",
                 },
             }
-            scored = self.score_all(node)
-            if doc_filter is not None:
-                scored = scored.join(
-                    doc_filter.select("doc_id"), "doc_id", "left_semi"
-                )
-            cursor = (F.col("score") < F.lit(s)) | (
-                (F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d))
-            )
-            top = (
-                scored.where(cursor)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-            )
-        else:
-            top = self._plan_topk(node, k, doc_filter, block_pruning)
+            block_pruning = False
+        top = self._plan_topk(node, k, doc_filter, block_pruning, after=after)
         if with_hits:
             top = self.attach_hits(top, node, with_payloads=with_payloads)
         return top
@@ -316,6 +304,7 @@ class QueryPlanner:
         k: int,
         doc_filter: DataFrame | None,
         block_pruning: bool,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         routable = (
             isinstance(node, Or)
@@ -384,6 +373,12 @@ class QueryPlanner:
         scored = self.score_all(node)
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            scored = scored.where(
+                (F.col("score") < F.lit(s))
+                | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+            )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def attach_hits(

@@ -138,8 +138,11 @@ class SegmentStore:
         n_segments, n_docs, n_delete_files) — the store's commit history."""
         out = []
         for sid, path in self._snapshot_files():
-            with open(path) as f:
-                m = json.load(f)
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue  # trimmed by a concurrent retention/expire pass
             out.append(
                 {
                     "snapshot_id": sid,
@@ -161,13 +164,14 @@ class SegmentStore:
         versioned: it grows append-only (per-segment slices), so old
         snapshots' mappings remain valid."""
         path = os.path.join(self.base, "snapshots", f"{int(snapshot_id)}.json")
-        if not os.path.exists(path):
+        try:
+            with open(path) as f:
+                return _PinnedSnapshotStore(self.base, json.load(f))
+        except FileNotFoundError:
             have = [sid for sid, _ in self._snapshot_files()]
             raise ValueError(
                 f"no snapshot {snapshot_id} in {self.base!r}; retained: {have}"
-            )
-        with open(path) as f:
-            return _PinnedSnapshotStore(self.base, json.load(f))
+            ) from None
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` retained snapshots
@@ -180,7 +184,10 @@ class SegmentStore:
         files = self._snapshot_files()
         drop = files[: max(0, len(files) - keep_last)] if keep_last else files
         for _, path in drop:
-            os.remove(path)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass  # a concurrent expire already took it
         return [sid for sid, _ in drop]
 
     # --- codec identity (codecs.h:93-95: the segment records which codec
@@ -547,8 +554,14 @@ class SegmentStore:
         live_deletes: set[str] = set()
         manifests = [self.read_manifest()]
         for _, path in self._snapshot_files():
-            with open(path) as f:
-                manifests.append(json.load(f))
+            try:
+                with open(path) as f:
+                    manifests.append(json.load(f))
+            except FileNotFoundError:
+                # a concurrent retention trim removed it between listing and
+                # open; its data references are a subset of newer state, so
+                # skipping keeps the pass conservative, never destructive
+                continue
         for m in manifests:  # union over current state + retained history
             live_segments.update(s["segment_id"] for s in m["segments"])
             live_deletes.update(os.path.abspath(d["path"]) for d in m["deletes"])
