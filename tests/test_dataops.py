@@ -455,6 +455,43 @@ def test_knn_classify_tie_breaks(spark):
     assert (r2["pred_label"], r2["votes"]) == (2, 1)
 
 
+def test_ann_recall_full_probe_is_one_partial_below(spark, vectors):
+    """Full-probe IVF reproduces brute force (recall 1.0 per query);
+    n_probe=1 recall matches the hand-computed overlap; a query missing
+    from the approx side reports 0."""
+    from pyspark.sql import functions as F
+
+    df, rows = vectors
+    queries = [(f"q{i}", rows[i][1]) for i in (3, 11)]
+    exact = similarity.brute_force_topk_many(df, queries, k=8)
+
+    indexed, cents = similarity.ivf_index(df, n_lists=4, iters=1)
+    full, low = [], []
+    for qid, qv in queries:
+        f = similarity.ivf_topk(indexed, cents, qv, k=8, n_probe=4)
+        full.append(f.withColumn("query_id", F.lit(qid)))
+        l = similarity.ivf_topk(indexed, cents, qv, k=8, n_probe=1)
+        low.append(l.withColumn("query_id", F.lit(qid)))
+    cat = lambda fs: fs[0].unionByName(fs[1])
+
+    r_full = {r["query_id"]: r for r in similarity.ann_recall(exact, cat(full)).collect()}
+    assert all(r["recall"] == 1.0 and r["k"] == 8 for r in r_full.values())
+
+    r_low = {r["query_id"]: r for r in similarity.ann_recall(exact, cat(low)).collect()}
+    ex = {q: {r["vec_id"] for r in exact.where(F.col("query_id") == q).collect()}
+          for q, _ in queries}
+    lo = {q: {r["vec_id"] for r in cat(low).where(F.col("query_id") == q).collect()}
+          for q, _ in queries}
+    for q, _ in queries:
+        assert r_low[q]["hits"] == len(ex[q] & lo[q])
+        assert abs(r_low[q]["recall"] - len(ex[q] & lo[q]) / 8) < 1e-12
+
+    missing = similarity.ann_recall(
+        exact, cat(low).where(F.col("query_id") != "q3")
+    ).collect()
+    assert {r["query_id"]: r["recall"] for r in missing}["q3"] == 0.0
+
+
 def test_knn_classify_int32_ids_and_wide_labels(spark):
     """Non-long id columns are cast (not crashed on by the Arrow schema),
     and 64-bit label values survive without int32 truncation."""

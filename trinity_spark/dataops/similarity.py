@@ -998,6 +998,39 @@ def brute_force_topk_many(
     )
 
 
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact top-k —
+    the tuning loop for LSH bits / IVF n_probe: run
+    ``brute_force_topk_many`` (exact, one corpus scan) and the candidate
+    ANN config over the same sampled query set, then compare.
+
+    Both inputs are (query_col, id_col, ...) result frames.  Returns
+    (query_col, hits, k, recall) where k is the exact list's size for
+    that query and hits the overlap — two small aggregations over
+    result-sized frames (n_queries x k rows), nothing touches the corpus.
+    Queries absent from ``approx`` report recall 0.
+    """
+    e = exact.select(query_col, id_col)
+    a = approx.select(query_col, id_col).distinct()
+    per_k = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("k"))
+    hits = (
+        e.join(a, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return per_k.join(hits, query_col, "left").select(
+        F.col(query_col),
+        F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        F.col("k"),
+        (F.coalesce(F.col("hits"), F.lit(0)) / F.col("k")).alias("recall"),
+    )
+
+
 def knn_classify(
     unlabeled: DataFrame,
     labeled: list[tuple[int, int, list[float]]],
