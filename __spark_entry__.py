@@ -643,6 +643,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def bm25_facets(spark, sf):
+        # result-set facet counts (operators/grouped.facet_counts): how the
+        # matches of a DocumentsOnly query distribute over metadata
+        # dimensions — matching_docs (scorer never runs) joined to a narrow
+        # (id, lang, source) projection, one map-side-combined groupBy
+        from trinity_spark.operators.grouped import facet_counts
+
+        planner = _index(spark, sf)
+        matching = planner.matching_docs("merge AND join")
+        meta = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "lang", "source"
+        )
+        return facet_counts(matching, meta, ["lang", "source"])
+
     def balanced_corpus(spark, sf):
         # exact per-stratum balanced downsample (traindata.balanced_sample):
         # equal doc counts per language in deterministic md5(seed|id) order —
@@ -779,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["balanced_sample"] = balanced_corpus
     q["knn_classify"] = knn_labels
     q["bm25_page2"] = bm25_page2
+    q["bm25_facets"] = bm25_facets
     return q
 
 
@@ -1227,6 +1242,20 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, score FROM ranked WHERE rn BETWEEN 11 AND 20
+"""
+
+    # facet counts over a DocumentsOnly match set: EXISTS per required term,
+    # group by the metadata dimensions, deterministic render order
+    o["bm25_facets"] = f"""
+WITH {_TOKS}
+SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t
+              WHERE t.doc_id = d.doc_id AND t.term = 'merge')
+  AND EXISTS (SELECT 1 FROM toks t
+              WHERE t.doc_id = d.doc_id AND t.term = 'join')
+GROUP BY d.lang, d.source
+ORDER BY n_docs DESC, d.lang ASC, d.source ASC
 """
 
     # balanced sample: per-lang row_number in md5('13|'||id) order (8-char

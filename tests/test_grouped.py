@@ -165,3 +165,61 @@ def test_context_windows_end_to_end_with_planner(spark):
         assert r["conv_id"] == h["conv_id"]
         assert abs(r["turn_idx"] - h["turn_idx"]) <= 2
         assert r["offset"] == r["turn_idx"] - h["turn_idx"]
+
+
+def test_facet_counts_matches_hand_counts(spark):
+    from trinity_spark.operators.grouped import facet_counts
+
+    matching = spark.createDataFrame(
+        [(1,), (2,), (3,), (5,), (5,)], "doc_id long"  # dup match rows ok
+    )
+    meta = spark.createDataFrame(
+        [
+            (1, "en", "web"), (2, "en", "web"), (3, "de", "web"),
+            (4, "en", "book"),  # not matching: must not count
+            (5, "en", "book"), (6, None, "web"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    got = [
+        (r["lang"], r["source"], r["n_docs"])
+        for r in facet_counts(matching, meta, ["lang", "source"]).collect()
+    ]
+    assert got == [("en", "web", 2), ("de", "web", 1), ("en", "book", 1)]
+
+    one = facet_counts(matching, meta, ["lang"]).collect()
+    assert [(r["lang"], r["n_docs"]) for r in one] == [("en", 3), ("de", 1)]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="facet"):
+        facet_counts(matching, meta, [])
+
+
+def test_facet_counts_composes_with_matching_docs(spark):
+    """End-to-end: facets over planner.matching_docs distribute the match
+    set across the turn metadata exactly per a driver-side recount."""
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.build import (
+        build_field_stats, build_postings, build_term_dict, tokenize_turns,
+    )
+    from trinity_spark.operators.docids import assign_doc_ids
+    from trinity_spark.operators.grouped import facet_counts
+    from trinity_spark.plans.planner import LogicalIndex, QueryPlanner
+
+    turns = assign_doc_ids(spark.createDataFrame(gen_transcripts(600)))
+    postings = build_postings(tokenize_turns(turns))
+    eng = QueryPlanner(LogicalIndex(
+        postings, build_term_dict(postings),
+        build_field_stats(postings, turns.count()),
+    ))
+    matching = eng.matching_docs("error OR timeout")
+    got = {
+        (r["role"],): r["n_docs"]
+        for r in facet_counts(matching, turns, ["role"]).collect()
+    }
+    ids = {r["doc_id"] for r in matching.collect()}
+    want: dict = {}
+    for r in turns.select("doc_id", "role").collect():
+        if r["doc_id"] in ids:
+            want[(r["role"],)] = want.get((r["role"],), 0) + 1
+    assert got == want and sum(got.values()) == len(ids)

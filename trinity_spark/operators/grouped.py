@@ -102,3 +102,38 @@ def context_windows(
         F.col("hit_doc_id"),
         (turns[pos_col] - F.col("__p")).cast("int").alias("offset"),
     )
+
+
+def facet_counts(
+    matching: DataFrame,
+    meta: DataFrame,
+    by: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Facet counts over a query's matches: how the result set distributes
+    across metadata dimensions (role, tool, lang, source, ...) — the
+    result-analytics sidebar every search deployment renders next to the
+    hit list.
+
+    ``matching`` is the DocumentsOnly frame (``planner.matching_docs`` —
+    the scorer never runs) or any (doc_id, ...) result; ``meta`` maps
+    doc_id to the facet columns (the docid_map / source table — at 10^12
+    docs keep it a NARROW projection of just id + facet columns so the
+    join side stays slim).  One equi-join on doc_id (AQE broadcasts the
+    match side for selective queries — df(query)-sized, not corpus-sized)
+    + one map-side-combined groupBy per call; one output row per distinct
+    facet-value combination.
+
+    Returns (*by, n_docs long), ordered by n_docs desc then the facet
+    values asc for a deterministic render order.
+    """
+    if not by:
+        raise ValueError("facet_counts needs at least one facet column")
+    joined = meta.select(id_col, *by).join(
+        matching.select(id_col).distinct(), id_col
+    )
+    return (
+        joined.groupBy(*by)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *[F.asc(c) for c in by])
+    )
