@@ -1414,3 +1414,52 @@ def test_curate_boilerplate_after_exact_dedup(spark):
                            max_dup_token_frac=0.5, dup_window=5).collect()}
     assert got[0] == (True, "")
     assert got[1] == (False, "exact_dup")
+
+
+def test_gram_capped_pairs_unique_per_pair(spark):
+    """ADVICE r4 (similarity.py): in multi-band gram runs the same
+    (id_a, id_b) can reach the output via BOTH the numpy gram path and the
+    SQL-fold representative chain, with a last-digit cosine difference that
+    survives distinct().  The contract is one row per pair."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(48):  # near-identical flood: every band collides
+        rows.append((int(i), [float(x) for x in base + rng.normal(scale=1e-4, size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.cosine_pairs(
+        df, dim=8, threshold=0.9, bits=12, band_bits=3,
+        max_bucket_size=6, kernel="gram",
+    )
+    dup = (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert pairs.count() > 0
+
+
+def test_add_lsh_signatures_arrow_custom_id_and_extra_cols(spark):
+    """ADVICE r4: the Arrow LSH kernel must be id-column agnostic and carry
+    every input column through, like its fold twin."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), f"doc-{i}", [float(x) for x in rng.normal(size=8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "my_id long, tag string, embedding array<double>")
+    out, planes = similarity.add_lsh_signatures_arrow(df, dim=8, bits=12, id_col="my_id")
+    assert set(out.columns) == {"my_id", "tag", "embedding", "lsh_sig"}
+    fold, planes_f = similarity.add_lsh_signatures(
+        df.withColumnRenamed("my_id", "vec_id"), dim=8, bits=12
+    )
+    assert planes == planes_f
+    assert {(r["my_id"], r["lsh_sig"]) for r in out.collect()} == {
+        (r["vec_id"], r["lsh_sig"]) for r in fold.collect()
+    }
+    with pytest.raises(ValueError, match="id column"):
+        similarity.add_lsh_signatures_arrow(df, dim=8, id_col="vec_id")

@@ -792,3 +792,70 @@ def test_merge_delete_accounting_counts_zero_token_docs(spark, tmp_path_factory)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-9
+
+
+def _strip_deletes_gens(store):
+    """Simulate pre-gen-aware segments: remove the deletes_gens lineage key
+    (ABSENT = applied-set unknown; merge must fall back to presence-based
+    tombstone counting for those ranges)."""
+    m = store.read_manifest()
+    for s in m["segments"]:
+        s["lineage"].pop("deletes_gens", None)
+    store._write_manifest(m)
+
+
+def test_legacy_segments_fall_back_to_presence_counting(
+    spark, tmp_path_factory
+):
+    """ADVICE r4 (merge.py gen-aware accounting): a segment whose lineage
+    predates deletes_gens must not have an already-applied tombstone
+    subtracted a second time — presence-based counting for such ranges keeps
+    docs_cnt exact across partial + full merges even when the intermediate
+    merged segment's lineage is ALSO legacy."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "legacy")
+    n = len(corpus)
+    seg_ids = [m.segment_id for m in store.segments()]
+    assert len(seg_ids) == 2
+    _strip_deletes_gens(store)
+    kill = 5  # in the first segment's [0, 400) range
+    store.add_deletes(spark, [kill])
+
+    meta_a = merge_segments(spark, store, segment_ids=[seg_ids[0]])
+    assert meta_a.docs_cnt == 400 - 1
+    assert store.read_manifest()["deletes"], "partial merge retired tombstones"
+    # strip the merged output's lineage too: the old-engine worst case where
+    # NOTHING records which generations were applied
+    _strip_deletes_gens(store)
+
+    meta_b = merge_segments(spark, store)
+    # presence check: doc 5 no longer physically exists -> not re-counted
+    assert meta_b.docs_cnt == n - 1
+    assert store.read_manifest()["deletes"] == []
+
+    oracle = OracleIndex.build(
+        [(d, t) for d, t in docs_in_stable_order(corpus) if d != kill]
+    )
+    oracle.n_docs = n - 1
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    node = parse_query("error")
+    want = oracle.topk(node, k=10)
+    got = [(r["doc_id"], r["score"]) for r in planner.plan(node, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9
+
+
+def test_pinned_snapshot_view_blocks_gc_and_expiry(spark, tmp_path_factory):
+    """ADVICE r4 (store.py): gc()/expire_snapshots() through a pinned view
+    would reclaim against a STALE manifest — both must raise, like writes."""
+    store, _ = _fresh_index(spark, tmp_path_factory, "pingc")
+    pre = store.read_manifest()["snapshot_id"]
+    merge_segments(spark, store)
+    pinned = store.at(pre)
+    with pytest.raises(RuntimeError, match="pinned"):
+        pinned.gc()
+    with pytest.raises(RuntimeError, match="pinned"):
+        pinned.expire_snapshots(keep_last=0)
+    # the live store still reclaims normally
+    store.expire_snapshots(keep_last=1)
+    store.gc()

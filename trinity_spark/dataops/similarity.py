@@ -731,18 +731,25 @@ def add_lsh_signatures_arrow(
     bits: int = 12,
     seed: int = 7,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Arrow-kernel twin of ``add_lsh_signatures``: all ``bits`` hyperplane
     dots per batch as one ``M @ P.T``; sign bits packed into the same int64
     signature.  Exactly the same planes (md5-derived), so signatures are
     interchangeable with the fold path except on exact-zero dot boundaries
-    (measure-zero for real embeddings)."""
+    (measure-zero for real embeddings).  Like the fold twin it is id-column
+    agnostic and carries every input column through the kernel."""
     import numpy as np
     import pyarrow as pa
 
     planes = [_hyperplane(seed, b, dim) for b in range(bits)]
     P = np.asarray(planes, dtype=np.float64)
     weights = (1 << np.arange(bits, dtype=np.int64))
+
+    v = vectors.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    in_cols = v.columns
+    if id_col not in in_cols:
+        raise ValueError(f"id column {id_col!r} not in input: {in_cols}")
 
     def kern(batches):
         for b in batches:
@@ -751,15 +758,15 @@ def add_lsh_signatures_arrow(
                 continue
             sig = ((M @ P.T) >= 0.0) @ weights
             yield pa.RecordBatch.from_arrays(
-                [b.column("vec_id"), b.column(vec_col),
-                 pa.array(sig.astype(np.int64), type=pa.int64())],
-                ["vec_id", vec_col, "lsh_sig"],
+                [b.column(c) for c in in_cols]
+                + [pa.array(sig.astype(np.int64), type=pa.int64())],
+                in_cols + ["lsh_sig"],
             )
 
-    v = vectors.select(
-        F.col("vec_id"), F.col(vec_col).cast("array<double>").alias(vec_col)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in v.schema.fields
     )
-    out = v.mapInArrow(kern, f"vec_id long, {vec_col} array<double>, lsh_sig long")
+    out = v.mapInArrow(kern, f"{schema}, lsh_sig long")
     return out, planes
 
 
@@ -860,7 +867,15 @@ def _gram_bucket_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
-    return pairs.unionByName(chain).distinct()
+    # dedupe on the PAIR, not the full row: the numpy gram path and the SQL
+    # fold chain path can emit the same (id_a, id_b) with a last-digit
+    # difference after round(.., 6) (summation order), which would survive a
+    # plain distinct() as two rows
+    return (
+        pairs.unionByName(chain)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
 
 
 def semantic_dedup_pairs_gram(

@@ -118,8 +118,21 @@ def compact(
             )
     if gc:
         # honor a user-configured retention window: only without one does
-        # immediate reclaim collapse history to the current state
+        # immediate reclaim collapse history to the current state — and
+        # that collapse is LOGGED (no silent history drops), since losing
+        # time travel is a side effect a caller may not expect from a
+        # routine compaction
         retain = store.read_manifest().get("snapshot_retention")
-        store.expire_snapshots(keep_last=int(retain) if retain else 1)
+        expired = store.expire_snapshots(keep_last=int(retain) if retain else 1)
+        if expired and not retain:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "compact(gc=True) with no snapshot_retention configured "
+                "expired %d snapshot(s) %s; set store retention "
+                "(manifest snapshot_retention) to keep time-travel history",
+                len(expired),
+                expired,
+            )
         store.gc()
     return produced

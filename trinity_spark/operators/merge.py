@@ -55,11 +55,15 @@ exactly like the reference keeps masked-docid bitmaps in RAM
 (docidupdates.h:90-191).
 
 Accounting correctness (partial merges):
-- ``docs_cnt`` subtracts only tombstones that HIT a document actually present
-  in the merged segments (semi-join against the decoded postings' doc_ids),
-  never every tombstone whose id merely falls in the doc range — re-counting
-  a doc already removed by an earlier partial merge would corrupt N and hence
-  every idf after the merge.
+- ``docs_cnt`` subtracts a tombstone only if its generation has NOT already
+  been applied to the covering segment (lineage ``deletes_gens``, id-based —
+  this is what keeps zero-token docs, which have no postings to be "present"
+  in, correctly subtracted).  Segments whose lineage predates ``deletes_gens``
+  (key absent) fall back to presence-based counting: decode only the blocks
+  whose [min_doc_id, max_doc_id] cover a candidate tombstone and count the
+  tombstones whose doc still physically exists — re-counting a doc already
+  removed by an earlier merge would corrupt N and hence every idf after the
+  merge.
 - Tombstone retention: only the tombstone generations READ by this merge are
   retired, and only when the merge covered every segment that existed at read
   time; a partial merge leaves all tombstones in place (they may still mask
@@ -102,6 +106,42 @@ def _merge_codec(metas) -> str | None:
             f"this engine knows {list(CODECS)}"
         )
     return codecs.pop() if len(codecs) == 1 else None
+
+
+def _present_tombstones(
+    blocks: DataFrame, cand: DataFrame, legacy_metas, cdc: str | None
+) -> DataFrame:
+    """Candidate tombstone ids that still physically exist in the legacy
+    segments' blocks (pre-``deletes_gens`` lineage: the applied set is
+    unknown, so presence is the only safe evidence a tombstone has not been
+    counted before).  Decodes ONLY blocks whose [min_doc_id, max_doc_id]
+    cover a candidate — the candidate set is a broadcast (tombstone sets are
+    RAM-resident by design, docidupdates.h:90-191), so the range probe is a
+    broadcast join, never a full decode."""
+    from functools import reduce
+
+    rng = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("min_doc_id") < m.doc_hi) & (F.col("max_doc_id") >= m.doc_lo)
+            for m in legacy_metas
+        ],
+    )
+    lb = blocks.where(rng)
+    c = F.broadcast(cand.withColumnRenamed("doc_id", "_cand_id"))
+    hit = lb.join(
+        c,
+        (F.col("_cand_id") >= F.col("min_doc_id"))
+        & (F.col("_cand_id") <= F.col("max_doc_id")),
+        "left_semi",
+    )
+    if cdc is None:
+        present = decode_segments(hit, with_positions=False)
+    else:
+        present = decode_segments(hit, with_positions=False, codec=cdc)
+    return cand.join(
+        present.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
 
 
 def merge_segments(
@@ -157,19 +197,41 @@ def merge_segments(
                 gens = m.lineage.get("deletes_gens", [])
                 return F.col("gen").isin([int(g) for g in gens]) if gens else F.lit(False)
 
-            countable = deletes.where(
-                reduce(
-                    lambda a, b: a | b,
-                    [_rng(m) & ~_applied(m) for m in metas],
-                )
-            ).select("doc_id").distinct()
-            already = deletes.where(
-                reduce(
-                    lambda a, b: a | b,
-                    [_rng(m) & _applied(m) for m in metas],
-                )
-            ).select("doc_id").distinct()
-            n_deleted = countable.join(already, "doc_id", "left_anti").count()
+            # A meta WITHOUT the deletes_gens key predates gen-aware
+            # lineage: which tombstone generations it already applied is
+            # UNKNOWN, so id-based counting could subtract an
+            # already-applied (already-subtracted) tombstone a second time
+            # and drift docs_cnt low.  For those ranges, fall back to
+            # presence-based counting: a tombstone only counts if its doc
+            # still physically exists in the segment's blocks.  (Fresh
+            # segments write deletes_gens=[] explicitly, so the id-based
+            # path — which alone subtracts zero-token docs correctly —
+            # stays the norm.)
+            aware = [m for m in metas if "deletes_gens" in m.lineage]
+            legacy = [m for m in metas if "deletes_gens" not in m.lineage]
+            parts = []
+            if aware:
+                countable = deletes.where(
+                    reduce(
+                        lambda a, b: a | b,
+                        [_rng(m) & ~_applied(m) for m in aware],
+                    )
+                ).select("doc_id").distinct()
+                already = deletes.where(
+                    reduce(
+                        lambda a, b: a | b,
+                        [_rng(m) & _applied(m) for m in aware],
+                    )
+                ).select("doc_id").distinct()
+                parts.append(countable.join(already, "doc_id", "left_anti"))
+            if legacy:
+                lcond = reduce(lambda a, b: a | b, [_rng(m) for m in legacy])
+                cand = deletes.where(lcond).select("doc_id").distinct()
+                parts.append(_present_tombstones(blocks, cand, legacy, cdc))
+            merged_cnt = parts[0]
+            for p in parts[1:]:
+                merged_cnt = merged_cnt.unionByName(p)
+            n_deleted = merged_cnt.distinct().count()
 
     # One chunk width AND one codec per output segment: re-encoded blocks
     # use the inputs' common chunk_bits/codec so reused + re-encoded blocks

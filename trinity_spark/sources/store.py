@@ -801,3 +801,21 @@ class _PinnedSnapshotStore(SegmentStore):
             f"{json.loads(self._pinned_blob).get('snapshot_id')}; writes must "
             "go through the live SegmentStore"
         )
+
+    # gc()/expire_snapshots() walk read_manifest() to decide which files are
+    # live; on a pinned (stale) view they would treat the snapshot as current
+    # and could delete segments only the LIVE manifest references — a
+    # destructive write in read-only clothing.  Raise, same as
+    # _write_manifest.
+    def gc(self) -> list:
+        raise RuntimeError(
+            "gc() on a pinned snapshot view would reclaim against a stale "
+            "manifest; run it on the live SegmentStore"
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list:
+        raise RuntimeError(
+            "expire_snapshots() on a pinned snapshot view would prune "
+            "history against a stale manifest; run it on the live "
+            "SegmentStore"
+        )

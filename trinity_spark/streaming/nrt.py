@@ -74,6 +74,7 @@ def append_micro_segment(
         docs_cnt=n,
         lineage={"input": input_desc, "doc_range": [base, base + n],
                  "chunk_bits": chunk_bits, "codec": codec,
+                 "deletes_gens": [],
                  "engine_version": __version__, "mode": "nrt-append"},
         metrics={},
     )
@@ -146,6 +147,7 @@ def replace_documents(
             docs_cnt=n,
             lineage={"input": input_desc, "doc_range": [base, base + n],
                      "chunk_bits": chunk_bits, "codec": codec,
+                     "deletes_gens": [],
                      "engine_version": __version__, "mode": "nrt-append",
                      "replace": True},
             metrics={},
