@@ -1,15 +1,15 @@
 #!/usr/bin/env python
 """Headline benchmark: index-build throughput + BM25 query latency + scaling.
 
-Prints ONE JSON line (slim: headline, per-query cold/warm walls, scaling
-pair efficiencies, merge + gate sections):
+Prints ONE JSON line (headline, <1 KB so no log-tail capture can cut it):
   {"metric": "index_build_plus_queryset_sec", "value": N, "unit": "sec",
-   "queries": {qid: sec, ...}, "sf": F,
-   "build": {"turns": n, "wall_sec": s, "turns_per_sec": r},
-   "scaling": {"efficiency": e, "pairs": [...], ...}}
-The FULL result object (raw walls, steal forensics, per-query routed paths)
-is ALSO written to ``bench_result.json`` next to this file, so the evidence
-stays machine-readable even if a log-tail capture truncates stdout.
+   "sf": F, "queries": {qid: cold_sec, ...}, "query_p50_sec": p,
+   "query_p50_warm_sec": w, "build_turns_per_sec": r,
+   "scaling_efficiency": e, "detail_file": "bench_result.json"}
+The FULL result object (raw walls, steal forensics, per-query routed paths,
+merge / gate / codec / XL / dataops / embedding sections) is written to
+``bench_result.json`` next to this file — that file is the evidence of
+record; stdout is only the headline.
 Warm query walls are each the median of 3 same-session runs (steal-robust).
 
 The corpus is the deterministic synthetic transcript table (BASELINE.json
@@ -577,10 +577,13 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_result.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
-    # stdout gets a SLIM object (headline + per-query walls + scaling pairs +
-    # merge + gate decisions, minus raw wall dumps / steal forensics) so the
-    # one JSON line stays small enough that no tail capture can cut it
-    print(json.dumps(_slim(result)))
+    # stdout gets ONE TINY line (<1 KB): headline + per-query cold walls +
+    # the north-rule scaling efficiency + a pointer to the detail file.
+    # BENCH_r03/r04.json both came back parsed=null because the previous
+    # "slim" object (gate maps, scaling pairs, optional sections) still
+    # overflowed the driver's log-tail capture — everything beyond the
+    # headline now lives ONLY in bench_result.json.
+    print(json.dumps(_headline(result)))
 
 
 def _cache_file(name: str) -> str:
@@ -620,74 +623,25 @@ def _postings_bytes(index_dir: str) -> int:
     return total
 
 
-def _slim(r: dict) -> dict:
-    out = {k: v for k, v in r.items() if k not in ("scaling", "pruning")}
+def _headline(r: dict) -> dict:
+    """The single stdout JSON line.  MUST stay under ~1 KB: the driver
+    captures a bounded log tail and anything larger is recorded as
+    parsed=null (the BENCH_r03/r04 failure mode).  Per-query COLD walls
+    only; everything else is one scalar each."""
     sc = r.get("scaling") or {}
-    if sc:
-        out["scaling"] = {
-            "efficiency": sc.get("efficiency"),
-            "efficiency_minwall": sc.get("efficiency_minwall"),
-            "segment_phase_efficiency": sc.get("segment_phase_efficiency"),
-            "pairs": sc.get("pair_efficiencies"),
-            "scaling_turns": sc.get("scaling_turns"),
-            "parallelism_ratio": sc.get("parallelism_ratio"),
-        }
-    else:
-        out["scaling"] = {}
-    p = r.get("pruning") or {}
-    gates = p.get("gates") or {}
-    bmx = gates.get("q_bmx_pruned_or") or {}
-    win = p.get("gate_open_win") or {}
-    out["pruning"] = {
-        "routed_paths": {
-            k: (v or {}).get("path") for k, v in gates.items()
-        },
-        "gate_closed_reason": (bmx.get("gate") or {}).get("reason"),
-        "gate_open_win": {
-            k: win.get(k)
-            for k in (
-                "query", "kept_chunks", "total_chunks", "threshold",
-                "rank_identical", "win", "routed_path",
-            )
-        }
-        if win
-        else {},
+    build = r.get("build") or {}
+    out = {
+        "metric": r.get("metric"),
+        "value": r.get("value"),
+        "unit": r.get("unit"),
+        "sf": r.get("sf"),
+        "queries": {q: round(w, 3) for q, w in (r.get("queries") or {}).items()},
+        "query_p50_sec": r.get("query_p50_sec"),
+        "query_p50_warm_sec": r.get("query_p50_warm_sec"),
+        "build_turns_per_sec": build.get("turns_per_sec"),
+        "scaling_efficiency": sc.get("efficiency"),
+        "detail_file": "bench_result.json",
     }
-    ca = r.get("codec_ab") or {}
-    if ca.get("enabled"):
-        out["codec_ab"] = {
-            "enabled": True,
-            "cached": ca.get("cached", False),
-            "corpus_turns": ca.get("corpus_turns"),
-            **{
-                w: {
-                    "build_wall_sec": ca[w]["build_wall_sec"],
-                    "postings_bytes": ca[w]["postings_bytes"],
-                    "q_warm_p50": round(
-                        statistics.median(ca[w]["queries_warm"].values()), 3
-                    ),
-                }
-                for w in ("varbyte", "pfor")
-            },
-        }
-    do = r.get("dataops") or {}
-    if do.get("enabled") and not do.get("error"):
-        out["dataops"] = {
-            "enabled": True,
-            "cached": do.get("cached", False),
-            "n_docs": do.get("n_docs"),
-            **{
-                op: {
-                    "wall_sec": (do.get(op) or {}).get("wall_sec"),
-                    "docs_per_sec": (do.get(op) or {}).get("docs_per_sec"),
-                }
-                for op in (
-                    "substring_dup_stats", "remove_duplicate_spans", "curate"
-                )
-            },
-            "percolate_100q": do.get("percolate_100q"),
-        }
-    out["detail_file"] = "bench_result.json"
     return out
 
 
