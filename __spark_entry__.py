@@ -549,6 +549,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         indexed, cents = ivf_index(vecs.where(F.col("vec_id") != 0), n_lists=8, iters=1)
         return ivf_topk(indexed, cents, query, k=10, n_probe=8)
 
+    def ann_ivf_partitioned(spark, sf):
+        # The 100 TB ANN query route: the IVF-assigned table persisted
+        # PARTITIONED BY list_id (write_ivf_partitioned), then a PARTIAL
+        # probe (3 of 8 lists) whose list_id IN (...) predicate is satisfied
+        # by Spark PARTITION PRUNING — non-probed lists' files never open.
+        # iters=0 => centroids are exactly the md5-sampled init vectors, so
+        # the oracle re-derives assignment AND probe selection in SQL and
+        # scans only the probed lists (not the full corpus): this checks the
+        # pruned path itself, not its agreement with brute force.
+        import tempfile
+
+        from trinity_spark.dataops.similarity import (
+            ivf_index,
+            ivf_topk_partitioned,
+            write_ivf_partitioned,
+        )
+
+        vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+        query = [float(x) for x in vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        indexed, cents = ivf_index(vecs.where(F.col("vec_id") != 0), n_lists=8, iters=0)
+        path = tempfile.mkdtemp(prefix="trinity_ivf_part_") + "/ivf"
+        write_ivf_partitioned(indexed, path)
+        return ivf_topk_partitioned(spark, path, cents, query, k=10, n_probe=3)
+
     def embedding_near_dup(spark, sf):
         # Embedding-cosine near-duplicate pairs: 12-bit signature, two 6-bit
         # bands, exact verify.  The harness corpus has no true near-dups
@@ -777,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = pack_sequences_bins
     q["ann_lsh_topk"] = ann_lsh_topk
     q["ann_ivf_topk"] = ann_ivf_topk
+    q["ann_ivf_partitioned"] = ann_ivf_partitioned
     q["ann_batch_topk"] = ann_batch_topk
     q["embedding_near_dup"] = embedding_near_dup
     q["semantic_dedup_pairs"] = semantic_dedup_pairs
@@ -1805,6 +1830,57 @@ LIMIT 10
     # Full-probe IVF == exact brute force (every vector lives in exactly one
     # list), so the oracle is the brute-force cosine top-k.
     o["ann_ivf_topk"] = o["ann_cosine_topk"]
+
+    # Partial-probe partitioned IVF: the oracle re-derives the ENTIRE pruned
+    # path — init centroids (the 8 vectors with smallest md5(vec_id), i.e.
+    # ivf_index iters=0), argmax-cosine assignment (ties to the HIGHER list
+    # id, matching _argmax_cosine's struct ordering), probe selection (3
+    # centroids nearest the query, ties to the LOWER id, _probe_order) — and
+    # scores ONLY vectors assigned to probed lists.
+    o["ann_ivf_partitioned"] = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id <> 0),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS list_id,
+         v AS centroid
+  FROM ev
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 8
+),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.centroid)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.list_id DESC
+           ) AS rn
+    FROM ev e CROSS JOIN init c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c.list_id
+  FROM init c, q
+  ORDER BY list_dot_product(c.centroid, q.qv)
+           / (sqrt(list_dot_product(c.centroid, c.centroid))
+              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           c.list_id ASC
+  LIMIT 3
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM ev e
+JOIN asg a ON a.vec_id = e.vec_id
+JOIN probes p ON p.list_id = a.list_id, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
 
     o["embedding_near_dup"] = f"""
 WITH {_lsh_sig_ctes(12)},
