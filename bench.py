@@ -646,16 +646,26 @@ def _headline(r: dict) -> dict:
 
 
 def run_xl_section(cpus: int, sub_build) -> dict:
-    """Optional 10M-turn scale-headroom section (TRINITY_BENCH_XL=1): build
-    throughput at 10x the headline corpus + 4 query classes + the pruning
-    gate decisions at that df profile — the CHANGES_r03 one-off headroom
-    checks promoted into a reproducible artifact section."""
+    """Optional 10M-turn scale-headroom section (TRINITY_BENCH_XL=1):
+
+    - build throughput at 10x the headline corpus,
+    - 5 query classes, cold + warm (median of 3) walls, routed paths,
+    - for BOTH AND shapes (q_skew: mid-df members, flat-routed by the
+      crossover gate; q_skew_probe: rare phrase + stopword, probe-routed):
+      the routed plan vs the forced single pass, wall + RANK IDENTITY,
+    - a genuinely gate-OPEN block-max pruned OR at this df profile
+      (rare anchor + stopword), routed vs flat, rank identity, kept chunks,
+    - a 10M-doc segment merge with tombstones (byte-reuse economics),
+    - MinHash near-dup pairs over the 10M-doc corpus with planted dups
+      (TRINITY_BENCH_XL_DEDUP_DOCS overrides the doc count)."""
     xl_turns = 10_000_000
     idx = os.path.join(BENCH_ROOT, f"index_c{cpus}_{xl_turns}")
     try:
         build = sub_build(cpus, xl_turns)
     except Exception as e:  # keep the main artifact alive on OOM/timeout
         return {"enabled": True, "error": str(e)[:500]}
+    from pyspark.sql import functions as F
+
     from trinity_spark.operators.indexer import SegmentIndex
     from trinity_spark.plans.planner import QueryPlanner
     from trinity_spark.session import get_spark
@@ -665,28 +675,192 @@ def run_xl_section(cpus: int, sub_build) -> dict:
                       shuffle_partitions=cpus)
     planner = QueryPlanner(SegmentIndex(spark, SegmentStore(idx)))
     planner.plan("zzzwarmupnonterm", k=1).collect()
+
+    def _timed(fn, reps: int = 3) -> tuple[float, float, list]:
+        """(cold_wall, warm_median_wall, last_rows)."""
+        t0 = time.monotonic()
+        rows = fn()
+        cold = time.monotonic() - t0
+        warms = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            rows = fn()
+            warms.append(time.monotonic() - t0)
+        return round(cold, 3), round(statistics.median(warms), 3), rows
+
     queries = {
         "q_term": "error",
         "q_and": "error AND timeout",
         "q_phrase": '"rate limit"',
+        # mid-df phrase members (12% doc density): the crossover gate routes
+        # FLAT — the fused single pass beats two-pass at 2.3x dominance
         "q_skew": 'the AND "rate limit"',
+        # rare phrase (~2.7%-density members) + stopword: probe tier pays
+        "q_skew_probe": 'the AND "w0100 w0101"',
     }
-    walls, gates = {}, {}
+    walls, walls_warm, gates, rows_by_q = {}, {}, {}, {}
     for qid, q in queries.items():
-        t0 = time.monotonic()
-        planner.plan(q, k=10).collect()
-        walls[qid] = round(time.monotonic() - t0, 3)
+        cold, warm, rows = _timed(
+            lambda q=q: [
+                (r["doc_id"], r["score"])
+                for r in planner.plan(q, k=10).collect()
+            ]
+        )
+        walls[qid], walls_warm[qid] = cold, warm
+        rows_by_q[qid] = rows
         gates[qid] = dict(planner.last_route)
-    return {
+
+    # routed vs forced-single-pass, rank identity asserted (the two AND
+    # shapes PLUS the gate-open OR below are the "both paths measured, same
+    # answer" evidence the scale story rests on)
+    vs_flat = {}
+    for qid in ("q_skew", "q_skew_probe"):
+        q = queries[qid]
+        _, flat_warm, flat_rows = _timed(
+            lambda q=q: [
+                (r["doc_id"], r["score"])
+                for r in planner.plan(q, k=10, block_pruning=False).collect()
+            ]
+        )
+        vs_flat[qid] = {
+            "routed_warm_sec": walls_warm[qid],
+            "flat_warm_sec": flat_warm,
+            "routed_path": gates[qid].get("path"),
+            "tier": (gates[qid].get("gate") or {}).get("tier"),
+            "rank_identical": rows_by_q[qid] == flat_rows,
+            "win": round(flat_warm / walls_warm[qid], 2)
+            if walls_warm[qid]
+            else None,
+        }
+
+    # gate-OPEN pruned OR at XL geometry: rare planted anchor + top stopword
+    from trinity_spark.operators.topk import pruned_or_topk
+
+    or_terms = ["qqrareanchor", "the"]
+    cold, pr_warm, pr_rows = _timed(
+        lambda: [
+            (r["doc_id"], r["score"])
+            for r in planner.plan(" OR ".join(or_terms), k=10).collect()
+        ]
+    )
+    or_route = dict(planner.last_route)
+    _, or_flat_warm, or_flat_rows = _timed(
+        lambda: [
+            (r["doc_id"], r["score"])
+            for r in planner.plan(
+                " OR ".join(or_terms), k=10, block_pruning=False
+            ).collect()
+        ]
+    )
+    _, rep = pruned_or_topk(
+        spark, planner.index, or_terms, k=10, return_report=True
+    )
+    pruned_or = {
+        "query": " OR ".join(or_terms),
+        "routed_path": or_route.get("path"),
+        "routed_warm_sec": pr_warm,
+        "flat_warm_sec": or_flat_warm,
+        "rank_identical": pr_rows == or_flat_rows,
+        "win": round(or_flat_warm / pr_warm, 2) if pr_warm else None,
+        "kept_chunks": rep.kept_chunks,
+        "total_chunks": rep.total_chunks,
+        "threshold": round(rep.threshold, 4),
+    }
+
+    out = {
         "enabled": True,
         "build": build,
         "queries": walls,
+        "queries_warm": walls_warm,
         "gates": {
             k: {"path": v.get("path"),
+                "tier": (v.get("gate") or {}).get("tier"),
                 "reason": (v.get("gate") or {}).get("reason")}
             for k, v in gates.items()
         },
+        "vs_flat": vs_flat,
+        "pruned_or": pruned_or,
     }
+
+    # 10M merge with tombstones: copy the store (the cached index must stay
+    # query-shaped for later runs), delete 1000 docs, full merge, record the
+    # byte-reuse economics
+    try:
+        merge_dir = os.path.join(BENCH_ROOT, "xl_merge_copy")
+        shutil.rmtree(merge_dir, ignore_errors=True)
+        shutil.copytree(idx, merge_dir)
+        from trinity_spark.operators.merge import merge_segments
+
+        mstore = SegmentStore(merge_dir)
+        mstore.add_deletes(spark, list(range(5000, 10_000_000, 10_000)))
+        t0 = time.monotonic()
+        meta = merge_segments(spark, mstore)
+        mwall = time.monotonic() - t0
+        out["merge"] = {
+            "docs": meta.docs_cnt,
+            "wall_sec": round(mwall, 2),
+            "docs_per_sec": round(meta.docs_cnt / mwall, 1),
+            "blocks_reused": meta.metrics.get("blocks_reused"),
+            "blocks_reencoded": meta.metrics.get("blocks_reencoded"),
+            "reuse_ratio": round(
+                meta.metrics.get("blocks_reused", 0)
+                / max(
+                    meta.metrics.get("blocks_reused", 0)
+                    + meta.metrics.get("blocks_reencoded", 0),
+                    1,
+                ),
+                4,
+            ),
+            "deletes_applied": meta.lineage.get("deletes_applied"),
+        }
+        shutil.rmtree(merge_dir, ignore_errors=True)
+    except Exception as e:
+        out["merge"] = {"error": str(e)[:500]}
+
+    # MinHash near-dup pairs at 10M docs, with planted duplicates (1% exact
+    # clones + 1% one-token-perturbed clones) so the pair count is
+    # non-trivial; cap at 256 per LSH bucket (logged inside the operator)
+    try:
+        from trinity_spark.dataops.dedup import minhash_near_duplicates
+
+        n_dedup = int(
+            os.environ.get("TRINITY_BENCH_XL_DEDUP_DOCS", str(xl_turns))
+        )
+        corpus = _corpus_path(xl_turns)
+        docs = spark.read.parquet(corpus).select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        if n_dedup < xl_turns:
+            # deterministic hash subset — a limit() would serialize the scan
+            docs = docs.where(
+                F.pmod(F.col("doc_id"), F.lit(max(xl_turns // n_dedup, 1)))
+                == 0
+            )
+        clones = docs.where(F.pmod(F.col("doc_id"), F.lit(100)) == 0).select(
+            F.xxhash64("doc_id").alias("doc_id"), "text"
+        )
+        near = docs.where(F.pmod(F.col("doc_id"), F.lit(100)) == 1).select(
+            F.xxhash64("doc_id", F.lit(2)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" perturbedtail")).alias("text"),
+        )
+        all_docs = docs.unionByName(clones).unionByName(near).persist()
+        n_total = all_docs.count()  # materialize inputs outside the timer
+        t0 = time.monotonic()
+        n_pairs = minhash_near_duplicates(
+            all_docs, num_hashes=16, bands=4, max_bucket_size=256
+        ).count()
+        dwall = time.monotonic() - t0
+        all_docs.unpersist()
+        out["minhash_dedup"] = {
+            "docs": int(n_total),
+            "pairs": int(n_pairs),
+            "wall_sec": round(dwall, 2),
+            "docs_per_sec": round(n_total / dwall, 1),
+            "planted_frac": 0.02,
+        }
+    except Exception as e:
+        out["minhash_dedup"] = {"error": str(e)[:500]}
+    return out
 
 
 def run_dataops_section(cpus: int) -> dict:
@@ -1181,16 +1355,61 @@ def _xl_md(x: dict) -> str:
     )
     b = x.get("build", {})
     qrows = "\n".join(
-        f"| {qid} | {wall} | {(x.get('gates', {}).get(qid) or {}).get('path')} |"
+        f"| {qid} | {wall} | {(x.get('queries_warm') or {}).get(qid, '')} "
+        f"| {(x.get('gates', {}).get(qid) or {}).get('path')} "
+        f"| {(x.get('gates', {}).get(qid) or {}).get('tier') or ''} |"
         for qid, wall in (x.get("queries") or {}).items()
     )
-    return (
+    md = (
         note
         + f"Build: {b.get('turns')} turns in {b.get('wall_sec')} s on "
         f"local[{b.get('cpus')}] = **{b.get('turns_per_sec')} turns/sec** "
         f"({b.get('segments')} segments).\n\n"
-        "| query | cold wall_sec | routed path |\n|---|---|---|\n" + qrows
+        "| query | cold | warm (med3) | routed path | tier |\n"
+        "|---|---|---|---|---|\n" + qrows
     )
+    vf = x.get("vs_flat") or {}
+    if vf:
+        md += (
+            "\n\nRouted vs forced single pass (warm, rank identity"
+            " asserted):\n\n"
+            "| query | routed | flat | win | identical |\n|---|---|---|---|---|\n"
+            + "\n".join(
+                f"| {qid} ({v.get('tier') or v.get('routed_path')}) "
+                f"| {v['routed_warm_sec']} | {v['flat_warm_sec']} "
+                f"| {v['win']}x | {v['rank_identical']} |"
+                for qid, v in vf.items()
+            )
+        )
+    po = x.get("pruned_or") or {}
+    if po and not po.get("error"):
+        md += (
+            f"\n\nGate-OPEN pruned OR at XL (`{po.get('query')}`): routed "
+            f"{po.get('routed_warm_sec')} s vs flat {po.get('flat_warm_sec')} s "
+            f"(**{po.get('win')}x**, rank_identical={po.get('rank_identical')}, "
+            f"kept {po.get('kept_chunks')}/{po.get('total_chunks')} chunks, "
+            f"T={po.get('threshold')})."
+        )
+    mg = x.get("merge") or {}
+    if mg and not mg.get("error"):
+        md += (
+            f"\n\n10M merge (with {mg.get('deletes_applied')} tombstones): "
+            f"{mg.get('docs')} docs in {mg.get('wall_sec')} s = "
+            f"**{mg.get('docs_per_sec')} docs/s**, byte-reuse "
+            f"{mg.get('reuse_ratio', 0) * 100:.1f}% "
+            f"({mg.get('blocks_reused')} reused / "
+            f"{mg.get('blocks_reencoded')} re-encoded)."
+        )
+    dd = x.get("minhash_dedup") or {}
+    if dd and not dd.get("error"):
+        md += (
+            f"\n\nMinHash near-dup at XL: {dd.get('docs')} docs "
+            f"(~{dd.get('planted_frac', 0) * 100:.0f}% planted dups) -> "
+            f"{dd.get('pairs')} pairs in {dd.get('wall_sec')} s = "
+            f"**{dd.get('docs_per_sec')} docs/s** (16 hashes, 4 bands, "
+            "bucket cap 256)."
+        )
+    return md
 
 
 def _dataops_md(d: dict) -> str:

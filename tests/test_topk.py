@@ -101,7 +101,8 @@ def test_gate_opens_when_df_profile_pays(spark, built, monkeypatch):
     index, corpus = built
     df = QueryPlanner(index).plan("qqfluxcapacitor OR zxqv OR the", k=5)
     plan = _plan_str(df)
-    assert "chunk" in plan  # block scan restricted to surviving chunks
+    # block scan restricted to blocks covering surviving spans
+    assert "span" in plan and "LeftSemi" in plan
     oracle = OracleIndex.build(docs_in_stable_order(corpus))
     want = oracle.topk(
         Or((Token("qqfluxcapacitor"), Token("zxqv"), Token("the"))), k=5
@@ -110,19 +111,22 @@ def test_gate_opens_when_df_profile_pays(spark, built, monkeypatch):
     assert [d for d, _ in rows] == [d for d, _ in want]
 
 
-def test_rare_and_chunk_restriction_exact(spark, built, monkeypatch):
-    """AND-with-rare-term: restricting the scan to the rare term's chunks is
-    exact (every match contains the rare term) and visible in the plan."""
+def test_rare_and_span_restriction_exact(spark, built, monkeypatch):
+    """AND-with-rare-term (meta_span tier): restricting the scan to blocks
+    intersecting the rare term's covered spans is exact (every match
+    contains the rare term) and visible in the plan as the block-key
+    semi-join."""
     from trinity_spark.operators import topk as topk_mod
     from trinity_spark.plans.ast import And
     from trinity_spark.plans.planner import QueryPlanner
 
     monkeypatch.setattr(topk_mod, "AND_PRUNE_MIN_DF", 1)
-    monkeypatch.setattr(topk_mod, "PRUNE_MIN_SKEW", 1.0)
     index, corpus = built
-    df = QueryPlanner(index).plan("the AND qqfluxcapacitor", k=5)
+    planner = QueryPlanner(index)
+    df = planner.plan("the AND qqfluxcapacitor", k=5)
+    assert planner.last_route["gate"]["tier"] == "meta_span"
     plan = _plan_str(df)
-    assert "chunk" in plan
+    assert "block_id" in plan and "LeftSemi" in plan
     oracle = OracleIndex.build(docs_in_stable_order(corpus))
     want = oracle.topk(And((Token("the"), Token("qqfluxcapacitor"))), k=5)
     rows = [(r["doc_id"], r["score"]) for r in df.collect()]
@@ -156,7 +160,7 @@ def test_gate_report_and_last_route_surface(spark, built, monkeypatch):
     # AND gate reports its own type
     planner.plan("the AND error", k=5)
     r = planner.last_route
-    assert r["gate"]["type"] == "and_chunk_restrict"
+    assert r["gate"]["type"] == "and_span_restrict"
     assert r["path"] in ("single_pass", "rare_and")
 
 
@@ -170,22 +174,80 @@ def test_single_term_falls_back(spark, built):
     assert report.total_chunks == 0  # fallback path
 
 
-def test_rare_phrase_and_chunk_restriction_exact(spark, built, monkeypatch):
+def test_rare_phrase_and_span_restriction_exact(spark, built, monkeypatch):
     """AND with a rare PHRASE branch (the q_skew shape): any member term of a
-    required branch restricts the whole AND's chunks — exact and visible."""
+    required branch restricts the whole AND's spans — exact and visible."""
     from trinity_spark.operators import topk as topk_mod
     from trinity_spark.plans.parser import parse_query
     from trinity_spark.plans.planner import QueryPlanner
 
     monkeypatch.setattr(topk_mod, "AND_PRUNE_MIN_DF", 1)
-    monkeypatch.setattr(topk_mod, "PRUNE_MIN_SKEW", 1.0)
     index, corpus = built
     node = parse_query("the AND zxqv-marker-7")
-    df = QueryPlanner(index).plan(node, k=5)
-    assert "chunk" in _plan_str(df)
+    planner = QueryPlanner(index)
+    df = planner.plan(node, k=5)
+    assert planner.last_route["path"] == "rare_and"
+    assert "LeftSemi" in _plan_str(df)
     oracle = OracleIndex.build(docs_in_stable_order(corpus))
     want = oracle.topk(node, k=5)
     rows = [(r["doc_id"], r["score"]) for r in df.collect()]
     assert [d for d, _ in rows] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(rows, want):
         assert abs(gs - ws) <= 1e-9
+
+
+def test_probe_tier_phrase_measures_phrase_rarity(spark, built, monkeypatch):
+    """Probe tier (the q_skew scale path): the rarest MEMBER TERM is too
+    common for meta_span, but the expensive branch dominates, so pass 1
+    evaluates the cheap branch exactly — a PHRASE's measured match set, not
+    its member dfs — and its spans restrict the stopword's blocks.  Result
+    must be rank-identical to the oracle, and the runtime gate record must
+    show the measured span counts."""
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.plans.parser import parse_query
+    from trinity_spark.plans.planner import QueryPlanner
+
+    monkeypatch.setattr(topk_mod, "AND_PRUNE_MIN_DF", 1)
+    monkeypatch.setattr(topk_mod, "META_KEEP_MAX", 0.0)  # force past meta tier
+    monkeypatch.setattr(topk_mod, "PROBE_DOMINANCE", 1.01)
+    index, corpus = built
+    node = parse_query('the AND "rate limit"')
+    planner = QueryPlanner(index)
+    df = planner.plan(node, k=5)
+    gate = planner.last_route["gate"]
+    assert gate["tier"] == "probe", gate
+    rows = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert gate["bailed"] in (False, True)
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    want = oracle.topk(node, k=5)
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(rows, want):
+        assert abs(gs - ws) <= 1e-9
+    if not gate["bailed"]:
+        assert 0 < gate["probe_spans"] <= gate["total_spans"]
+
+
+def test_probe_tier_bails_when_candidates_dense(spark, built, monkeypatch):
+    """When pass 1 measures candidate spans covering most of the corpus the
+    probe path must BAIL to the single-pass plan (still exact) and record
+    it — the adaptive safety net for mispredicted phrase rarity."""
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.plans.parser import parse_query
+    from trinity_spark.plans.planner import QueryPlanner
+
+    monkeypatch.setattr(topk_mod, "AND_PRUNE_MIN_DF", 1)
+    monkeypatch.setattr(topk_mod, "META_KEEP_MAX", 0.0)
+    monkeypatch.setattr(topk_mod, "PROBE_DOMINANCE", 1.0)
+    monkeypatch.setattr(topk_mod, "PROBE_BAIL_KEEP", 0.0)  # any span -> bail
+    index, corpus = built
+    node = parse_query("the AND error")
+    planner = QueryPlanner(index)
+    df = planner.plan(node, k=5)
+    gate = planner.last_route["gate"]
+    assert gate["tier"] == "probe" and gate["bailed"] is True
+    assert planner.last_route["path"] == "single_pass"
+    assert "bailed to single-pass" in gate["reason"]
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    want = oracle.topk(node, k=5)
+    rows = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want]

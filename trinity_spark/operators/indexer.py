@@ -37,9 +37,17 @@ from pyspark.sql import functions as F
 from .. import __version__
 from ..sources.store import SegmentMeta, SegmentStore
 from .build import field_stats_from_blocks, term_dict_from_blocks
-from .docids import assign_doc_ids_counted
+from .docids import BROADCAST_MAX_CONVS, assign_doc_ids_counted
 from .fastbuild import blocks_from_turns
 from .segments import CHUNK_BITS, decode_segments
+
+# Above this corpus size the docid map always gets the doc-range layout
+# shuffle, segment count notwithstanding: the assignment join may have hash-
+# shuffled by conv_id (docids.BROADCAST_MAX_CONVS), and doc-interleaved
+# encoder partitions produce wide-delta, skip-proof blocks (see the comment
+# at the write_docid_map call).  Below it, corpora are broadcast-joined and
+# already doc-contiguous per partition, so the shuffle is pure cost.
+_LAYOUT_MIN_DOCS = 1 << 20
 
 
 def build_index(
@@ -220,10 +228,23 @@ def _build_index_inner(
     elif not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS")):
         with_ids, n_docs = assign_doc_ids_counted(turns)
         rows_per_segment = _rps(n_docs)
-        # the doc-range layout shuffle only pays when >1 segment will re-read
-        # range slices of the map; a single segment scans it all once anyway
+        # Doc-range layout pays twice: (1) >1 segment re-reads range slices
+        # of the map, and (2) — the one that matters even for a single
+        # segment — BLOCK GEOMETRY.  Past BROADCAST_MAX_CONVS the doc-id
+        # assignment join is a conv_id HASH shuffle, so without the range
+        # layout each encoder partition holds docs sampled from the WHOLE
+        # corpus: blocks come out thousands of docs wide with huge deltas
+        # (measured at 10M turns: avg block width 6.4k docs for a stopword,
+        # 26k for mid-df terms, duplicate partial blocks per (term, chunk)),
+        # which kills every skip structure (chunk/span restriction,
+        # block-max bounds are all vacuous) and bloats the varbyte wire.
+        # The reference's postings are doc-ordered by construction
+        # (indexer.cpp:395-420 posting sort); the range shuffle is our
+        # equivalent invariant, so it is NOT optional at scale.
         store.write_docid_map(
-            with_ids, n_docs=n_docs, layout=n_docs > rows_per_segment
+            with_ids,
+            n_docs=n_docs,
+            layout=n_docs > min(rows_per_segment, _LAYOUT_MIN_DOCS),
         )
         docmap = store.read_docid_map(spark)
     else:
@@ -275,6 +296,19 @@ def _build_index_inner(
             # scan (the computed doc_id filter above cannot)
             c_lo, c_hi = seg_conv_bounds[lo // rows_per_segment]
             seg_turns = seg_turns.where(F.col("conv_id").between(c_lo, c_hi))
+            if (
+                store.read_manifest()["docid_map"].get("n_convs", 0)
+                > BROADCAST_MAX_CONVS
+            ):
+                # attach_doc_ids fell back to a conv_id HASH join: without a
+                # range repartition every encoder partition holds docs from
+                # the whole segment and blocks come out thousands of docs
+                # wide (skip-proof, wide deltas — see the materialized-path
+                # comment above).  One extra shuffle restores the doc-order
+                # invariant the reference gets by construction.
+                seg_turns = seg_turns.repartitionByRange(
+                    max(spark.sparkContext.defaultParallelism, 4), "doc_id"
+                )
         _p(f"segment {sid} start", t0)
         # fused tokenize->postings->encode: ONE pass, zero data shuffles;
         # dictionary + stats come off block metadata (also shuffle-light)

@@ -338,20 +338,19 @@ class QueryPlanner:
             # stats come from the driver-side df cache (SegmentIndex) — the
             # gate itself costs no Spark job after the first query
             stats = self.index.stats_for(terms)
-            cb = getattr(self.index, "chunk_bits", 16)
             if (
                 isinstance(node, Or)
                 and k >= 1  # k=0 has no pruning threshold; single pass
                 and doc_filter is None
-                and self.similarity is None  # the chunk bound is BM25-shaped
+                and self.similarity is None  # the span bound is BM25-shaped
                 # duplicate term strings (e.g. 'a a OR a OR b' survives
                 # normalize as two a-branches) would double-count in the
-                # scorer while the chunk bound single-counts — and the
+                # scorer while the span bound single-counts — and the
                 # pruned path's idf map would hit a duplicate key; route
                 # such queries through the always-correct single pass
                 and len(set(terms)) == len(terms)
             ):
-                rep = or_gate_report(stats, terms, k, chunk_bits=cb)
+                rep = or_gate_report(stats, terms, k)
                 self.last_route = {
                     "path": "pruned_or" if rep["open"] else "single_pass",
                     "gate": dict(rep, type="or_block_max"),
@@ -359,17 +358,24 @@ class QueryPlanner:
                 if rep["open"]:
                     return pruned_or_topk(spark, self.index, terms, k, node=node)
             if isinstance(node, And):
-                rep = and_gate_report(stats, terms, chunk_bits=cb)
+                rep = and_gate_report(stats, node)
+                gate = dict(rep, type="and_span_restrict")
                 self.last_route = {
                     "path": "rare_and" if rep["open"] else "single_pass",
-                    "gate": dict(rep, type="and_chunk_restrict"),
+                    "gate": gate,
                 }
                 if rep["open"]:
-                    # containment-based — valid under any similarity
-                    return rare_and_topk(
+                    # containment-based — valid under any similarity.  The
+                    # gate dict is updated in place with what actually
+                    # happened (probe span counts, bail), so last_route is
+                    # the runtime record, not just the prediction.
+                    out = rare_and_topk(
                         spark, self.index, node, k, doc_filter,
-                        similarity=self.similarity,
+                        similarity=self.similarity, report=gate,
                     )
+                    if gate.get("bailed"):
+                        self.last_route["path"] = "single_pass"
+                    return out
         scored = self.score_all(node)
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
