@@ -980,6 +980,39 @@ def run_dataops_section(cpus: int) -> dict:
             "hits": hits_routed,
             "hits_match_full_scan": True,
         }
+
+        # 5000-query registry — real alerting scale (queries now evaluate in
+        # MAX_COMPILED_QUERIES chunks over the once-tokenized frame).  The
+        # full scan at 5k queries is ~10x the 500q wall, so this leg runs on
+        # a deterministic 1/5 doc subset; the routing economics (win = full
+        # / routed at the SAME inputs, hits asserted equal) are what the
+        # artifact pins.
+        docs5 = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        qs5k = {}
+        for i in range(5000):
+            w = f"w{2000 + (i % 2950):04d}"  # rare-tail routing terms
+            qs5k[f"q{i}"] = [
+                f"{w} AND error",
+                f'"{w} gpu"',
+                f"{w} OR w{2000 + ((i + 7) % 2950):04d}",
+                f"{w} NOT test",
+            ][i % 4]
+        t0 = time.monotonic()
+        hits_full5 = percolate(docs5, qs5k).count()
+        w_full5 = time.monotonic() - t0
+        t0 = time.monotonic()
+        hits_routed5 = percolate_routed(docs5, qs5k).count()
+        w_routed5 = time.monotonic() - t0
+        assert hits_routed5 == hits_full5
+        out["percolate_routed_5000q_rare"] = {
+            "n_queries": len(qs5k),
+            "n_docs": n_docs // 5,
+            "full_scan_wall_sec": round(w_full5, 2),
+            "routed_wall_sec": round(w_routed5, 2),
+            "win": round(w_full5 / max(w_routed5, 1e-9), 2),
+            "hits": hits_routed5,
+            "hits_match_full_scan": True,
+        }
         return out
     except Exception as e:  # keep the main artifact alive on OOM/timeout
         return {"enabled": True, "error": str(e)[:500]}
@@ -1443,6 +1476,15 @@ def _dataops_md(d: dict) -> str:
             f"({pr.get('hits')}) — documents join their tokens against the "
             "broadcast routing table and only candidates reach the compiled "
             "verify; the win is the candidate-doc fraction."
+        )
+    p5 = d.get("percolate_routed_5000q_rare") or {}
+    if p5:
+        routed_txt += (
+            f"\n\nAt {p5.get('n_queries')} registered queries "
+            f"({p5.get('n_docs')} docs, chunk-compiled): full scan "
+            f"{p5.get('full_scan_wall_sec')} s -> routed "
+            f"{p5.get('routed_wall_sec')} s = **{p5.get('win')}x**, "
+            f"identical matches ({p5.get('hits')})."
         )
     return (
         note

@@ -97,3 +97,36 @@ def test_collection_plan_time_actions_batched(spark, tmp_path):
     assert rows and all(
         rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1)
     )
+
+
+def test_collection_par_matches_serial(spark, tmp_path, monkeypatch):
+    """exec_query_collection_par (exec_query_par, exec.h:87-177): identical
+    rows and order to the serial union path over an 8-store collection, and
+    exec_query_collection auto-routes to it at PAR_MIN_STORES."""
+    from trinity_spark.operators import collection as coll
+
+    stores = []
+    for i in range(8):
+        c = gen_transcripts(150, seed=100 + i)
+        st = SegmentStore(str(tmp_path / f"par{i}"))
+        build_index(spark, spark.createDataFrame(c), st, rows_per_segment=150)
+        stores.append(st)
+    q = "error OR timeout"
+    # serial reference: force the union path even at 8 stores
+    monkeypatch.setattr(coll, "PAR_MIN_STORES", 99)
+    want = [
+        (r["source"], r["doc_id"], r["score"])
+        for r in exec_query_collection(spark, stores, q, k=10).collect()
+    ]
+    got = [
+        (r["source"], r["doc_id"], r["score"])
+        for r in coll.exec_query_collection_par(spark, stores, q, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+    # the dispatcher takes the par path at the threshold (same rows)
+    monkeypatch.setattr(coll, "PAR_MIN_STORES", 8)
+    auto = [
+        (r["source"], r["doc_id"], r["score"])
+        for r in exec_query_collection(spark, stores, q, k=10).collect()
+    ]
+    assert auto == want

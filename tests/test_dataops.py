@@ -1463,3 +1463,93 @@ def test_add_lsh_signatures_arrow_custom_id_and_extra_cols(spark):
     }
     with pytest.raises(ValueError, match="id column"):
         similarity.add_lsh_signatures_arrow(df, dim=8, id_col="vec_id")
+
+
+def test_knn_ivf_full_probe_matches_closure_kernel(spark, vectors):
+    """knn_classify_ivf with n_probe = n_lists is EXACT: identical
+    (pred_label, votes) to the closure kernel on every vector — same
+    rounding, same neighbor/vote tie-breaks."""
+    from pyspark.sql import functions as F
+
+    df, rows = vectors
+    labeled = [(int(r[0]), int(r[0]) % 3, r[1]) for r in rows[:40]]
+    lab_df = spark.createDataFrame(
+        [(i, l, v) for i, l, v in labeled],
+        "vec_id long, label long, embedding array<double>",
+    )
+    unl = df.where(F.col("vec_id") >= 40)
+    want = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify(unl, labeled, k=5).collect()
+    }
+    got = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify_ivf(
+            unl, lab_df, k=5, n_lists=8, n_probe=8
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_knn_auto_routes_past_ceiling(spark, vectors, monkeypatch):
+    """Past KNN_CLOSURE_MAX_CELLS the dispatcher must take the IVF route
+    (seed set never collect()ed); with a full probe the labels still match
+    brute force exactly — the 'seed set over the documented ceiling' check
+    with the ceiling lowered to test scale."""
+    from pyspark.sql import functions as F
+
+    df, rows = vectors
+    labeled = [(int(r[0]), int(r[0]) % 3, r[1]) for r in rows[:40]]
+    lab_df = spark.createDataFrame(
+        [(i, l, v) for i, l, v in labeled],
+        "vec_id long, label long, embedding array<double>",
+    )
+    unl = df.where(F.col("vec_id") >= 40)
+    want = {
+        r["vec_id"]: r["pred_label"]
+        for r in similarity.knn_classify(unl, labeled, k=5).collect()
+    }
+    monkeypatch.setattr(similarity, "KNN_CLOSURE_MAX_CELLS", 10)  # 40x8 > 10
+    got = {
+        r["vec_id"]: r["pred_label"]
+        for r in similarity.knn_classify_auto(
+            unl, lab_df, k=5, n_lists=8, n_probe=8
+        ).collect()
+    }
+    assert got == want
+    # below the ceiling the dispatcher uses the closure kernel (same answer)
+    monkeypatch.setattr(similarity, "KNN_CLOSURE_MAX_CELLS", 10**9)
+    got2 = {
+        r["vec_id"]: r["pred_label"]
+        for r in similarity.knn_classify_auto(unl, lab_df, k=5).collect()
+    }
+    assert got2 == want
+
+
+def test_knn_ivf_partial_probe_recalls_clustered_labels(spark):
+    """Partial probe on CLUSTERED data: each unlabeled vector's true
+    neighbors share its cluster, so probing 2 of 8 lists must still
+    recover the cluster label for every vector."""
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 8)) * 5
+    lab_rows, unl_rows = [], []
+    for c in range(4):
+        for i in range(30):
+            v = centers[c] + rng.normal(scale=0.05, size=8)
+            lab_rows.append((c * 100 + i, c, [float(x) for x in v]))
+        for i in range(10):
+            v = centers[c] + rng.normal(scale=0.05, size=8)
+            unl_rows.append((1000 + c * 100 + i, c, [float(x) for x in v]))
+    lab_df = spark.createDataFrame(
+        lab_rows, "vec_id long, label long, embedding array<double>"
+    )
+    unl_df = spark.createDataFrame(
+        [(i, v) for i, _, v in unl_rows], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["pred_label"]
+        for r in similarity.knn_classify_ivf(
+            unl_df, lab_df, k=5, n_lists=8, n_probe=2
+        ).collect()
+    }
+    assert got == {i: c for i, c, _ in unl_rows}

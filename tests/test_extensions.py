@@ -545,3 +545,37 @@ def test_documents_only_never_calls_similarity(spark):
     rows = planner.matching_docs('error AND "gpu driver"').collect()
     assert rows == [] or all(set(r.asDict()) == {"doc_id"} for r in rows)
     assert calls == []  # DocumentsOnly: the scorer seam is never touched
+
+
+def test_percolate_chunked_registry_equals_unchunked(spark, monkeypatch):
+    """Registries past MAX_COMPILED_QUERIES evaluate in bounded chunks over
+    the once-tokenized frame — same (doc_id, query_id) rows, both for the
+    full scan and for the routed verify side."""
+    from trinity_spark.operators import percolator as perc
+    from trinity_spark.fixtures import gen_transcripts
+
+    corpus = gen_transcripts(300)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus["text"].tolist())],
+        "doc_id long, text string",
+    )
+    queries = {f"q{i}": q for i, q in enumerate(
+        ["error", "timeout AND retry", '"rate limit"', "gpu OR cuda",
+         "error NOT test", "kernel", "driver AND gpu", "api", "cache miss",
+         "the AND throttle"]
+    )}
+    want = {
+        (r["doc_id"], r["query_id"])
+        for r in perc.percolate(docs, queries).collect()
+    }
+    monkeypatch.setattr(perc, "MAX_COMPILED_QUERIES", 3)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in perc.percolate(docs, queries).collect()
+    }
+    assert got == want and len(want) > 0
+    got_routed = {
+        (r["doc_id"], r["query_id"])
+        for r in perc.percolate_routed(docs, queries).collect()
+    }
+    assert got_routed == want

@@ -1066,8 +1066,10 @@ def knn_classify(
     ONE corpus scan with ZERO shuffles — each unlabeled vector's k
     neighbors, vote counts, and winner all resolve inside its own batch
     (one ``Mn @ Cn.T`` per batch).  Practical bound: |labeled| x dim
-    doubles must fit an executor comfortably (~10^5 x 1024 = 0.8 GB is
-    the ceiling); past that, route candidates through IVF probing first.
+    doubles must fit an executor comfortably (~10^5 x 1024 = 0.8 GB,
+    ``KNN_CLOSURE_MAX_CELLS``); past that use ``knn_classify_ivf`` (the
+    IVF-probed candidate route, labeled set never driver-materialized) or
+    ``knn_classify_auto`` (dispatches on the ceiling).
 
     Determinism contract (the DuckDB-oracle-replicable part): cosines
     round to 6 places; neighbor selection ties break by ascending
@@ -1118,3 +1120,146 @@ def knn_classify(
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
     return v.mapInArrow(kern, f"{id_col} long, pred_label long, votes int")
+
+
+# The knn_classify closure-kernel ceiling: |labeled| x dim float64 cells
+# that can comfortably ride into every Arrow batch (~0.8 GB).  Past it,
+# knn_classify_auto routes through IVF probing (knn_classify_ivf).
+KNN_CLOSURE_MAX_CELLS = 100_000 * 1024
+
+
+def knn_classify_ivf(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label propagation for seed sets PAST the ``knn_classify``
+    closure ceiling: the labeled set stays a DataFrame (never driver-
+    materialized), gets IVF-partitioned once, and each unlabeled vector
+    votes among its k nearest labeled neighbors WITHIN its ``n_probe``
+    nearest lists — candidate volume drops from |unlabeled| x |labeled|
+    to ~|unlabeled| x |labeled| x n_probe/n_lists, all of it an equi-join
+    on list_id (shuffle-partitioned, no driver bottleneck).
+
+    ``n_probe = n_lists`` degenerates to EXACT brute force with the same
+    determinism contract as ``knn_classify`` (cosine rounded to 6,
+    neighbor ties by ascending id, vote ties by ascending label) — the
+    equivalence tests rely on it; partial probes are approximate exactly
+    like ``ivf_topk`` vs ``brute_force_topk``.
+
+    Returns (``id_col`` long, pred_label long, votes int)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lab = labeled.select(
+        F.col(id_col).cast("long").alias("_nid"),
+        F.col(label_col).cast("long").alias("_lab"),
+        F.col(vec_col).cast("array<double>").alias("_nvec"),
+    )
+    # one pass of the scalable trainer over the seeds; centroids are the
+    # only driver-side materialization (n_lists x dim, data-size free)
+    indexed, cdf = ivf_index_scalable(
+        lab, n_lists=n_lists, iters=1,
+        id_col="_nid", vec_col="_nvec", assign_kernel="arrow",
+    )
+    # the trainer projects to (id, vec, list_id); rejoin the labels
+    indexed = indexed.join(lab.select("_nid", "_lab"), "_nid")
+    cents = [list(r["centroid"]) for r in cdf.orderBy("list_id").collect()]
+    n_probe = max(1, min(n_probe, len(cents)))
+
+    # per-query probe lists: top n_probe centroid cosines (ties to the
+    # LOWER list id, _probe_order's rule), one M @ C.T per Arrow batch,
+    # emitted as n_probe rows per query
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    npr = n_probe
+
+    def probes_kern(batches):
+        for b in batches:
+            M = _batch_matrix(b, vec_col)
+            if M is None:
+                continue
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            cos = Mn @ Cn.T
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :npr]
+            n = len(M)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            vecs = b.column(vec_col)
+            rep = np.repeat(np.arange(n), npr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[rep], type=pa.int64()),
+                    vecs.take(pa.array(rep, type=pa.int32())),
+                    pa.array(order.ravel(), type=pa.int32()),
+                ],
+                [id_col, vec_col, "list_id"],
+            )
+
+    u = unlabeled.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    probes = u.mapInArrow(
+        probes_kern, f"{id_col} long, {vec_col} array<double>, list_id int"
+    )
+
+    cand = probes.join(indexed.select("_nid", "_lab", "_nvec", "list_id"), "list_id")
+    scored = cand.select(
+        F.col(id_col),
+        F.col("_nid"),
+        F.col("_lab"),
+        F.round(cosine(F.col(vec_col), F.col("_nvec")), 6).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("_nid"))
+    topk = scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    votes = topk.groupBy(id_col, "_lab").agg(F.count(F.lit(1)).alias("_n"))
+    # winner = max votes, ties to the SMALLEST label: max_by over
+    # (count, -label) struct ordering
+    return votes.groupBy(id_col).agg(
+        F.expr("max_by(_lab, struct(_n, -_lab))").alias("pred_label"),
+        F.max(F.struct(F.col("_n"), -F.col("_lab")))["_n"]
+        .cast("int")
+        .alias("votes"),
+    )
+
+
+def knn_classify_auto(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+    **ivf_kwargs,
+) -> DataFrame:
+    """Dispatch between the closure kernel (seed matrix rides into every
+    Arrow batch — one corpus scan, zero shuffles) and the IVF-probed route,
+    by the documented ceiling ``KNN_CLOSURE_MAX_CELLS`` = |labeled| x dim.
+    ``labeled`` is a DataFrame either way; below the ceiling it is
+    collect()ed (small by definition of the ceiling)."""
+    n = labeled.count()
+    if dim is None:
+        first = labeled.select(vec_col).first()
+        dim = len(first[vec_col]) if first else 0
+    if n * max(dim, 1) <= KNN_CLOSURE_MAX_CELLS:
+        trip = [
+            (int(r[id_col]), int(r[label_col]), list(r[vec_col]))
+            for r in labeled.select(id_col, label_col, vec_col).collect()
+        ]
+        return knn_classify(unlabeled, trip, k, id_col, vec_col)
+    return knn_classify_ivf(
+        unlabeled, labeled, k, id_col=id_col, vec_col=vec_col,
+        label_col=label_col, **ivf_kwargs,
+    )

@@ -102,6 +102,68 @@ def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
     return [IndexStats(n_docs.get(i, 0), dfs[i]) for i in range(len(indexes))]
 
 
+# At or past this store count, exec_query_collection hands ranked queries to
+# the thread-pooled executor: one lazy union is fine for a handful of stores,
+# but each store's plan can run its own driver-side pruning actions (probe
+# pass-1 counts, pruned-OR thresholds), and those submit serially from one
+# thread — a 100-store collection would pipeline poorly (exec_query_par's
+# reason to exist, exec.h:87-177)
+PAR_MIN_STORES = 8
+
+
+def exec_query_collection_par(
+    spark: SparkSession,
+    stores: list,
+    query,
+    k: int = 10,
+    similarity=None,
+    max_threads: int = 8,
+) -> DataFrame:
+    """``exec_query_par`` (exec.h:87-177): each store's top-k runs as its own
+    Spark job from its own driver thread (FAIR-pool tagged so one slow store
+    cannot starve the rest), and the app-side merge/reduce
+    (index_source.h:210-212) happens driver-side over the n_stores x k
+    surviving rows.  Result rows and their deterministic order (score DESC,
+    source ASC, doc_id ASC) are identical to ``exec_query_collection``;
+    wall-clock tracks the SLOWEST store, not the sum.
+
+    Driver-side merge is O(n_stores x k) rows — the collection analog of
+    top-k itself, independent of corpus size."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not stores:
+        raise ValueError("empty collection")
+    node = parse_query(query) if isinstance(query, str) else query
+    indexes = [
+        SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st
+        for st in stores
+    ]
+    stats = _batched_stats(indexes, query_terms(node))
+
+    def run_one(i: int) -> list[tuple[int, int, float]]:
+        sc = spark.sparkContext
+        # localProperties are per-thread: tag this store's jobs into a pool
+        sc.setLocalProperty("spark.scheduler.pool", f"collection-{i % max_threads}")
+        try:
+            planner = QueryPlanner(
+                _SeededStatsIndex(indexes[i], stats[i]), similarity=similarity
+            )
+            return [
+                (i, r["doc_id"], r["score"])
+                for r in planner.plan(node, k=k).collect()
+            ]
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=max_threads) as ex:
+        per_store = list(ex.map(run_one, range(len(indexes))))
+    rows = [r for part in per_store for r in part]
+    rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return spark.createDataFrame(
+        rows[:k], "source int, doc_id long, score double"
+    )
+
+
 def exec_query_collection(
     spark: SparkSession,
     stores: list,
@@ -124,6 +186,11 @@ def exec_query_collection(
     pairs, unranked and unlimited, scorer never evaluated."""
     if not stores:
         raise ValueError("empty collection")
+    if not documents_only and len(stores) >= PAR_MIN_STORES:
+        # ranked queries over large collections pipeline per store
+        # (documents_only returns ALL matches — unbounded, so it must stay
+        # a lazy union, never a driver-side merge)
+        return exec_query_collection_par(spark, stores, query, k, similarity)
     node = parse_query(query) if isinstance(query, str) else query
     indexes = [
         SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st

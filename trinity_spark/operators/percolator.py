@@ -75,6 +75,29 @@ def _predicate(node: Node, toks: Column) -> Column:
     raise TypeError(type(node))
 
 
+# One projection can only hold so many compiled predicates: past ~10^3 the
+# Catalyst expression tree stops fitting whole-stage codegen and planning
+# time grows superlinearly.  Registries larger than this are evaluated in
+# chunks of this size over a tokenize-once (checkpointed) frame — same
+# result rows, bounded plan size per pass.
+MAX_COMPILED_QUERIES = 500
+
+
+def _percolate_chunked(
+    with_toks: DataFrame, parsed: dict[str, Node], id_col: str
+) -> DataFrame:
+    if len(parsed) <= MAX_COMPILED_QUERIES:
+        return _percolate_toks(with_toks, parsed, id_col)
+    items = sorted(parsed.items())
+    with_toks = with_toks.localCheckpoint(eager=False)  # tokenize ONCE
+    out = None
+    for lo in range(0, len(items), MAX_COMPILED_QUERIES):
+        part = dict(items[lo : lo + MAX_COMPILED_QUERIES])
+        frame = _percolate_toks(with_toks, part, id_col)
+        out = frame if out is None else out.unionByName(frame)
+    return out
+
+
 def percolate(
     docs: DataFrame,
     queries: dict[str, str | Node],
@@ -84,10 +107,12 @@ def percolate(
     """Match every doc against every registered query.
 
     Returns (doc_id, query_id) for each match; one projection pass over docs
-    (tokenize once, evaluate all predicates on the token array)."""
+    (tokenize once, evaluate all predicates on the token array).  Registries
+    past MAX_COMPILED_QUERIES evaluate in bounded-size chunks over the
+    once-tokenized frame."""
     parsed = _parse_all(queries)
     with_toks = docs.select(F.col(id_col), tokens_column(F.col(text_col)).alias("toks"))
-    return _percolate_toks(with_toks, parsed, id_col)
+    return _percolate_chunked(with_toks, parsed, id_col)
 
 
 def _parse_all(queries: dict[str, str | Node]) -> dict[str, Node]:
@@ -207,7 +232,7 @@ def percolate_routed(
         # with_toks branches (routing join side + verify side, plus any
         # fallback scan): cut the lineage so tokenization runs once
         with_toks = with_toks.localCheckpoint(eager=False)
-    out = _percolate_toks(with_toks, fallback, id_col)
+    out = _percolate_chunked(with_toks, fallback, id_col)
     if routable:
         route_terms = spark.createDataFrame(
             sorted({(t,) for _, t in routing_rows}), "term string"
@@ -221,5 +246,5 @@ def percolate_routed(
             .distinct()
         )
         cand_toks = with_toks.join(cand_ids, id_col, "left_semi")
-        out = out.unionByName(_percolate_toks(cand_toks, routable, id_col))
+        out = out.unionByName(_percolate_chunked(cand_toks, routable, id_col))
     return out
