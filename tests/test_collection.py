@@ -123,10 +123,21 @@ def test_collection_par_matches_serial(spark, tmp_path, monkeypatch):
         for r in coll.exec_query_collection_par(spark, stores, q, k=10).collect()
     ]
     assert got == want and len(got) == 10
-    # the dispatcher takes the par path at the threshold (same rows)
+    # the dispatcher takes the par path only when a per-store gate would
+    # open (driver-side pass-1 actions are what serialize); wiring checked
+    # by forcing the gate probe, rows must be unchanged
     monkeypatch.setattr(coll, "PAR_MIN_STORES", 8)
+    monkeypatch.setattr(coll, "_any_gate_opens", lambda *a, **kw: True)
     auto = [
         (r["source"], r["doc_id"], r["score"])
         for r in exec_query_collection(spark, stores, q, k=10).collect()
     ]
     assert auto == want
+    # gate-closed queries stay on the lazy union (one action, overlapped
+    # stages — measured faster than pooling)
+    monkeypatch.setattr(coll, "_any_gate_opens", lambda *a, **kw: False)
+    auto2 = [
+        (r["source"], r["doc_id"], r["score"])
+        for r in exec_query_collection(spark, stores, q, k=10).collect()
+    ]
+    assert auto2 == want

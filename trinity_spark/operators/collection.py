@@ -102,13 +102,42 @@ def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
     return [IndexStats(n_docs.get(i, 0), dfs[i]) for i in range(len(indexes))]
 
 
-# At or past this store count, exec_query_collection hands ranked queries to
-# the thread-pooled executor: one lazy union is fine for a handful of stores,
-# but each store's plan can run its own driver-side pruning actions (probe
-# pass-1 counts, pruned-OR thresholds), and those submit serially from one
+# At or past this store count, exec_query_collection considers the thread-
+# pooled executor.  The lazy union stays optimal for GATE-CLOSED plans (one
+# action; Spark overlaps all stores' stages — measured 4.6 s union vs 6.1 s
+# pooled at 8 stores on a single-pass AND), so pooling only engages when a
+# per-store pruning gate would OPEN: those plans run their own driver-side
+# actions (probe pass-1 counts, pruned-OR thresholds) which serialize on one
 # thread — a 100-store collection would pipeline poorly (exec_query_par's
-# reason to exist, exec.h:87-177)
+# reason to exist, exec.h:87-177).
 PAR_MIN_STORES = 8
+
+
+def _any_gate_opens(indexes: list, stats_list, node, k: int) -> bool:
+    """Driver-side (zero Spark jobs, cached df): would any store's planner
+    take a pruned route — i.e. run its own pass-1 actions?"""
+    from ..plans.ast import And, Or, Phrase, Token
+    from ..operators.topk import and_gate_report, or_gate_report
+
+    for idx, stats in zip(indexes, stats_list):
+        if getattr(idx, "blocks", None) is None:
+            continue
+        if isinstance(node, Or) and all(
+            isinstance(c, Token) for c in node.children
+        ):
+            terms = [c.term for c in node.children]
+            if len(set(terms)) == len(terms) and or_gate_report(
+                stats, terms, k
+            )["open"]:
+                return True
+        elif isinstance(node, And) and all(
+            isinstance(c, (Token, Phrase)) for c in node.children
+        ):
+            rep = and_gate_report(stats, node)
+            # meta_span is action-free; only the probe tier runs a pass-1 job
+            if rep["open"] and rep.get("tier") == "probe":
+                return True
+    return False
 
 
 def exec_query_collection_par(
@@ -118,6 +147,8 @@ def exec_query_collection_par(
     k: int = 10,
     similarity=None,
     max_threads: int = 8,
+    _indexes: list | None = None,
+    _stats: list | None = None,
 ) -> DataFrame:
     """``exec_query_par`` (exec.h:87-177): each store's top-k runs as its own
     Spark job from its own driver thread (FAIR-pool tagged so one slow store
@@ -134,11 +165,11 @@ def exec_query_collection_par(
     if not stores:
         raise ValueError("empty collection")
     node = parse_query(query) if isinstance(query, str) else query
-    indexes = [
+    indexes = _indexes or [
         SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st
         for st in stores
     ]
-    stats = _batched_stats(indexes, query_terms(node))
+    stats = _stats or _batched_stats(indexes, query_terms(node))
 
     def run_one(i: int) -> list[tuple[int, int, float]]:
         sc = spark.sparkContext
@@ -186,11 +217,6 @@ def exec_query_collection(
     pairs, unranked and unlimited, scorer never evaluated."""
     if not stores:
         raise ValueError("empty collection")
-    if not documents_only and len(stores) >= PAR_MIN_STORES:
-        # ranked queries over large collections pipeline per store
-        # (documents_only returns ALL matches — unbounded, so it must stay
-        # a lazy union, never a driver-side merge)
-        return exec_query_collection_par(spark, stores, query, k, similarity)
     node = parse_query(query) if isinstance(query, str) else query
     indexes = [
         SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st
@@ -199,6 +225,19 @@ def exec_query_collection(
     # ONE batched df/N lookup for the whole collection (O(1) driver actions
     # in store count), seeded into each per-store planner
     stats = _batched_stats(indexes, query_terms(node))
+    if (
+        not documents_only
+        and len(stores) >= PAR_MIN_STORES
+        and similarity is None  # gates are BM25-shaped, like the planner's
+        and _any_gate_opens(indexes, stats, node, k)
+    ):
+        # some store would run driver-side pass-1 actions: pipeline per
+        # store so they overlap (documents_only returns ALL matches —
+        # unbounded — so it must stay a lazy union, never a driver merge)
+        return exec_query_collection_par(
+            spark, stores, query, k, similarity,
+            _indexes=indexes, _stats=stats,
+        )
     frames = []
     for i, idx in enumerate(indexes):
         planner = QueryPlanner(
