@@ -1092,13 +1092,13 @@ def run_dataops_section(cpus: int) -> dict:
         # for terms that never occur (alerts that haven't fired — routing
         # discards them at zero verify cost), 20% watch the rare vocabulary
         # tail.  The full scan at 5k queries is ~10x the 500q wall, so this
-        # leg runs on a deterministic 1/5 doc subset; the routing economics
+        # leg runs on a deterministic 1/10 doc subset; the routing economics
         # (win = full / routed at the SAME inputs, hits asserted equal) are
         # what the artifact pins.  (Measured degenerate case, kept for the
         # record: 5k queries whose routing terms BLANKET a 5k-word
         # vocabulary make ~every doc a candidate — win 1.08x; routing wins
         # exactly to the extent the registry's terms are selective.)
-        docs5 = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        docs5 = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
         qs5k = {}
         for i in range(5000):
             if i % 5:  # 80%: never-firing alerts on absent terms
@@ -1120,7 +1120,7 @@ def run_dataops_section(cpus: int) -> dict:
         assert hits_routed5 == hits_full5
         out["percolate_routed_5000q_rare"] = {
             "n_queries": len(qs5k),
-            "n_docs": n_docs // 5,
+            "n_docs": n_docs // 10,
             "full_scan_wall_sec": round(w_full5, 2),
             "routed_wall_sec": round(w_routed5, 2),
             "win": round(w_full5 / max(w_routed5, 1e-9), 2),
