@@ -251,3 +251,37 @@ def test_probe_tier_bails_when_candidates_dense(spark, built, monkeypatch):
     want = oracle.topk(node, k=5)
     rows = [(r["doc_id"], r["score"]) for r in df.collect()]
     assert [d for d, _ in rows] == [d for d, _ in want]
+
+
+def test_meta_tier_measures_spread_terms(spark, built, monkeypatch):
+    """df bounds postings, not block-range coverage: when the worst case
+    (df x spans-per-chunk) exceeds the gate budget, the meta tier must
+    MEASURE covered spans (metadata-only) and record the count — and bail
+    to single-pass when the rare term's ranges tile the corpus."""
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.plans.planner import QueryPlanner
+
+    monkeypatch.setattr(topk_mod, "AND_PRUNE_MIN_DF", 1)
+    # widen the meta gate so zxqv (df ~4 at 15 total spans) takes the meta
+    # tier, while its worst case (df x 2 spans-per-chunk at chunk_bits=8)
+    # still exceeds the budget -> the measured branch runs
+    monkeypatch.setattr(topk_mod, "META_KEEP_MAX", 0.5)
+    index, corpus = built
+    planner = QueryPlanner(index)
+    df = planner.plan("the AND zxqv", k=5)
+    gate = planner.last_route["gate"]
+    assert gate["tier"] == "meta_span"
+    rows = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert "meta_spans" in gate, gate
+    oracle = OracleIndex.build(docs_in_stable_order(corpus))
+    from trinity_spark.plans.parser import parse_query
+
+    want = oracle.topk(parse_query("the AND zxqv"), k=5)
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    # force the bail: any measured coverage is "too much"
+    monkeypatch.setattr(topk_mod, "PROBE_BAIL_KEEP", 0.0)
+    df2 = planner.plan("the AND zxqv", k=5)
+    gate2 = planner.last_route["gate"]
+    assert gate2["bailed"] is True and planner.last_route["path"] == "single_pass"
+    rows2 = [(r["doc_id"], r["score"]) for r in df2.collect()]
+    assert rows2 == rows

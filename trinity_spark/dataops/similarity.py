@@ -1165,6 +1165,8 @@ def knn_classify_ivf(
         F.col(label_col).cast("long").alias("_lab"),
         F.col(vec_col).cast("array<double>").alias("_nvec"),
     )
+    if lab.first() is None:
+        raise ValueError("labeled seed set must be non-empty")
     # one pass of the scalable trainer over the seeds; centroids are the
     # only driver-side materialization (n_lists x dim, data-size free)
     indexed, cdf = ivf_index_scalable(
@@ -1213,11 +1215,32 @@ def knn_classify_ivf(
     )
 
     cand = probes.join(indexed.select("_nid", "_lab", "_nvec", "list_id"), "list_id")
-    scored = cand.select(
-        F.col(id_col),
-        F.col("_nid"),
-        F.col("_lab"),
-        F.round(cosine(F.col(vec_col), F.col("_nvec")), 6).alias("_cos"),
+
+    # Pair cosines through the SAME numpy arithmetic as the closure kernel
+    # (normalize both sides, dot, np.round to 6) — Spark's F.round is
+    # HALF_UP while np.round is HALF_EVEN, and the documented contract is
+    # that a full probe reproduces knn_classify bit-for-bit
+    def cos_kern(batches):
+        for b in batches:
+            Q = _batch_matrix(b, vec_col)
+            if Q is None:
+                continue
+            Nv = _batch_matrix(b, "_nvec")
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            Nn = Nv / np.maximum(np.linalg.norm(Nv, axis=1, keepdims=True), 1e-300)
+            cos = np.round(np.einsum("ij,ij->i", Qn, Nn), 6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    b.column("_nid"),
+                    b.column("_lab"),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                [id_col, "_nid", "_lab", "_cos"],
+            )
+
+    scored = cand.select(id_col, "_nid", "_lab", vec_col, "_nvec").mapInArrow(
+        cos_kern, f"{id_col} long, _nid long, _lab long, _cos double"
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("_nid"))
     topk = scored.withColumn("_rn", F.row_number().over(w)).where(

@@ -275,6 +275,12 @@ def _build_index_inner(
         return "partial" if touched else "none"
 
     built: list[SegmentMeta] = []
+    # loop-invariant: did the virtual-mode attach join hash-shuffle?
+    attach_shuffled = (
+        bool(seg_conv_bounds)
+        and store.read_manifest()["docid_map"].get("n_convs", 0)
+        > BROADCAST_MAX_CONVS
+    )
     for lo in range(0, n_docs, rows_per_segment):
         hi = min(lo + rows_per_segment, n_docs)
         sid = f"seg-{lo:014d}-{hi:014d}"
@@ -296,10 +302,7 @@ def _build_index_inner(
             # scan (the computed doc_id filter above cannot)
             c_lo, c_hi = seg_conv_bounds[lo // rows_per_segment]
             seg_turns = seg_turns.where(F.col("conv_id").between(c_lo, c_hi))
-            if (
-                store.read_manifest()["docid_map"].get("n_convs", 0)
-                > BROADCAST_MAX_CONVS
-            ):
+            if attach_shuffled:
                 # attach_doc_ids fell back to a conv_id HASH join: without a
                 # range repartition every encoder partition holds docs from
                 # the whole segment and blocks come out thousands of docs

@@ -84,12 +84,16 @@ MAX_COMPILED_QUERIES = 500
 
 
 def _percolate_chunked(
-    with_toks: DataFrame, parsed: dict[str, Node], id_col: str
+    with_toks: DataFrame,
+    parsed: dict[str, Node],
+    id_col: str,
+    checkpointed: bool = False,
 ) -> DataFrame:
     if len(parsed) <= MAX_COMPILED_QUERIES:
         return _percolate_toks(with_toks, parsed, id_col)
     items = sorted(parsed.items())
-    with_toks = with_toks.localCheckpoint(eager=False)  # tokenize ONCE
+    if not checkpointed:  # tokenize ONCE across the chunk passes
+        with_toks = with_toks.localCheckpoint(eager=False)
     out = None
     for lo in range(0, len(items), MAX_COMPILED_QUERIES):
         part = dict(items[lo : lo + MAX_COMPILED_QUERIES])
@@ -232,7 +236,14 @@ def percolate_routed(
         # with_toks branches (routing join side + verify side, plus any
         # fallback scan): cut the lineage so tokenization runs once
         with_toks = with_toks.localCheckpoint(eager=False)
-    out = _percolate_chunked(with_toks, fallback, id_col)
+    # fallback side: with_toks is already checkpointed when routable — do
+    # not cache the same tokenized frame twice.  (The verify side's
+    # cand_toks is a DIFFERENT, smaller frame — the routing semi-join
+    # output — and chunked evaluation rightly checkpoints it once so the
+    # join does not replay per chunk.)
+    out = _percolate_chunked(
+        with_toks, fallback, id_col, checkpointed=bool(routable)
+    )
     if routable:
         route_terms = spark.createDataFrame(
             sorted({(t,) for _, t in routing_rows}), "term string"

@@ -326,7 +326,8 @@ class _PrunedView:
 
 
 def _blocks_restricted_to_spans(
-    index, terms: list[str], spans: DataFrame, span_bits: int
+    index, terms: list[str], spans: DataFrame, span_bits: int,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """The query terms' blocks, restricted to blocks whose
     [min_doc_id, max_doc_id] range intersects a kept span — the skiplist
@@ -336,8 +337,14 @@ def _blocks_restricted_to_spans(
     final semi-join moves only (term, block_id) keys; the byte streams ride
     the probe side untouched.  Over-keeping is always correct — a kept block
     whose docs all miss the rare side just decodes to rows the AND logic
-    drops."""
+    drops.
+
+    ``hint_broadcast`` forces the span-set broadcast; pass False when the
+    span set has no driver-side size bound (the pruned-OR kept set — a
+    mispredicted threshold at 10^12-doc geometry could keep billions of
+    spans) and let AQE pick broadcast only when it measures small."""
     b = index.blocks.where(F.col("term").isin(terms))
+    sp = F.broadcast(spans) if hint_broadcast else spans
     keys = (
         b.select(
             "term",
@@ -346,13 +353,37 @@ def _blocks_restricted_to_spans(
             F.shiftright("max_doc_id", span_bits).alias("_s1"),
         )
         .withColumn("span", F.explode(F.sequence("_s0", "_s1")))
-        .join(F.broadcast(spans), "span", "left_semi")
+        .join(sp, "span", "left_semi")
         .select("term", "block_id")
         .distinct()
     )
     # (term, block_id) can collide across segments whose doc ranges straddle
     # a chunk boundary — the semi-join then over-keeps, never drops
     return b.join(keys, ["term", "block_id"], "left_semi")
+
+
+# Span sets at or below this row count are collected and re-planted as a
+# literal DataFrame: the pass-2 plan becomes self-contained (no persisted
+# dataset left behind per query — a long-lived session would otherwise leak
+# one cached span set per probe-routed query) and the broadcast ships a
+# local relation.  Above it (still bounded by the bail/gate), the span set
+# stays a persisted distributed frame — Spark's LRU eviction owns it.
+SPANS_LITERAL_MAX = 100_000
+
+
+def _materialize_spans(span_df: DataFrame) -> tuple[DataFrame, int]:
+    """(spans frame safe to embed in the pass-2 plan, measured count)."""
+    spark = span_df.sparkSession
+    persisted = span_df.persist()
+    n = persisted.count()
+    if n <= SPANS_LITERAL_MAX:
+        local = [r["span"] for r in persisted.collect()]
+        persisted.unpersist()
+        return (
+            spark.createDataFrame([(s,) for s in local], "span long"),
+            n,
+        )
+    return persisted, n
 
 
 def rare_and_topk(
@@ -406,12 +437,10 @@ def rare_and_topk(
         cand = QueryPlanner(index, similarity=similarity).matching_docs(
             cheap_node, doc_filter=doc_filter
         )
-        spans = (
-            cand.select(F.shiftright("doc_id", span_bits).alias("span"))
-            .distinct()
-            .persist()
-        )
-        n_spans = spans.count()
+        span_df = cand.select(
+            F.shiftright("doc_id", span_bits).alias("span")
+        ).distinct()
+        spans, n_spans = _materialize_spans(span_df)
         total = max(stats.n_docs >> span_bits, 1)
         rep["probe_spans"] = n_spans
         rep["probe_keep_frac"] = round(n_spans / total, 4)
@@ -453,6 +482,32 @@ def rare_and_topk(
         )
         .distinct()
     )
+    # df bounds POSTINGS, not block RANGE coverage: a uniformly-spread term
+    # with one posting per chunk covers up to spans-per-chunk spans per
+    # block, so a df well under the gate can still tile ~every span.  When
+    # df alone cannot guarantee the kept fraction even in that worst case
+    # (df * spans_per_chunk over the gate budget), MEASURE the covered
+    # spans first (one metadata-only count, no decode) and bail to the
+    # single pass if the restriction would keep too much.
+    cb = getattr(index, "chunk_bits", 16)
+    spans_per_chunk = max(1 << max(cb - span_bits, 0), 1)
+    total = max(stats.n_docs >> span_bits, 1)
+    worst_case = stats.df(rarest) * spans_per_chunk
+    if worst_case > META_KEEP_MAX * total:
+        spans, n_spans = _materialize_spans(spans)
+        rep["meta_spans"] = n_spans
+        if n_spans > PROBE_BAIL_KEEP * total:
+            rep["bailed"] = True
+            rep["reason"] = (
+                f"meta_span measured {n_spans}/{total} covered spans "
+                f"(> {PROBE_BAIL_KEEP:.0%}): rare term's block ranges tile "
+                "the corpus; bailed to single-pass"
+            )
+            spans.unpersist()
+            return QueryPlanner(index, similarity=similarity).plan(
+                node, k, doc_filter=doc_filter, block_pruning=False
+            )
+        rep["bailed"] = False
     view = _PrunedView(
         index,
         blocks=_blocks_restricted_to_spans(index, terms, spans, span_bits),
@@ -567,7 +622,9 @@ def pruned_or_topk(
 
     view = _PrunedView(
         index,
-        blocks=_blocks_restricted_to_spans(index, live, kept, span_bits),
+        blocks=_blocks_restricted_to_spans(
+            index, live, kept, span_bits, hint_broadcast=False
+        ),
     )
     res = QueryPlanner(view).plan(node, k, block_pruning=False)
     if return_report:
