@@ -41,6 +41,7 @@ BENCH.md or the result object.
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import os
 import shutil
@@ -515,6 +516,9 @@ def main() -> None:
         "metric": "index_build_plus_queryset_sec",
         "value": round(total, 2),
         "unit": "sec",
+        "generated_at": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        ),
         "queries": qtimes,
         "queries_warm": qwarm,
         "warm_protocol": "median of 3 same-session runs per query",
