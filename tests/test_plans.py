@@ -60,25 +60,35 @@ def test_topk_is_take_ordered(index):
 
 def test_mixed_tree_is_single_scan_single_agg(index):
     """Phrase-bearing / NOT-bearing boolean trees (the q_mixed shape) compile
-    to ONE block decode + ONE doc_id aggregation evaluated over a per-doc
-    term map — no per-branch aggregations and no anti-join exchange."""
+    to ONE doc_id aggregation evaluated over a per-doc term map — no
+    per-branch aggregations and no anti-join exchange.  The decode is ONE
+    MapInArrow per position-ness: phrase-member terms carry positions,
+    plain tokens scan docs/freqs-only (their pos_bytes is never read), so a
+    tree mixing both shapes has exactly TWO scans feeding the one agg."""
     from trinity_spark.plans.planner import QueryPlanner
 
     planner = QueryPlanner(index)
-    for q in [
-        '("rate limit" OR throttle) AND api NOT sandbox',
-        '"connection reset by peer" AND error',
-        "error NOT test",
-        '[gpu, "rate limit", cuda] min=2',
+    for q, n_scans_expected in [
+        ('("rate limit" OR throttle) AND api NOT sandbox', 2),
+        ('"connection reset by peer" AND error', 2),
+        ("error NOT test", 1),
+        ('[gpu, "rate limit", cuda] min=2', 2),
+        ('"rate limit"', 1),  # all terms are members: one positioned scan
     ]:
         plan = _plan(planner.plan(q, k=10, block_pruning=False))
         tree = plan.split("\n\n")[0]
-        assert tree.count("MapInArrow") == 1, (q, tree)
+        assert tree.count("MapInArrow") == n_scans_expected, (q, tree)
         # exactly one aggregation pair (partial + final) keyed on doc_id
         n_aggs = tree.count("HashAggregate")  # matches ObjectHashAggregate too
         assert n_aggs <= 2, (q, n_aggs, tree)
         assert "Join" not in tree, (q, tree)
         assert "BatchEvalPython" not in plan
+        # the split is real column pruning: when both scan shapes exist, one
+        # ReadSchema carries pos_bytes and one does not
+        reads = [seg[:400] for seg in plan.split("ReadSchema")[1:]]
+        if n_scans_expected == 2:
+            assert any("pos_bytes" in r for r in reads), (q, reads)
+            assert any("pos_bytes" not in r for r in reads), (q, reads)
 
 
 def test_token_only_query_skips_position_stream(index):

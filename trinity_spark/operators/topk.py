@@ -460,7 +460,13 @@ def rare_and_topk(
         rep["bailed"] = False
         view = _PrunedView(
             index,
-            blocks=_blocks_restricted_to_spans(index, terms, spans, span_bits),
+            blocks=_blocks_restricted_to_spans(
+                index,
+                terms,
+                spans,
+                span_bits,
+                hint_broadcast=n_spans <= SPAN_CAND_MAX,
+            ),
         )
         return QueryPlanner(view, similarity=similarity).plan(
             node, k, doc_filter=doc_filter, block_pruning=False
@@ -493,7 +499,12 @@ def rare_and_topk(
     spans_per_chunk = max(1 << max(cb - span_bits, 0), 1)
     total = max(stats.n_docs >> span_bits, 1)
     worst_case = stats.df(rarest) * spans_per_chunk
-    if worst_case > META_KEEP_MAX * total:
+    # the span set rides a broadcast only while it provably fits the budget
+    # (SPAN_CAND_MAX longs): at 10^12-doc geometry a within-bail span set
+    # can still be billions of rows, and a forced broadcast of that is the
+    # scale failure the gate exists to prevent
+    hint_broadcast = True
+    if worst_case > min(META_KEEP_MAX * total, float(SPAN_CAND_MAX)):
         spans, n_spans = _materialize_spans(spans)
         rep["meta_spans"] = n_spans
         if n_spans > PROBE_BAIL_KEEP * total:
@@ -508,9 +519,12 @@ def rare_and_topk(
                 node, k, doc_filter=doc_filter, block_pruning=False
             )
         rep["bailed"] = False
+        hint_broadcast = n_spans <= SPAN_CAND_MAX
     view = _PrunedView(
         index,
-        blocks=_blocks_restricted_to_spans(index, terms, spans, span_bits),
+        blocks=_blocks_restricted_to_spans(
+            index, terms, spans, span_bits, hint_broadcast=hint_broadcast
+        ),
     )
     return QueryPlanner(view, similarity=similarity).plan(
         node, k, doc_filter=doc_filter, block_pruning=False

@@ -195,16 +195,23 @@ def fold_unknown(node: Node, known: set[str]) -> Node | None:
     raise TypeError(type(node))
 
 
-def _has_phrase(node: Node) -> bool:
+def _phrase_member_terms(node: Node) -> set[str]:
+    """Terms whose POSITIONS a phrase actually consumes.  Every other query
+    term needs only (doc_id, tf), so its blocks' pos_bytes stream — the
+    largest of the three (lucene_codec.cpp:240-304 keeps positions apart
+    from docs/freqs for exactly this skip) — is never read for it."""
     if isinstance(node, Phrase):
-        return True
+        return set(node.terms)
     if isinstance(node, (And, Or, Some)):
-        return any(_has_phrase(c) for c in node.children)
+        out: set[str] = set()
+        for c in node.children:
+            out |= _phrase_member_terms(c)
+        return out
     if isinstance(node, Not):
-        return _has_phrase(node.req) or _has_phrase(node.excl)
+        return _phrase_member_terms(node.req) | _phrase_member_terms(node.excl)
     if isinstance(node, ConstTrue):
-        return _has_phrase(node.child)
-    return False
+        return _phrase_member_terms(node.child)
+    return set()
 
 
 def _map_compilable(node: Node) -> bool:
@@ -234,6 +241,31 @@ class QueryPlanner:
         # single-pass plan" instead of readers inferring it from walls
         self.last_route: dict = {"path": None, "gate": None}
         self._docs_only = False  # ExecFlags::DocumentsOnly compile mode
+
+    def _scan_postings(self, node: Node, qts: list[str]) -> DataFrame:
+        """The query's one logical postings frame, with the position stream
+        decoded ONLY for phrase-member terms: a ``stopword AND "a phrase"``
+        query must not read the stopword's pos_bytes (the largest stream).
+        Plain-token terms scan without the column — parquet prunes it and
+        the decoder skips the position parse — and re-enter the shared
+        frame with a NULL positions column; the phrase map aggregation only
+        ever collects member terms' rows, so the NULLs are never read."""
+        members = _phrase_member_terms(node)
+        with_pos = sorted(t for t in qts if t in members)
+        plain = sorted(t for t in qts if t not in members)
+        try:
+            if not with_pos:
+                return self.index.postings_for(qts, with_positions=False)
+            if not plain:
+                return self.index.postings_for(qts, with_positions=True)
+            pos_part = self.index.postings_for(with_pos, with_positions=True)
+            flat_part = self.index.postings_for(plain, with_positions=False)
+        except TypeError:  # duck-typed custom index views without the kwarg
+            return self.index.postings_for(qts)
+        flat_part = flat_part.withColumn(
+            "positions", F.lit(None).cast("array<int>")
+        )
+        return pos_part.unionByName(flat_part)
 
     def plan(
         self,
@@ -553,12 +585,8 @@ class QueryPlanner:
         if node is None:
             return empty
         self._stats = stats
-        needs_pos = _has_phrase(node)
         qts = query_terms(node)
-        try:
-            self._postings = self.index.postings_for(qts, with_positions=needs_pos)
-        except TypeError:
-            self._postings = self.index.postings_for(qts)
+        self._postings = self._scan_postings(node, qts)
         if isinstance(node, Token):
             out = self._postings.where(F.col("term") == node.term).select("doc_id")
         elif _map_compilable(node):
@@ -589,15 +617,12 @@ class QueryPlanner:
         if node is None:
             return empty
         self._stats = stats
-        # one postings scan, pushed-down to the live terms, reused by all
-        # branches; positions (the largest stream) are only decoded when a
-        # phrase actually needs them — token-only queries run docs/freqs-only
-        needs_pos = _has_phrase(node)
+        # one logical postings frame, pushed-down to the live terms, reused
+        # by all branches; positions (the largest stream) are decoded only
+        # for the terms a phrase consumes — plain tokens run docs/freqs-only
+        # even when a phrase appears elsewhere in the same tree
         qts = query_terms(node)
-        try:
-            self._postings = self.index.postings_for(qts, with_positions=needs_pos)
-        except TypeError:  # duck-typed custom index views without the kwarg
-            self._postings = self.index.postings_for(qts)
+        self._postings = self._scan_postings(node, qts)
         if (
             not isinstance(node, Token)
             and not self._is_distinct_token_nary(node)
@@ -687,14 +712,14 @@ class QueryPlanner:
             # presence separately: a custom similarity may legally score 0/null
             aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"p{i}"))
         if phrase_members:
+            # map value is the positions array ALONE: phrase evaluation reads
+            # only positions (pf feeds the score; member tfs are never used),
+            # so carrying tf in the object-agg payload was pure dead weight
             entry = F.when(
                 F.col("term").isin(sorted(phrase_members)),
                 F.struct(
                     F.col("term").alias("key"),
-                    F.struct(
-                        F.col("tf").alias("tf"),
-                        F.col("positions").alias("positions"),
-                    ).alias("value"),
+                    F.col("positions").alias("value"),
                 ),
             )
             # collect_list drops nulls: non-member rows add nothing
@@ -722,7 +747,7 @@ class QueryPlanner:
             idf = 0.0
             for t in node.terms:  # fixed phrase-order float64 sum
                 idf += self._stats.idf(t)
-            pos = lambda t: F.element_at(m, t)["positions"]  # noqa: E731
+            pos = lambda t: F.element_at(m, t)  # noqa: E731
             # (p > 0): position-0 hits (word:tail operators) never anchor a
             # phrase — the codecs.h:191-195 positionless contract
             cond = lambda p: reduce(  # noqa: E731
