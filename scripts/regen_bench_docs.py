@@ -49,6 +49,16 @@ def _steal_mark(cold: float, warm: float) -> str:
     return " \\*" if warm > cold else ""
 
 
+def _span_docs() -> int:
+    """Span width in docs, read from the engine constant (the artifact's
+    chunk_bits describes the CHUNK geometry, not the span geometry — spans
+    are a fixed 2^SPAN_BITS regardless of index chunk width)."""
+    sys.path.insert(0, REPO)
+    from trinity_spark.operators.topk import SPAN_BITS
+
+    return 1 << SPAN_BITS
+
+
 def bench_md(d: dict, window: str) -> str:
     b = d["build"]
     lines: list[str] = []
@@ -222,7 +232,7 @@ def bench_md(d: dict, window: str) -> str:
             a(
                 f"**Gate OPEN side** — `{w['query']}` on the "
                 f"chunk_bits={w['chunk_bits']} index ({w['total_chunks']} pruning "
-                f"spans of 2^{17 - w['chunk_bits']} docs — the rare anchor's exact "
+                f"spans of {_span_docs()} docs — the rare anchor's exact "
                 f"postings bound its spans): routed `{w['routed_path']}` (gate "
                 f"reason: \"{w['gate']['reason']}\"), kept "
                 f"{w['kept_chunks']}/{w['total_chunks']} spans at threshold "
@@ -405,22 +415,67 @@ def bench_md(d: dict, window: str) -> str:
 
 
 def baseline_section(d: dict, window: str, round_no: int, n_tests: int, n_entries: int) -> str:
-    sc = d["scaling"]
-    levels = _scaling_levels(sc)
-    (n_lo, lo), (n_hi, hi) = levels[0], levels[-1]
-    pairs = [p["eff"] for p in sc["pair_efficiencies"]]
-    best_lo = min(sc["all_walls"][str(n_lo)])
-    best_hi = min(sc["all_walls"][str(n_hi)])
-    tp_lo = sc["scaling_turns"] / best_lo
-    tp_hi = sc["scaling_turns"] / best_hi
-    b = d["build"]
-    mg = d["merge"]
-    total_blocks = mg["blocks_reused"] + mg["blocks_reencoded"]
-    reuse_pct = 100.0 * mg["blocks_reused"] / max(total_blocks, 1)
-    w = d["pruning"]["gate_open_win"]
+    # Every section except the headline build can be disabled per-run
+    # (TRINITY_BENCH_SCALING=0 etc.); absent/empty sections render as an
+    # explicit "not measured in this window" line instead of crashing after
+    # BENCH.md was already rewritten (the skew this script exists to stop).
+    sc = d.get("scaling") or {}
+    scaling_line = (
+        "- Scaling: not measured in this window "
+        "(`TRINITY_BENCH_SCALING=0`); see the last full-window artifact.\n"
+    )
+    if sc.get("pair_efficiencies") and _scaling_levels(sc):
+        levels = _scaling_levels(sc)
+        (n_lo, lo), (n_hi, hi) = levels[0], levels[-1]
+        pairs = [p["eff"] for p in sc["pair_efficiencies"]]
+        best_lo = min(sc["all_walls"][str(n_lo)])
+        best_hi = min(sc["all_walls"][str(n_hi)])
+        tp_lo = sc["scaling_turns"] / best_lo
+        tp_hi = sc["scaling_turns"] / best_hi
+        scaling_line = f"""- Same job, same {sc['scaling_turns'] // 1_000_000}M-turn input at `local[{n_lo}]` vs `local[{n_hi}]` (the N→4N proxy
+  pair least distorted by this VM's hypervisor steal), {len(pairs)} reps with both legs
+  of each rep back-to-back in one steal window: **e2e efficiency = median of
+  per-pair ratios = {sc['efficiency']}** (pairs {pairs};
+  segment-build-phase median {sc['segment_phase_efficiency']}) — target ≥ 0.8.
+  Throughput at both levels: local[{n_lo}] {tp_lo / 1000:.1f}k turns/s ({best_lo} s), local[{n_hi}]
+  {tp_hi / 1000:.1f}k turns/s ({best_hi} s) — best-of-{len(pairs)} per level, all raw walls in BENCH.md
+  and bench_result.json.
+"""
+    b = d.get("build") or {}
+    build_line = "- Build: not measured in this window.\n"
+    if b:
+        build_line = f"""- Build throughput with lineage: per-segment metrics in every manifest
+  (`turns`, `wall_sec`, `turns_per_sec`), {b['turns_per_sec'] / 1000:.1f}k turns/s at local[{b['cpus']}] on {b['turns'] // 1_000_000}M
+  turns this window (window-dependent across sessions; virtual docid_map —
+  no corpus copy; every commit also retains a time-travel snapshot).
+"""
+    mg = d.get("merge") or {}
+    merge_line = (
+        "- Merge: not measured in this window (`TRINITY_BENCH_MERGE=0`).\n"
+    )
+    if mg:
+        total_blocks = mg["blocks_reused"] + mg["blocks_reencoded"]
+        reuse_pct = 100.0 * mg["blocks_reused"] / max(total_blocks, 1)
+        merge_line = f"""- Merge phase: {mg['segments_in']} segments ({mg['docs'] // 1_000_000}M docs) → one in {mg['wall_sec']} s = **{mg['docs_per_sec'] / 1000:.1f}k docs/s**,
+  with {reuse_pct:.1f}% of blocks byte-reused (the merge.cpp:166-180 fast-path
+  analog — only partial and tombstone-hit blocks re-encode;
+  decode-equivalent, not necessarily the canonical packing).
+"""
+    w = (d.get("pruning") or {}).get("gate_open_win") or {}
+    pruning_line = (
+        "- Block-max pruning: gate-OPEN side not measured in this window\n"
+        "  (`TRINITY_BENCH_PRUNE_WIN=0`); gate-CLOSED routing evidence in\n"
+        "  `pruning.gates` when present.\n"
+    )
+    if w:
+        pruning_line = f"""- Block-max pruning, both gate sides in the artifact: gate-CLOSED queries
+  provably route single-pass (zero penalty, `pruning.gates`); the gate-OPEN
+  measurement ({w['total_chunks']}-span geometry, {w['kept_chunks']} spans kept) has pruned beating
+  plain **{w['win']}x** at rank identity.
+"""
     xl = d.get("xl") or {}
     xb = xl.get("build")
-    if xb and xb["turns_per_sec"] > b["turns_per_sec"]:
+    if xb and xb["turns_per_sec"] > b.get("turns_per_sec", float("inf")):
         xl_line = (
             f"  Rises with corpus size: **{xb['turns_per_sec'] / 1000:.1f}k turns/s "
             f"at 10M turns** ({xb['wall_sec']} s, `TRINITY_BENCH_XL=1` section) — "
@@ -438,31 +493,11 @@ def baseline_section(d: dict, window: str, round_no: int, n_tests: int, n_entrie
 Measurement window: {window} — this section and BENCH.md are generated from
 the same `bench_result.json` by `scripts/regen_bench_docs.py`.
 
-- Same job, same {sc['scaling_turns'] // 1_000_000}M-turn input at `local[{n_lo}]` vs `local[{n_hi}]` (the N→4N proxy
-  pair least distorted by this VM's hypervisor steal), {len(pairs)} reps with both legs
-  of each rep back-to-back in one steal window: **e2e efficiency = median of
-  per-pair ratios = {sc['efficiency']}** (pairs {pairs};
-  segment-build-phase median {sc['segment_phase_efficiency']}) — target ≥ 0.8.
-  Throughput at both levels: local[{n_lo}] {tp_lo / 1000:.1f}k turns/s ({best_lo} s), local[{n_hi}]
-  {tp_hi / 1000:.1f}k turns/s ({best_hi} s) — best-of-{len(pairs)} per level, all raw walls in BENCH.md
-  and bench_result.json.
-- Rank identity vs reference semantics: 18-query-class pocket-oracle gate
+{scaling_line}- Rank identity vs reference semantics: 18-query-class pocket-oracle gate
   (also off physical segments, post-merge, under deletes, under pruning,
   under search-after paging, at a pinned time-travel snapshot) +
   {n_entries} DuckDB-checked entries, all green locally ({n_tests}-test suite).
-- Build throughput with lineage: per-segment metrics in every manifest
-  (`turns`, `wall_sec`, `turns_per_sec`), {b['turns_per_sec'] / 1000:.1f}k turns/s at local[{b['cpus']}] on {b['turns'] // 1_000_000}M
-  turns this window (window-dependent across sessions; virtual docid_map —
-  no corpus copy; every commit also retains a time-travel snapshot).
-{xl_line}- Merge phase: {mg['segments_in']} segments ({mg['docs'] // 1_000_000}M docs) → one in {mg['wall_sec']} s = **{mg['docs_per_sec'] / 1000:.1f}k docs/s**,
-  with {reuse_pct:.1f}% of blocks byte-reused (the merge.cpp:166-180 fast-path
-  analog — only partial and tombstone-hit blocks re-encode;
-  decode-equivalent, not necessarily the canonical packing).
-- Block-max pruning, both gate sides in the artifact: gate-CLOSED queries
-  provably route single-pass (zero penalty, `pruning.gates`); the gate-OPEN
-  measurement ({w['total_chunks']}-span geometry, {w['kept_chunks']} spans kept) has pruned beating
-  plain **{w['win']}x** at rank identity.
-"""
+{build_line}{xl_line}{merge_line}{pruning_line}"""
 
 
 def main() -> None:
@@ -492,17 +527,24 @@ def main() -> None:
         m = re.search(r"(\d+) tests collected", out.stdout)
         n_tests = int(m.group(1)) if m else 0
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(bench_md(d, window))
-
+    # Render BOTH documents before writing EITHER: a crash mid-render must
+    # not leave BENCH.md rewritten while BASELINE.md still cites the old
+    # window — the exact skew this script exists to prevent.
+    bench_text = bench_md(d, window)
     baseline_path = os.path.join(REPO, "BASELINE.md")
     with open(baseline_path) as f:
         text = f.read()
     # the measured-status section is the last section; replace from its header
     m = re.search(r"^## Round-\d+ measured status.*$", text, re.MULTILINE)
     head = text[: m.start()] if m else text.rstrip() + "\n\n"
+    baseline_text = head + baseline_section(
+        d, window, args.round, n_tests, n_entries
+    )
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(bench_text)
     with open(baseline_path, "w") as f:
-        f.write(head + baseline_section(d, window, args.round, n_tests, n_entries))
+        f.write(baseline_text)
 
     print(
         json.dumps(
@@ -511,7 +553,7 @@ def main() -> None:
                 "round": args.round,
                 "tests": n_tests,
                 "entries": n_entries,
-                "scaling_efficiency": d["scaling"]["efficiency"],
+                "scaling_efficiency": (d.get("scaling") or {}).get("efficiency"),
                 "headline_sec": d["value"],
             }
         )

@@ -1553,3 +1553,41 @@ def test_knn_ivf_partial_probe_recalls_clustered_labels(spark):
         ).collect()
     }
     assert got == {i: c for i, c, _ in unl_rows}
+
+
+def test_knn_ivf_uncovered_vector_keeps_row_with_null_label(spark):
+    """One row per input vector even under a partial probe: a vector whose
+    probed lists hold no labeled rows must come back with pred_label/votes
+    NULL — never a silently missing row (the row-count contract
+    knn_classify_auto relies on across both routes).
+
+    Deterministic empty-probe construction from the documented tie rules:
+    IDENTICAL labeled vectors make every init centroid identical, so
+    assignment (ties to the HIGHER list id) sends all labels to one list
+    while probe selection (ties to the LOWER list id) picks a different,
+    empty list at n_probe=1."""
+    v0 = [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 3.0]
+    lab_df = spark.createDataFrame(
+        [(i, 1, v0) for i in range(40)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    unl_df = spark.createDataFrame(
+        [(900, v0), (901, [float(-x) for x in v0])],
+        "vec_id long, embedding array<double>",
+    )
+    partial = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify_ivf(
+            unl_df, lab_df, k=3, n_lists=8, n_probe=1
+        ).collect()
+    }
+    # rows for BOTH inputs, both probing a labeled-empty list -> NULLs
+    assert partial == {900: (None, None), 901: (None, None)}
+    # the full probe sees every labeled row and labels every input
+    full = {
+        r["vec_id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify_ivf(
+            unl_df, lab_df, k=3, n_lists=8, n_probe=8
+        ).collect()
+    }
+    assert full == {900: (1, 3), 901: (1, 3)}

@@ -119,3 +119,31 @@ def test_token_nary_is_single_scan(index):
         tree = plan.split("\n\n")[0]  # formatted mode: tree, then node details
         n_scans = tree.count("MapInArrow")
         assert n_scans == 1, (q, n_scans, tree)
+
+
+def test_routing_decision_is_the_planner_predicate(index):
+    """routing_decision (shared with the collection dispatcher) must agree
+    with what plan() actually does — including the guards the dispatcher
+    once hand-mirrored and drifted on (k=0, duplicate OR terms)."""
+    from trinity_spark.plans.parser import parse_query
+    from trinity_spark.plans.planner import QueryPlanner, routing_decision
+
+    planner = QueryPlanner(index)
+    for q, k in [
+        ("error OR timeout OR retry", 10),
+        ("error OR timeout", 0),  # k=0: no pruning threshold -> never pass1
+        ("error OR error OR timeout", 10),  # dup terms -> never pass1
+        ("error AND timeout", 10),
+        ('the AND "rate limit"', 10),
+    ]:
+        node = parse_query(q)
+        dec = routing_decision(index, node, k)
+        planner.plan(q, k=k)
+        route = planner.last_route
+        predicted = dec["route"] or "single_pass"
+        # a probe-tier bail rewrites path to single_pass at runtime; the
+        # prediction is still "would take the pruned route"
+        if not (route["gate"] or {}).get("bailed"):
+            assert route["path"] == predicted, (q, dec, route)
+        if k == 0 or "error OR error" in q:
+            assert dec["pass1"] is False, (q, dec)

@@ -1152,7 +1152,10 @@ def knn_classify_ivf(
     equivalence tests rely on it; partial probes are approximate exactly
     like ``ivf_topk`` vs ``brute_force_topk``.
 
-    Returns (``id_col`` long, pred_label long, votes int)."""
+    Returns (``id_col`` long, pred_label long, votes int), ONE row per
+    input vector.  Under a partial probe, a vector whose probed lists hold
+    no labeled rows keeps its row with pred_label/votes NULL (never a
+    silently missing row); full probes always label every row."""
     import numpy as np
     import pyarrow as pa
 
@@ -1249,12 +1252,21 @@ def knn_classify_ivf(
     votes = topk.groupBy(id_col, "_lab").agg(F.count(F.lit(1)).alias("_n"))
     # winner = max votes, ties to the SMALLEST label: max_by over
     # (count, -label) struct ordering
-    return votes.groupBy(id_col).agg(
+    labeled_out = votes.groupBy(id_col).agg(
         F.expr("max_by(_lab, struct(_n, -_lab))").alias("pred_label"),
         F.max(F.struct(F.col("_n"), -F.col("_lab")))["_n"]
         .cast("int")
         .alias("votes"),
     )
+    # ONE ROW PER INPUT VECTOR, like knn_classify: a partial probe can
+    # leave an outlier whose n_probe nearest lists hold no labeled rows
+    # (labels cluster into few lists; empty lists keep their init centroid
+    # and stay probe-able) — the join above would silently drop it.  Such
+    # rows come back with pred_label/votes NULL: the approximation is
+    # surfaced, never a missing row.  Full probes (n_probe = n_lists) see
+    # every labeled row as a candidate, so no NULLs — bit-identity with
+    # the closure kernel is unaffected.
+    return u.select(id_col).join(labeled_out, id_col, "left")
 
 
 def knn_classify_auto(
@@ -1271,11 +1283,19 @@ def knn_classify_auto(
     Arrow batch — one corpus scan, zero shuffles) and the IVF-probed route,
     by the documented ceiling ``KNN_CLOSURE_MAX_CELLS`` = |labeled| x dim.
     ``labeled`` is a DataFrame either way; below the ceiling it is
-    collect()ed (small by definition of the ceiling)."""
-    n = labeled.count()
+    collect()ed (small by definition of the ceiling).  Both routes emit one
+    row per input vector (the IVF route with NULL pred_label for vectors a
+    partial probe left without labeled candidates)."""
+    # n and dim in ONE action (labeled can be an expensive lineage — a
+    # filtered/scored upstream frame — that a count + a first would run
+    # twice before classification even starts)
+    row = labeled.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.first(F.col(vec_col), ignorenulls=True).alias("_v"),
+    ).first()
+    n = int(row["_n"])
     if dim is None:
-        first = labeled.select(vec_col).first()
-        dim = len(first[vec_col]) if first else 0
+        dim = len(row["_v"]) if row["_v"] is not None else 0
     if n * max(dim, 1) <= KNN_CLOSURE_MAX_CELLS:
         trip = [
             (int(r[id_col]), int(r[label_col]), list(r[vec_col]))

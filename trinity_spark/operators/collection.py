@@ -113,31 +113,22 @@ def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
 PAR_MIN_STORES = 8
 
 
-def _any_gate_opens(indexes: list, stats_list, node, k: int) -> bool:
+def _any_gate_opens(
+    indexes: list, stats_list, node, k: int, similarity=None
+) -> bool:
     """Driver-side (zero Spark jobs, cached df): would any store's planner
-    take a pruned route — i.e. run its own pass-1 actions?"""
-    from ..plans.ast import And, Or, Phrase, Token
-    from ..operators.topk import and_gate_report, or_gate_report
+    take a pruned route that runs its own pass-1 actions?  Delegates to the
+    planner's own ``routing_decision`` — the SAME predicate ``_plan_topk``
+    acts on, seeded with the collection's batched stats — so the dispatcher
+    can never drift from the planner's actual routing conditions."""
+    from ..plans.planner import routing_decision
 
-    for idx, stats in zip(indexes, stats_list):
-        if getattr(idx, "blocks", None) is None:
-            continue
-        if isinstance(node, Or) and all(
-            isinstance(c, Token) for c in node.children
-        ):
-            terms = [c.term for c in node.children]
-            if len(set(terms)) == len(terms) and or_gate_report(
-                stats, terms, k
-            )["open"]:
-                return True
-        elif isinstance(node, And) and all(
-            isinstance(c, (Token, Phrase)) for c in node.children
-        ):
-            rep = and_gate_report(stats, node)
-            # meta_span is action-free; only the probe tier runs a pass-1 job
-            if rep["open"] and rep.get("tier") == "probe":
-                return True
-    return False
+    return any(
+        routing_decision(
+            idx, node, k, similarity=similarity, stats=stats
+        )["pass1"]
+        for idx, stats in zip(indexes, stats_list)
+    )
 
 
 def exec_query_collection_par(
@@ -159,7 +150,12 @@ def exec_query_collection_par(
     wall-clock tracks the SLOWEST store, not the sum.
 
     Driver-side merge is O(n_stores x k) rows — the collection analog of
-    top-k itself, independent of corpus size."""
+    top-k itself, independent of corpus size.
+
+    EAGER by construction: all per-store jobs execute inside this call (that
+    is the point — overlapping their driver-side pass-1 actions), and the
+    returned frame is a materialized local relation, not a live view of the
+    stores."""
     from concurrent.futures import ThreadPoolExecutor
 
     if not stores:
@@ -202,6 +198,7 @@ def exec_query_collection(
     k: int = 10,
     similarity=None,
     documents_only: bool = False,
+    pooled: bool | None = None,
 ) -> DataFrame:
     """Top-k over a collection of index stores.  ``stores`` may hold
     ``SegmentStore``s, ``SegmentIndex``es, or any planner-compatible index
@@ -214,7 +211,18 @@ def exec_query_collection(
 
     ``documents_only=True`` is ExecFlags::DocumentsOnly over the collection
     (exec.h:11-23 composed with exec.h:64-81): ALL matching (source, doc_id)
-    pairs, unranked and unlimited, scorer never evaluated."""
+    pairs, unranked and unlimited, scorer never evaluated.
+
+    ``pooled`` — dispatch control for the thread-pooled executor.  None
+    (default) auto-dispatches: pooled only when >= PAR_MIN_STORES stores AND
+    some store's pruning gate would open (the shape whose driver-side pass-1
+    actions serialize on one thread).  NOTE the pooled path is EAGER: every
+    store's jobs run inside THIS call and the returned frame is a small
+    materialized local relation (n_stores x k rows merged driver-side) — it
+    will not re-execute on later actions or observe store changes the way
+    the lazy-union path does.  Pass ``pooled=False`` to force the lazy
+    single-action union (deferred execution, live view of the stores),
+    ``pooled=True`` to force the pooled executor."""
     if not stores:
         raise ValueError("empty collection")
     node = parse_query(query) if isinstance(query, str) else query
@@ -225,11 +233,13 @@ def exec_query_collection(
     # ONE batched df/N lookup for the whole collection (O(1) driver actions
     # in store count), seeded into each per-store planner
     stats = _batched_stats(indexes, query_terms(node))
-    if (
-        not documents_only
-        and len(stores) >= PAR_MIN_STORES
-        and similarity is None  # gates are BM25-shaped, like the planner's
-        and _any_gate_opens(indexes, stats, node, k)
+    if not documents_only and (
+        pooled
+        if pooled is not None
+        else (
+            len(stores) >= PAR_MIN_STORES
+            and _any_gate_opens(indexes, stats, node, k, similarity)
+        )
     ):
         # some store would run driver-side pass-1 actions: pipeline per
         # store so they overlap (documents_only returns ALL matches —

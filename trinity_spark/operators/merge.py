@@ -168,6 +168,7 @@ def merge_segments(
     read_gens: list[int] = []
     in_range = None
     n_deleted = 0
+    legacy_ids: list[str] = []
     if apply_deletes:
         read_gens = [d["gen"] for d in store.read_manifest()["deletes"]]
         deletes = store.read_deletes_with_gen(spark)
@@ -225,6 +226,26 @@ def merge_segments(
                 ).select("doc_id").distinct()
                 parts.append(countable.join(already, "doc_id", "left_anti"))
             if legacy:
+                import logging
+
+                legacy_ids = [m.segment_id for m in legacy]
+                # presence counting is the only SAFE mode for unknown
+                # applied sets, but it is LOSSY for zero-token docs: a
+                # never-applied tombstone on an assigned id with no
+                # postings leaves no presence evidence, so docs_cnt (and
+                # every idf after this merge) stays one high per such doc.
+                # Surface the mode — silent lossy accounting is against
+                # this codebase's no-silent-drops convention — and record
+                # it in the merged lineage for later audits/fsck.
+                logging.getLogger(__name__).warning(
+                    "merge: %d segment(s) predate gen-aware delete lineage "
+                    "(%s); their tombstones are counted by posting "
+                    "PRESENCE, which cannot see zero-token docs — docs_cnt "
+                    "may over-count tombstoned docs that had no postings "
+                    "in those ranges",
+                    len(legacy),
+                    legacy_ids,
+                )
                 lcond = reduce(lambda a, b: a | b, [_rng(m) for m in legacy])
                 cand = deletes.where(lcond).select("doc_id").distinct()
                 parts.append(_present_tombstones(blocks, cand, legacy, cdc))
@@ -351,6 +372,11 @@ def merge_segments(
             "chunk_bits": out_bits,
             "codec": out_codec,
             "engine_version": __version__,
+            # audit trail: ranges whose tombstones were counted by the
+            # lossy presence mode (inputs predating deletes_gens lineage)
+            **(
+                {"legacy_presence_counted": legacy_ids} if legacy_ids else {}
+            ),
         },
         metrics={},
     )

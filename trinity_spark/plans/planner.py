@@ -228,6 +228,83 @@ def _map_compilable(node: Node) -> bool:
     return False
 
 
+def routing_decision(
+    index,
+    node: Node | None,
+    k: int,
+    doc_filter: DataFrame | None = None,
+    similarity=None,
+    stats=None,
+) -> dict:
+    """The planner's pruned-route predicate, in ONE place — shared by
+    ``QueryPlanner._plan_topk`` (which acts on it) and the collection
+    dispatcher (``exec_query_collection``'s pooled-vs-lazy-union choice,
+    which only needs to know whether a store would run driver-side pass-1
+    actions).  Driver-side and Spark-job-free: gate inputs come from the
+    index's cached df/N stats (pass ``stats`` to seed them, e.g. from the
+    collection's batched lookup).
+
+    Returns ``{"route": "pruned_or"|"rare_and"|None, "gate": dict|None,
+    "terms": list[str], "pass1": bool}``.  ``gate`` is None when the node
+    shape never reaches a gate (so the caller leaves ``last_route`` at its
+    single-pass default); ``pass1`` is True only for routes that submit
+    extra driver-side jobs before the main plan — the pruned-OR threshold
+    collect and the AND probe tier — never the metadata-only meta_span
+    tier."""
+    routable = (
+        isinstance(node, Or)
+        and all(isinstance(c, Token) for c in node.children)
+    ) or (
+        # AND: phrases restrict too — every match contains every member
+        # term of every required branch (the q_skew `stopword AND "rare
+        # phrase"` shape)
+        isinstance(node, And)
+        and all(isinstance(c, (Token, Phrase)) for c in node.children)
+    )
+    none = {"route": None, "gate": None, "terms": [], "pass1": False}
+    if node is None or not routable or getattr(index, "blocks", None) is None:
+        return none
+    from ..operators.topk import and_gate_report, or_gate_report
+
+    terms = (
+        [c.term for c in node.children]
+        if isinstance(node, Or)
+        else query_terms(node)
+    )
+    if stats is None:
+        # driver-side df cache (SegmentIndex) — no Spark job after the
+        # first query
+        stats = index.stats_for(terms)
+    if isinstance(node, Or):
+        if (
+            k >= 1  # k=0 has no pruning threshold; single pass
+            and doc_filter is None
+            and similarity is None  # the span bound is BM25-shaped
+            # duplicate term strings (e.g. 'a a OR a OR b' survives
+            # normalize as two a-branches) would double-count in the
+            # scorer while the span bound single-counts — and the
+            # pruned path's idf map would hit a duplicate key; route
+            # such queries through the always-correct single pass
+            and len(set(terms)) == len(terms)
+        ):
+            rep = or_gate_report(stats, terms, k)
+            return {
+                "route": "pruned_or" if rep["open"] else None,
+                "gate": dict(rep, type="or_block_max"),
+                "terms": terms,
+                "pass1": bool(rep["open"]),
+            }
+        return dict(none, terms=terms)
+    rep = and_gate_report(stats, node)
+    return {
+        "route": "rare_and" if rep["open"] else None,
+        "gate": dict(rep, type="and_span_restrict"),
+        "terms": terms,
+        # meta_span is action-free; only the probe tier runs pass-1 jobs
+        "pass1": bool(rep["open"] and rep.get("tier") == "probe"),
+    }
+
+
 class QueryPlanner:
     def __init__(self, index: LogicalIndex, similarity=None):
         """``similarity(ctx: TermContext, freq: Column) -> Column`` overrides
@@ -338,76 +415,39 @@ class QueryPlanner:
         block_pruning: bool,
         after: tuple[float, int] | None = None,
     ) -> DataFrame:
-        routable = (
-            isinstance(node, Or)
-            and all(isinstance(c, Token) for c in node.children)
-        ) or (
-            # AND: phrases restrict too — every match contains every member
-            # term of every required branch (the q_skew `stopword AND "rare
-            # phrase"` shape)
-            isinstance(node, And)
-            and all(isinstance(c, (Token, Phrase)) for c in node.children)
-        )
-        if (
-            block_pruning
-            and node is not None
-            and getattr(self.index, "blocks", None) is not None
-            and routable
-        ):
-            from ..operators.topk import (
-                and_gate_report,
-                or_gate_report,
-                pruned_or_topk,
-                rare_and_topk,
+        if block_pruning:
+            # the routing predicate lives in routing_decision (shared with
+            # the collection dispatcher so the two can never drift)
+            dec = routing_decision(
+                self.index, node, k, doc_filter, self.similarity
             )
+            if dec["gate"] is not None:
+                self.last_route = {
+                    "path": dec["route"] or "single_pass",
+                    "gate": dec["gate"],
+                }
+            if dec["route"] == "pruned_or":
+                from ..operators.topk import pruned_or_topk
 
-            spark = self.index.postings.sparkSession
-            terms = (
-                [c.term for c in node.children]
-                if isinstance(node, Or)
-                else query_terms(node)
-            )
-            # stats come from the driver-side df cache (SegmentIndex) — the
-            # gate itself costs no Spark job after the first query
-            stats = self.index.stats_for(terms)
-            if (
-                isinstance(node, Or)
-                and k >= 1  # k=0 has no pruning threshold; single pass
-                and doc_filter is None
-                and self.similarity is None  # the span bound is BM25-shaped
-                # duplicate term strings (e.g. 'a a OR a OR b' survives
-                # normalize as two a-branches) would double-count in the
-                # scorer while the span bound single-counts — and the
-                # pruned path's idf map would hit a duplicate key; route
-                # such queries through the always-correct single pass
-                and len(set(terms)) == len(terms)
-            ):
-                rep = or_gate_report(stats, terms, k)
-                self.last_route = {
-                    "path": "pruned_or" if rep["open"] else "single_pass",
-                    "gate": dict(rep, type="or_block_max"),
-                }
-                if rep["open"]:
-                    return pruned_or_topk(spark, self.index, terms, k, node=node)
-            if isinstance(node, And):
-                rep = and_gate_report(stats, node)
-                gate = dict(rep, type="and_span_restrict")
-                self.last_route = {
-                    "path": "rare_and" if rep["open"] else "single_pass",
-                    "gate": gate,
-                }
-                if rep["open"]:
-                    # containment-based — valid under any similarity.  The
-                    # gate dict is updated in place with what actually
-                    # happened (probe span counts, bail), so last_route is
-                    # the runtime record, not just the prediction.
-                    out = rare_and_topk(
-                        spark, self.index, node, k, doc_filter,
-                        similarity=self.similarity, report=gate,
-                    )
-                    if gate.get("bailed"):
-                        self.last_route["path"] = "single_pass"
-                    return out
+                spark = self.index.postings.sparkSession
+                return pruned_or_topk(
+                    spark, self.index, dec["terms"], k, node=node
+                )
+            if dec["route"] == "rare_and":
+                from ..operators.topk import rare_and_topk
+
+                spark = self.index.postings.sparkSession
+                # containment-based — valid under any similarity.  The
+                # gate dict is updated in place with what actually
+                # happened (probe span counts, bail), so last_route is
+                # the runtime record, not just the prediction.
+                out = rare_and_topk(
+                    spark, self.index, node, k, doc_filter,
+                    similarity=self.similarity, report=dec["gate"],
+                )
+                if dec["gate"].get("bailed"):
+                    self.last_route["path"] = "single_pass"
+                return out
         scored = self.score_all(node)
         if doc_filter is not None:
             scored = scored.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
