@@ -859,3 +859,80 @@ def test_pinned_snapshot_view_blocks_gc_and_expiry(spark, tmp_path_factory):
     # the live store still reclaims normally
     store.expire_snapshots(keep_last=1)
     store.gc()
+
+
+def test_resume_single_complete_segment_without_rps_is_noop(
+    spark, tmp_path_factory
+):
+    """A COMPLETED single-segment build re-run without rows_per_segment must
+    no-op (the resume advice says to omit it), not trip the alignment check
+    with the parallelism-derived default."""
+    store, corpus = _fresh_index(
+        spark, tmp_path_factory, "rerun1", n_turns=600, rows_per_segment=600
+    )
+    before = [m.segment_id for m in store.segments()]
+    again = build_index(
+        spark, spark.createDataFrame(corpus), store, input_desc="rerun1"
+    )
+    assert [m.segment_id for m in again] == before
+    assert [m.segment_id for m in store.segments()] == before
+
+
+def test_gc_orphan_grace_skips_young_paths(spark, tmp_path_factory):
+    """gc(orphan_grace_sec=N) must leave recently-modified unreferenced paths
+    alone (the Iceberg remove_orphan_files older_than analog, covering the
+    data-written-manifest-pending window of an in-flight commit); a zero
+    grace reclaims them."""
+    store, _ = _fresh_index(spark, tmp_path_factory, "gcgrace")
+    store.add_deletes(spark, [5])
+    merge_segments(spark, store)
+    store.expire_snapshots(keep_last=1)
+    held = store.gc(orphan_grace_sec=3600)  # everything here is seconds old
+    assert held == {"segments": [], "deletes": []}
+    removed = store.gc()
+    assert len(removed["segments"]) == 2 and len(removed["deletes"]) == 1
+
+
+def test_pinned_snapshot_view_blocks_data_writes_before_disk(
+    spark, tmp_path_factory
+):
+    """Data writers on a pinned view must raise at the ENTRY POINT: the old
+    path let commit_segment overwrite the live store's segment dirs (and
+    add_deletes a live tombstone gen file) before _write_manifest raised."""
+    import glob
+
+    store, _ = _fresh_index(spark, tmp_path_factory, "pindata")
+    pinned = store.at(store.read_manifest()["snapshot_id"])
+    seg = store.segments()[0]
+    files_before = sorted(glob.glob(os.path.join(store.base, "**"), recursive=True))
+    blocks = store.read_blocks(spark, [seg.segment_id])
+    with pytest.raises(RuntimeError, match="pinned"):
+        # frames are never touched: the guard fires at _write_segment_data
+        pinned.commit_segment(blocks, blocks, blocks, seg)
+    with pytest.raises(RuntimeError, match="pinned"):
+        pinned.add_deletes(spark, [1])
+    with pytest.raises(RuntimeError, match="pinned"):
+        pinned.write_docid_map_slice(blocks, "seg-x")
+    # nothing on disk moved
+    assert files_before == sorted(
+        glob.glob(os.path.join(store.base, "**"), recursive=True)
+    )
+
+
+def test_batch_map_rewrite_refuses_with_nrt_slices(spark, tmp_path_factory):
+    """write_docid_map overwrites the docid_map ROOT; with committed NRT
+    slices under nrt/ that would destroy their doc_id translations — it must
+    refuse up front, before any data is eaten."""
+    from trinity_spark.streaming.nrt import append_micro_segment
+
+    store, corpus = _fresh_index(spark, tmp_path_factory, "nrtmap")
+    append_micro_segment(
+        spark, store, spark.createDataFrame(gen_transcripts(100, seed=7))
+    )
+    slice_dirs = os.listdir(os.path.join(store.docid_map_dir(), "nrt"))
+    with pytest.raises(RuntimeError, match="NRT"):
+        store.write_docid_map(
+            store.read_docid_map(spark), n_docs=800, layout=False
+        )
+    # the slices survived the refused rewrite
+    assert os.listdir(os.path.join(store.docid_map_dir(), "nrt")) == slice_dirs

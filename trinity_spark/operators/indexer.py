@@ -171,6 +171,18 @@ def _build_index_inner(
             # a single committed segment that is NOT the corpus-final one
             # must be a full segment, so its span is the original value
             committed = build_segs[-1].doc_hi - build_segs[-1].doc_lo
+        if (
+            committed is None
+            and not explicit_rps
+            and build_segs[-1].doc_lo == 0
+            and build_segs[-1].doc_hi >= n_docs
+        ):
+            # a COMPLETED single-segment build: its span is a valid original
+            # value (any rps >= span yields this same one segment), so adopt
+            # it — otherwise an idempotent re-run that omits
+            # rows_per_segment (as the resume advice below says to) would
+            # trip the alignment check with the parallelism-derived default
+            committed = build_segs[-1].doc_hi
         if committed is not None and committed != rps:
             if explicit_rps:
                 raise ValueError(
@@ -258,7 +270,13 @@ def _build_index_inner(
     # range with differently-sized micro-segments — rebuilding either would
     # duplicate documents.  A PARTIAL overlap is unresolvable (building would
     # duplicate the overlapped docs; skipping would drop the rest) -> raise.
-    committed_ranges = sorted((m.doc_lo, m.doc_hi) for m in store.segments())
+    # ONE manifest read for the whole resume scan: per-iteration
+    # has_segment()/segments() calls re-parse the full JSON manifest, which
+    # is O(segments^2) driver overhead at the ~1000-resume-unit design point
+    pre_committed = {m.segment_id: m for m in store.segments()}
+    committed_ranges = sorted(
+        (m.doc_lo, m.doc_hi) for m in pre_committed.values()
+    )
 
     def _coverage(lo: int, hi: int) -> str:
         cur = lo
@@ -284,8 +302,8 @@ def _build_index_inner(
     for lo in range(0, n_docs, rows_per_segment):
         hi = min(lo + rows_per_segment, n_docs)
         sid = f"seg-{lo:014d}-{hi:014d}"
-        if store.has_segment(sid):
-            built.append(next(s for s in store.segments() if s.segment_id == sid))
+        if sid in pre_committed:
+            built.append(pre_committed[sid])
             continue
         cov = _coverage(lo, hi)
         if cov == "full":
@@ -353,11 +371,7 @@ def _build_index_inner(
              "turns_per_sec": round((hi - lo) / wall, 1)}
         )
         # re-commit metrics into the manifest entry (metadata-only update)
-        m = store.read_manifest()
-        for s in m["segments"]:
-            if s["segment_id"] == sid:
-                s["metrics"] = meta.metrics
-        store._write_manifest(m)
+        store.update_segment_metrics(sid, meta.metrics)
         built.append(meta)
     return built
 

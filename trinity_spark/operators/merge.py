@@ -406,11 +406,7 @@ def merge_segments(
             "blocks_reencoded": n_total - n_reused,
         }
     )
-    m = store.read_manifest()
-    for s in m["segments"]:
-        if s["segment_id"] == meta.segment_id:
-            s["metrics"] = meta.metrics
-    store._write_manifest(m)
+    store.update_segment_metrics(meta.segment_id, meta.metrics)
     # retire ONLY the tombstone generations this merge read and applied, and
     # only if it covered every segment that existed at read time — deletes
     # added concurrently (later gens) and deletes still masking unmerged

@@ -248,6 +248,19 @@ class SegmentStore:
         files/row-groups via parquet min/max stats instead of scanning the
         whole corpus.  Single-segment builds pass ``layout=False`` — the one
         segment reads everything anyway, so the range shuffle is pure cost."""
+        nrt_dir = os.path.join(self.docid_map_dir(), "nrt")
+        if os.path.isdir(nrt_dir) and os.listdir(nrt_dir):
+            # mode('overwrite') below replaces the docid_map ROOT — it would
+            # silently destroy the committed NRT micro-segments' doc_id
+            # translations under nrt/.  A batch (re)build over a store with
+            # NRT appends would fail its overlap guard anyway, but only
+            # AFTER this write had already eaten the slices — fail first.
+            raise RuntimeError(
+                "docid_map holds NRT micro-segment slices; rewriting the "
+                "batch map would destroy their doc_id translations — merge "
+                "the NRT segments first (operators.merge) or build into a "
+                "fresh store"
+            )
         df = turns_with_ids
         if n_docs and layout:
             import math
@@ -302,7 +315,12 @@ class SegmentStore:
         spark = turns.sparkSession
         m = self.read_manifest()["docid_map"]
         bases = self.read_conv_bases(spark).select("conv_id", "base")
-        if m.get("n_convs", 0) <= 1_000_000:
+        # the SAME constant indexer.py uses to predict this join's strategy
+        # (hash-join fallback => it must add a doc-order-restoring range
+        # repartition); a hardcoded copy here could silently diverge
+        from ..operators.docids import BROADCAST_MAX_CONVS
+
+        if m.get("n_convs", 0) <= BROADCAST_MAX_CONVS:
             bases = F.broadcast(bases)
         joined = turns.join(bases, "conv_id")
         doc_id = (F.col("base") + F.col("turn_idx").cast("long")).alias("doc_id")
@@ -445,6 +463,23 @@ class SegmentStore:
         self._write_manifest(m)
         return del_gen
 
+    def update_segment_metrics(
+        self, segment_id: str, metrics: dict[str, Any]
+    ) -> None:
+        """Patch one committed segment's ``metrics`` in the manifest — the
+        post-commit lineage update (wall_sec includes the commit write
+        itself, so it can only be recorded after).  Metadata-only; shares the
+        atomic snapshot-per-write path, so with a retention policy set the
+        extra snapshot is trimmed on the spot."""
+        m = self.read_manifest()
+        for s in m["segments"]:
+            if s["segment_id"] == segment_id:
+                s["metrics"] = dict(metrics)
+                break
+        else:
+            raise ValueError(f"no committed segment {segment_id!r}")
+        self._write_manifest(m)
+
     def retire_segments(self, segment_ids: list[str]) -> None:
         """Drop merged-away segments from the manifest (the merge retention
         verdict, merge.cpp:418-447). Data dirs are left for GC."""
@@ -534,7 +569,7 @@ class SegmentStore:
             *[self.segment_dir(s.segment_id, "field_stats") for s in metas]
         )
 
-    def gc(self) -> dict[str, list[str]]:
+    def gc(self, orphan_grace_sec: float = 0.0) -> dict[str, list[str]]:
         """Physically remove data no snapshot references: segment directories
         retired by merges and tombstone files whose generation was retired by
         a full merge (the reference's deferred reclamation — merge.cpp's
@@ -545,9 +580,17 @@ class SegmentStore:
         file: data an old snapshot still references survives gc so ``at(id)``
         keeps working — run ``expire_snapshots`` first to release history.
 
-        Safe by construction: the manifests are read ONCE and only paths
-        absent from all of them are deleted, so a concurrent commit can at
-        worst make this pass conservative (skip), never destructive."""
+        CONCURRENCY: a commit writes its data dirs BEFORE the manifest names
+        them, so a gc pass racing a writer could reclaim an in-flight
+        segment.  Two mitigations: the current manifest is RE-READ
+        immediately before deletion (anything committed since the first read
+        survives), and ``orphan_grace_sec`` skips paths modified within the
+        last N seconds — Iceberg's remove_orphan_files ``older_than`` analog,
+        which closes the remaining data-written-manifest-pending window for
+        any in-flight commit shorter than the grace.  The default 0 is only
+        safe under this store's single-maintenance-writer deployment model
+        (gc from the same process/schedule that owns merges); pass a grace
+        comfortably above your longest commit when writers may overlap."""
         import shutil
 
         live_segments: set[str] = set()
@@ -562,21 +605,34 @@ class SegmentStore:
                 # open; its data references are a subset of newer state, so
                 # skipping keeps the pass conservative, never destructive
                 continue
+        # re-read the CURRENT manifest last: a commit that flipped the
+        # manifest after the snapshot walk above keeps its data
+        manifests.append(self.read_manifest())
         for m in manifests:  # union over current state + retained history
             live_segments.update(s["segment_id"] for s in m["segments"])
             live_deletes.update(os.path.abspath(d["path"]) for d in m["deletes"])
+        cutoff = time.time() - max(orphan_grace_sec, 0.0)
+
+        def _young(path: str) -> bool:
+            if orphan_grace_sec <= 0:
+                return False
+            try:
+                return os.path.getmtime(path) >= cutoff
+            except OSError:
+                return True  # vanished/changing underfoot: leave it alone
         removed: dict[str, list[str]] = {"segments": [], "deletes": []}
         seg_root = os.path.join(self.base, "segments")
         if os.path.isdir(seg_root):
             for name in sorted(os.listdir(seg_root)):
-                if name not in live_segments:
-                    shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                p = os.path.join(seg_root, name)
+                if name not in live_segments and not _young(p):
+                    shutil.rmtree(p, ignore_errors=True)
                     removed["segments"].append(name)
         del_root = os.path.join(self.base, "deletes")
         if os.path.isdir(del_root):
             for name in sorted(os.listdir(del_root)):
                 p = os.path.abspath(os.path.join(del_root, name))
-                if p not in live_deletes:
+                if p not in live_deletes and not _young(p):
                     (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
                     removed["deletes"].append(name)
         return removed
@@ -819,3 +875,30 @@ class _PinnedSnapshotStore(SegmentStore):
             "history against a stale manifest; run it on the live "
             "SegmentStore"
         )
+
+    # Data writers must raise BEFORE touching disk: commit_segment and
+    # friends write segment/docid-map/tombstone files into the LIVE store's
+    # directories first and only then hit _write_manifest's raise — by which
+    # point committed data the live manifest references has been overwritten.
+    # Fail at the entry point instead.
+    def _raise_pinned(self, op: str):
+        raise RuntimeError(
+            f"{op} on a pinned snapshot view would write into the live "
+            "store's data directories; writes must go through the live "
+            "SegmentStore"
+        )
+
+    def _write_segment_data(self, *a, **kw):
+        self._raise_pinned("segment commit")
+
+    def write_docid_map(self, *a, **kw):
+        self._raise_pinned("write_docid_map")
+
+    def write_docid_map_slice(self, *a, **kw):
+        self._raise_pinned("write_docid_map_slice")
+
+    def write_conv_bases(self, *a, **kw):
+        self._raise_pinned("write_conv_bases")
+
+    def add_deletes(self, *a, **kw):
+        self._raise_pinned("add_deletes")  # would clobber a live gen file

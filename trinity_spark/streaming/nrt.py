@@ -86,11 +86,7 @@ def append_micro_segment(
     meta.metrics.update(
         {"turns": n, "wall_sec": round(wall, 3), "turns_per_sec": round(n / wall, 1)}
     )
-    m = store.read_manifest()
-    for s in m["segments"]:
-        if s["segment_id"] == meta.segment_id:
-            s["metrics"] = meta.metrics
-    store._write_manifest(m)
+    store.update_segment_metrics(meta.segment_id, meta.metrics)
     return meta
 
 
@@ -118,16 +114,33 @@ def replace_documents(
         n = turns.count()
         if n == 0:
             return None
-        # every live doc_id for the updated keys (earlier replaced versions
-        # are already masked; re-masking them is harmless)
-        dm = store.read_docid_map(spark).select("conv_id", "turn_idx", "doc_id")
-        old = dm.join(
-            F.broadcast(turns.select("conv_id", "turn_idx").distinct()),
-            ["conv_id", "turn_idx"],
-            "left_semi",
-        ).select("doc_id")
-
         base = next_doc_id(store)
+        # every live doc_id for the updated keys (earlier replaced versions
+        # are already masked; re-masking them is harmless).  doc_id < base
+        # is LOAD-BEARING: the docid-map read lists nrt/ slices recursively,
+        # so a replay after a crash between the slice write and the commit
+        # would otherwise see the crashed attempt's own [base, base+n) ids
+        # for the SAME keys and tombstone the replacement documents it is
+        # about to commit — only ids below the committed high-water mark can
+        # be live old versions.  (Also hardens against the map scan listing
+        # files lazily, after this call writes the new slice.)
+        dm = store.read_docid_map(spark).select("conv_id", "turn_idx", "doc_id")
+        old = (
+            dm.join(
+                F.broadcast(turns.select("conv_id", "turn_idx").distinct()),
+                ["conv_id", "turn_idx"],
+                "left_semi",
+            )
+            .where(F.col("doc_id") < F.lit(base))
+            .select("doc_id")
+            # MATERIALIZE before the slice write below: the lazy scan lists
+            # the map's current parquet files, and on a crash replay the
+            # slice overwrite replaces the crashed attempt's files the scan
+            # captured — evaluating `old` at commit time would then read
+            # deleted paths.  The set is batch-sized (tombstones are
+            # RAM-resident by design), so the eager checkpoint is cheap.
+            .localCheckpoint(eager=True)
+        )
         t0 = time.monotonic()
         segment_id = f"seg-{base:014d}-{base + n:014d}"
         with_ids = assign_doc_ids(turns).withColumn(
@@ -165,11 +178,7 @@ def replace_documents(
             {"turns": n, "wall_sec": round(wall, 3),
              "turns_per_sec": round(n / wall, 1), "tombstone_gen": del_gen}
         )
-        m = store.read_manifest()
-        for s in m["segments"]:
-            if s["segment_id"] == meta.segment_id:
-                s["metrics"] = meta.metrics
-        store._write_manifest(m)
+        store.update_segment_metrics(meta.segment_id, meta.metrics)
         return meta
     finally:
         turns.unpersist()
@@ -181,6 +190,7 @@ def start_indexing_stream(
     stream_df: DataFrame,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    stream_id: str | None = None,
 ):
     """Wire a streaming transcripts source into the store.
 
@@ -190,15 +200,30 @@ def start_indexing_stream(
     epoch re-commits the same segment_id, which commit_segment overwrites
     idempotently (same doc range => same content).
 
+    ``stream_id`` scopes the replay guard (default: a hash of
+    ``checkpoint_dir``).  Epoch ids are only unique WITHIN one checkpoint
+    lineage — a new source pointed at the same store (new checkpoint dir,
+    epochs restart at 0) or two concurrent streams must not have their
+    batches silently swallowed by markers an unrelated stream committed.
+    Consequence: deleting a checkpoint dir and recreating it at the same
+    path reuses the same scope — epochs restart at 0 and collide with the
+    old markers, so pass a fresh ``stream_id`` (or a fresh path) when
+    intentionally reprocessing.
+
     Operational note: every micro-batch is a store commit, and commits
     retain time-travel snapshots — for a long-running stream set
     ``store.set_snapshot_retention(n)`` first (bounded history,
     auto-trimmed per commit) or schedule ``expire_snapshots`` + ``gc``,
     or snapshot metadata grows one file per epoch forever.
     """
+    import hashlib
+
+    sid = stream_id or hashlib.md5(
+        checkpoint_dir.encode("utf-8")
+    ).hexdigest()[:12]
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = f"stream-epoch-{epoch_id}"
+        marker = f"stream-{sid}-epoch-{epoch_id}"
         # replay guard: an epoch already committed (crash between segment
         # commit and checkpoint write) must not double-append
         if any(s.lineage.get("input") == marker for s in store.segments()):

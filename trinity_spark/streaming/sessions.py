@@ -73,12 +73,14 @@ _SESSION_OUTPUT = StructType(
         StructField("event_id", LongType()),
         StructField("ts", TimestampType()),
         StructField("session_id", LongType()),
+        StructField("session_start_sec", DoubleType()),
     ]
 )
 _SESSION_STATE = StructType(
     [
         StructField("last_sec", DoubleType()),
         StructField("session_id", LongType()),
+        StructField("start_sec", DoubleType()),
     ]
 )
 
@@ -91,8 +93,16 @@ def sessionize_stream(
     """Assign gap-based session ids on a stream of (user_id, event_id, ts).
 
     Stateful per-user continuation across micro-batches (see module doc).
-    Returns a streaming DataFrame (user_id, event_id, ts, session_id) in
-    append mode.
+    Returns a streaming DataFrame (user_id, event_id, ts, session_id,
+    session_start_sec) in append mode.
+
+    Identity caveat: ``session_id`` is dense 0-based per user WITHIN one
+    state lifetime (matching the batch ``dataops.sessions.sessionize``).
+    TTL eviction removes the counter, so a user returning after
+    ``state_ttl_min`` restarts at 0 — downstream keys that must stay unique
+    across evictions should use (user_id, session_start_sec), the session's
+    first event time, which never repeats for a user (events advance in
+    arrival order and a new session starts strictly later than the last).
 
     ``state_ttl_min=None`` disables the processing-time state eviction —
     use for bounded replays and for ``trigger(availableNow=True)`` runs
@@ -113,8 +123,8 @@ def sessionize_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        last_sec, session_id = (
-            state.get if state.exists else (None, -1)
+        last_sec, session_id, start_sec = (
+            state.get if state.exists else (None, -1, None)
         )
         # the runtime hands one key's micro-batch as SEVERAL pandas chunks
         # (split at arrow maxRecordsPerBatch) in arbitrary relative order —
@@ -131,20 +141,24 @@ def sessionize_stream(
         )
         secs = pdf["ts"].astype("int64") / 1e9
         out_sessions = []
+        out_starts = []
         for s in secs:
             if last_sec is None or s - last_sec > gap_sec:
                 session_id += 1
+                start_sec = float(s)
             last_sec = s
             out_sessions.append(session_id)
+            out_starts.append(start_sec)
         yield pd.DataFrame(
             {
                 "user_id": key[0],
                 "event_id": pdf["event_id"].values,
                 "ts": pdf["ts"].values,
                 "session_id": out_sessions,
+                "session_start_sec": out_starts,
             }
         )
-        state.update((float(last_sec), int(session_id)))
+        state.update((float(last_sec), int(session_id), float(start_sec)))
         if use_ttl:
             state.setTimeoutDuration(int(state_ttl_min * 60 * 1000))
 
