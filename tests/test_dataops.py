@@ -1163,6 +1163,18 @@ def test_lsh_bucket_cap_validates(spark):
         dedup.lsh_candidate_pairs(sigs, num_hashes=4, bands=2, max_bucket_size=1)
 
 
+def test_lsh_band_config_validates(spark):
+    """bands > num_hashes would make rows=0 (every band hash = md5('') ->
+    ALL docs in one bucket -> O(N^2) pairs); non-divisible num_hashes would
+    silently drop trailing hashes.  Both must raise, not degrade."""
+    docs = _docs(spark, DUP_ROWS)
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=5)
+
+
 def test_simhash_bucket_cap_salt_split(spark, caplog):
     """Same degenerate shape through the SimHash band join: identical docs
     share all 8 byte-bands; the cap salt-splits the bucket (bounded pairs),
@@ -1591,3 +1603,17 @@ def test_knn_ivf_uncovered_vector_keeps_row_with_null_label(spark):
         ).collect()
     }
     assert full == {900: (1, 3), 901: (1, 3)}
+
+
+def test_ivf_index_corpus_smaller_than_n_lists(spark):
+    """A corpus with fewer vectors than n_lists yields fewer init centroids;
+    the Lloyd update's empty-list fallback must clamp to them instead of
+    indexing past the list (crashed with IndexError before the clamp)."""
+    rng = np.random.default_rng(11)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, cents = similarity.ivf_index(df, n_lists=16, iters=2)
+    assert len(cents) == 10
+    got = indexed.collect()
+    assert len(got) == 10
+    assert all(0 <= r["list_id"] < 10 for r in got)

@@ -109,6 +109,11 @@ def test_queries_have_hits(oracle):
     "<error> <timeout>",          # all-optional AND: matches nothing
     "error error OR error",       # duplicate-term OR branches survive normalize
     "error OR error OR timeout",  # exact-duplicate branch dedup
+    "error OR <timeout>",         # optional under OR: never matches/scores
+    "<error> OR <timeout>",       # all-optional OR: matches nothing
+    "[error, <timeout>] min=1",   # optional under MatchSome never counts
+    '[error, <"rate limit">] min=1',  # same, phrase optional (map path)
+    "[error, timeout, retry] min=0",  # min=0 degenerates to OR
 ])
 def test_rank_identity_edge_shapes(qs, engine, oracle):
     """Regression shapes from the round-4 core review: all-optional AND used

@@ -579,3 +579,45 @@ def test_percolate_chunked_registry_equals_unchunked(spark, monkeypatch):
         for r in perc.percolate_routed(docs, queries).collect()
     }
     assert got_routed == want
+
+
+def test_expand_synonyms_identity_alternative_filtered():
+    """A synonym list containing the source itself must not add a duplicate
+    branch: the Token arm already filters ``s != term``; the Phrase arm's
+    duplicate would double-count the phrase score (its rewrite ctx differs,
+    so Or.normalize's repr-dedup cannot catch it)."""
+    from trinity_spark.plans.ast import RewriteCtx
+
+    # token identity alternative
+    t = expand_synonyms(parse_query("error"), {"error": ["error", "fault"]})
+    assert t == Or(
+        (Token("error"), Token("fault", rewrite=RewriteCtx("error", 1.0, 1)))
+    )
+    # phrase identity alternative
+    p = expand_synonyms(
+        parse_query('"big apple"'), {"big apple": ["big apple", "nyc"]}
+    )
+    assert p == Or(
+        (
+            Phrase(("big", "apple")),
+            Token("nyc", rewrite=RewriteCtx("big apple", 0.5, 2)),
+        )
+    )
+
+
+def test_percolate_direct_some_k0_node_matches_union(spark):
+    """A directly-registered (unnormalized) Some(k=0) node bypasses
+    parse_query's normalize; the predicate must degenerate to OR (oracle:
+    candidates are the union of child matches), not match every doc."""
+    from trinity_spark.operators.percolator import percolate
+    from trinity_spark.plans.ast import Some, Token
+
+    docs = spark.createDataFrame(
+        [(0, "error timeout"), (1, "all quiet"), (2, "retry storm")],
+        "doc_id long, text string",
+    )
+    node = Some((Token("error"), Token("retry")), k=0)
+    got = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(docs, {"q": node}).collect()
+    )
+    assert got == [(0, "q"), (2, "q")]

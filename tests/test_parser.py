@@ -124,3 +124,19 @@ def test_trimmed_pathological_query_plans(spark):
     assert len(query_terms(node)) == 256
     got = {r["doc_id"] for r in QueryPlanner(index).plan(node, k=10).collect()}
     assert got == {0, 1}  # w0001/w0002 kept, w9999 is beyond the cap anyway
+
+
+def test_matchsome_min_zero_degenerates_to_or():
+    # oracle semantics: candidates are the UNION of child matches, so
+    # min=0 is exactly OR (matched >= 0 would otherwise admit everything
+    # downstream in predicate compilers)
+    assert parse_query("[a, b] min=0") == Or((Token("a"), Token("b")))
+
+
+def test_trailing_plus_raises_parse_error_not_indexerror():
+    import pytest
+
+    from trinity_spark.plans.parser import QueryParseError
+
+    with pytest.raises(QueryParseError):
+        parse_query("foo +")

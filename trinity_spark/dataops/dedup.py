@@ -188,18 +188,19 @@ def _capped_bucket_pairs(
         return _pairs(banded, key_cols).distinct()
     banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    if report["buckets"]:
-        _log.warning(
-            "%s cap: %d bucket(s) over max_bucket_size=%d (largest=%d) "
-            "salt-split into sub-buckets (all pairs within each sub-bucket "
-            "+ a verified chain of sub-bucket representatives); ~%d "
-            "cross-sub-bucket pairwise candidates skipped",
-            label,
-            report["buckets"],
-            max_bucket_size,
-            report["largest"],
-            int(report["pairs_skipped"] or 0),
-        )
+    # (the no-oversized-buckets path returned above, so the cap log always
+    # fires here — no-silent-caps convention)
+    _log.warning(
+        "%s cap: %d bucket(s) over max_bucket_size=%d (largest=%d) "
+        "salt-split into sub-buckets (all pairs within each sub-bucket "
+        "+ a verified chain of sub-bucket representatives); ~%d "
+        "cross-sub-bucket pairwise candidates skipped",
+        label,
+        report["buckets"],
+        max_bucket_size,
+        report["largest"],
+        int(report["pairs_skipped"] or 0),
+    )
     tagged = banded.join(sizes, key_cols)
     small = tagged.where(F.col("n") <= max_bucket_size).drop("n")
     big = (
@@ -260,6 +261,15 @@ def lsh_candidate_pairs(
     salt-split with a verified representative chain re-linking the splits —
     semantics, bounds, and the no-silent-caps log line in
     ``_capped_bucket_pairs``.  Defaults to None (no cap, exact behavior)."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make rows=0, so every band hash is
+        # md5('') and ALL docs collide into one bucket (the O(N^2) blowup
+        # max_bucket_size exists to prevent, triggered by config); a
+        # non-divisible num_hashes would silently drop trailing hashes
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),

@@ -170,6 +170,9 @@ def ivf_index(
         .collect()
     )
     cents = [list(r[vec_col]) for r in init]
+    # a corpus smaller than n_lists yields fewer init centroids; clamp so the
+    # Lloyd update's empty-list fallback (cents[i]) cannot index past them
+    n_lists = min(n_lists, len(cents))
     for _ in range(iters):
         assigned = v.withColumn("list_id", _argmax_cosine(F.col(vec_col), cents))
         means = (

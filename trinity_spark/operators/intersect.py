@@ -1,8 +1,11 @@
 """Token-subset intersection counting (query-suggestion support).
 
 Reference: ``/root/reference/intersect.cpp:5-230`` — given a token list,
-count how many documents match each subset of the tokens (as a bitmask), so
-an application can suggest "which words to drop" when a query has few hits.
+count documents per EXACT token-set bitmask (each doc contributes to the one
+mask of query tokens it contains, ``intersect.cpp:111-141`` accumulates
+``mask |= m`` per doc then counts per distinct mask).  An application
+suggesting "which words to drop" sums the superset masks of its candidate
+subset; neither the reference nor this operator pre-aggregates supersets.
 
 Spark-first: per (doc, token) membership -> bit per token -> ``bit_or`` per
 doc -> count per mask.  Two narrow aggregations; no joins.

@@ -65,7 +65,10 @@ def _predicate(node: Node, toks: Column) -> Column:
             lambda a, b: a + b,
             [_predicate(c, toks).cast("int") for c in node.children],
         )
-        return matched >= node.k
+        # k < 1 degenerates to Or (oracle: candidates are the union of
+        # child matches) — 'matched >= 0' would match EVERY document,
+        # diverging from percolate_routed which routes on the query terms
+        return matched >= max(node.k, 1)
     if isinstance(node, Not):
         return _predicate(node.req, toks) & ~_predicate(node.excl, toks)
     if isinstance(node, ConstTrue):

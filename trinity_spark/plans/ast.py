@@ -134,6 +134,9 @@ class Some(Node):
         kids = [c for c in (c.normalize() for c in self.children) if c is not None]
         if not kids or self.k > len(kids):  # matchsome(min>n) -> false
             return None
+        if self.k < 1:  # matchsome(min=0) -> OR: oracle candidates are the
+            # UNION of child matches, so every candidate has matched >= 1
+            return Or(tuple(kids)).normalize()
         if self.k == len(kids):  # matchsome(min=n) -> AND (compilation_ctx.cpp)
             return And(tuple(kids)).normalize()
         if len(kids) == 1:

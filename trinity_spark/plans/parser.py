@@ -72,6 +72,11 @@ class _Parser:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
 
     def take(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            # a trailing prefix operator ('foo +') recurses into parse_unary
+            # past the end — surface the contract's exception type, not a
+            # bare IndexError
+            raise QueryParseError("unexpected end of query")
         t = self.toks[self.i]
         self.i += 1
         return t

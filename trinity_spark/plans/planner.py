@@ -627,6 +627,7 @@ class QueryPlanner:
         self._stats = stats
         qts = query_terms(node)
         self._postings = self._scan_postings(node, qts)
+        deleted_applied = False
         if isinstance(node, Token):
             out = self._postings.where(F.col("term") == node.term).select("doc_id")
         elif _map_compilable(node):
@@ -636,8 +637,11 @@ class QueryPlanner:
             finally:
                 self._docs_only = False
         else:
+            # score_all already anti-joins index.deleted — don't add a
+            # second anti-join (a redundant shuffle + deleted-frame scan)
             out = self.score_all(node).select("doc_id")
-        if self.index.deleted is not None:
+            deleted_applied = True
+        if self.index.deleted is not None and not deleted_applied:
             out = out.join(self.index.deleted, "doc_id", "left_anti")
         if doc_filter is not None:
             out = out.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
@@ -828,7 +832,10 @@ class QueryPlanner:
                 else:
                     p, s = self._map_expr(c, m)
                     req_present.append(p)
-                    parts.append(s)
+                    # coalesce like _compile_nary's score_cols: a custom
+                    # similarity may legally return NULL for a matched row,
+                    # which must contribute 0.0, not nullify the total
+                    parts.append(F.coalesce(F.when(p, s), F.lit(0.0)))
             if not req_present:  # all-optional AND matches nothing (oracle)
                 return F.lit(False), F.lit(0.0)
             present = reduce(lambda a, b: a & b, req_present)
@@ -843,7 +850,10 @@ class QueryPlanner:
                 matched = reduce(
                     lambda a, b: a + b, [p.cast("int") for p, _ in ps]
                 )
-                return matched >= node.k, score
+                # k < 1 degenerates to Or (oracle: docs = union of child
+                # matches); without the clamp 'matched >= 0' admits docs in
+                # the frame that match no branch at all
+                return matched >= max(node.k, 1), score
             return reduce(lambda a, b: a | b, [p for p, _ in ps]), score
         if isinstance(node, Not):
             p_req, s_req = self._map_expr(node.req, m)
@@ -947,6 +957,17 @@ class QueryPlanner:
 
     def _compile_nary(self, node: And | Or | Some) -> DataFrame:
         children = list(node.children)
+        if not isinstance(node, And):
+            # oracle semantics (oracle.py eval(ConstTrue) = {}): an optional
+            # branch under Or/Some never matches and never contributes —
+            # only an AND gives <...> meaning.  Drop them here so the
+            # all-token fast path below cannot unwrap one into a full
+            # scoring branch (it previously did: 'a OR <b>' matched docs
+            # containing only b).  _map_expr and _compile already agree.
+            children = [c for c in children if not isinstance(c, ConstTrue)]
+            if not children:
+                spark = self.index.postings.sparkSession
+                return spark.createDataFrame([], "doc_id long, score double")
         required = [
             i
             for i, c in enumerate(children)
@@ -1025,7 +1046,11 @@ class QueryPlanner:
                 lambda a, b: a + b,
                 [F.col(f"p{i}").isNotNull().cast("int") for i in range(n)],
             )
-            keep = matched >= node.k
+            # k < 1 degenerates to Or (oracle: docs = union of child
+            # matches, so every candidate has matched >= 1); without the
+            # clamp a doc reaching the frame via a non-matching branch's
+            # member term would pass 'matched >= 0'
+            keep = matched >= max(node.k, 1)
         else:  # Or
             keep = F.lit(True)
         # fixed left-to-right float64 summation (matches the oracle exactly)

@@ -61,7 +61,10 @@ def expand_synonyms(
             # phrase-level alternatives: whole-phrase synonyms keyed by the
             # joined phrase text
             key = " ".join(n.terms)
-            alts = synonyms.get(key, [])
+            # filter the identity alternative like the Token branch does: a
+            # self-synonym would add a second Phrase branch that Or.normalize
+            # cannot dedup (its rewrite ctx differs) — double-counted score
+            alts = [s for s in synonyms.get(key, []) if s != key]
             factor = 1 + len(alts)
             if alts and budget[0] * factor <= max_expansion:
                 budget[0] *= factor
