@@ -41,14 +41,20 @@ def _index(spark: SparkSession, sf_dir: str):
     return QueryPlanner(index)
 
 
-def _topk(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
-    planner = _index(spark, sf_dir)
-    scored = planner.score_all(query)
+def _top10(scored: DataFrame, k: int = 10) -> DataFrame:
+    """The shared deterministic top-k tail: round scores to 6 dp, order by
+    the ROUNDED score desc then doc_id asc, limit k — the exact contract
+    every oracle_sql() mirrors. One definition, so the entries can't drift
+    from each other or the SQL."""
     return (
         scored.select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _topk(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    return _top10(_index(spark, sf_dir).score_all(query), k)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -109,11 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planner = _index(spark, sf)
         node = parse_query("join AND merge")
         scored = planner.score_all(node)
-        top = (
-            scored.select("doc_id", F.round("score", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-        )
+        top = _top10(scored)
         hit = planner.attach_hits(top, node)
         return hit.select("doc_id", "score", F.explode("hits").alias("h")).select(
             "doc_id",
@@ -136,11 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planner = _index(spark, sf)
         node = parse_query("spark OR join OR merge OR scan", max_tokens=2)
         scored = planner.score_all(node)
-        return (
-            scored.select("doc_id", F.round("score", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-        )
+        return _top10(scored)
 
     q["bm25_trimmed"] = bm25_trimmed
 
@@ -203,11 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         planner.similarity = sim
         scored = planner.score_all(node)
-        return (
-            scored.select("doc_id", F.round("score", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-        )
+        return _top10(scored)
 
     q["bm25_rewrite_downweight"] = bm25_rewrite_downweight
 
@@ -220,11 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planner = _index(spark, sf)
         planner.similarity = tfidf_similarity
         scored = planner.score_all("join AND merge")
-        return (
-            scored.select("doc_id", F.round("score", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-        )
+        return _top10(scored)
 
     q["tfidf_topk"] = tfidf_topk
 
@@ -235,11 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planner = _index(spark, sf)
         planner.similarity = trivial_similarity
         scored = planner.score_all("scan OR vector")
-        return (
-            scored.select("doc_id", F.round("score", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-        )
+        return _top10(scored)
 
     q["trivial_topk"] = trivial_topk
 
@@ -517,11 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert store.default_codec() == "pfor"
         planner = QueryPlanner(SegmentIndex(spark, store))
         scored = planner.score_all("hash AND scan")
-        return (
-            scored.select("doc_id", F.round("score", 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-        )
+        return _top10(scored)
 
     def ann_lsh_topk(spark, sf):
         # LSH-bucketed ANN with a PARTIAL probe (radius 2 of 8 bits): the
@@ -657,6 +639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 6).alias("score")
         )
         p1 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+        if not p1:  # empty page 1 -> empty page 2 (oracle's rn 11..20 agrees)
+            return scored.where(F.lit(False)).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
         s, d = p1[-1]["score"], p1[-1]["doc_id"]
         cursor = (F.col("score") < F.lit(s)) | (
             (F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d))

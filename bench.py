@@ -246,7 +246,9 @@ def run_merge_bench(cpus: int, n_turns: int) -> dict:
     }
 
 
-def run_queries(cpus: int, index_dir: str) -> dict[str, float]:
+def run_queries(
+    cpus: int, index_dir: str
+) -> tuple[dict[str, float], dict[str, float], dict]:
     from trinity_spark.operators.indexer import SegmentIndex
     from trinity_spark.plans.planner import QueryPlanner
     from trinity_spark.session import get_spark
@@ -1016,11 +1018,13 @@ def run_dataops_section(cpus: int) -> dict:
     try:
         pdf = gen_transcripts(n_docs)[["text"]].copy()
         # plant deterministic duplication so the dedup metrics are
-        # non-trivial: 2% exact dups, 1% boilerplate-prefixed docs
+        # non-trivial: 2% exact dups, 1% boilerplate-prefixed docs.
+        # the boilerplate rows are OFFSET from the exact-dup rows (i%100==25
+        # is never i%50==0) so prefixing doesn't destroy half the exact dups
         boiler = "subscribe to our newsletter for updates " * 3
         for i in range(0, n_docs, 50):
             pdf.iat[i, 0] = pdf.iat[(i + 1) % n_docs, 0]
-        for i in range(0, n_docs, 100):
+        for i in range(25, n_docs, 100):
             pdf.iat[i, 0] = boiler + pdf.iat[i, 0]
         pdf["doc_id"] = range(n_docs)
         docs = spark.createDataFrame(pdf[["doc_id", "text"]]).persist()

@@ -28,6 +28,18 @@ def test_numeric_normalization():
     assert tokenize_py("8.25 rate") == ["8.25", "rate"]
 
 
+def test_digit_led_dot_sequences_are_numeric_not_acronyms():
+    """Acronym collapse requires a LETTER first char (queries.cpp:2120
+    _isalpha(*p)); digit-led text follows the numeric rules instead.
+    Regression: 9.0 used to collapse to 90 and 1.5 to 15."""
+    assert tokenize_py("9.0 ok") == ["9", "ok"]
+    assert tokenize_py("1.5 rate") == ["1.5", "rate"]
+    # one- and two-digit fractional parts agree now (9.5 vs 9.50)
+    assert tokenize_py("9.5 then 9.50") == ["9.5", "then", "9.50"]
+    # letter-led mixed-alnum acronyms still collapse (M.P.ACT-style)
+    assert tokenize_py("a.1.b x") == ["a1b", "x"]
+
+
 def test_hyphen_splits():
     assert tokenize_py("zxqv-marker-7") == ["zxqv", "marker", "7"]
 

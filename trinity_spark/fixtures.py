@@ -62,6 +62,13 @@ def gen_transcripts(n_turns: int, seed: int = SEED) -> pd.DataFrame:
 
     # conversations: 1..30 turns, skewed small
     sizes = rng.geometric(0.18, size=max(n_turns // 3, 8)).clip(1, 30)
+    # the draw can undershoot n_turns (~1% of seeds at small n): top up with
+    # further draws from the same rng — a no-op for seeds that already cover,
+    # so existing fixtures stay byte-identical
+    while sizes.sum() < n_turns:
+        sizes = np.concatenate(
+            [sizes, rng.geometric(0.18, size=max(n_turns // 3, 8)).clip(1, 30)]
+        )
     cum = np.cumsum(sizes)
     n_conv = int(np.searchsorted(cum, n_turns) + 1)
     sizes = sizes[:n_conv]

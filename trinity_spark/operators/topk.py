@@ -642,7 +642,17 @@ def pruned_or_topk(
     )
     res = QueryPlanner(view).plan(node, k, block_pruning=False)
     if return_report:
-        total = bounds.count()
-        nkept = kept.count()
-        return res, PruningReport(total, nkept, float(threshold), cheap)
+        # one action for both counts — bounds embeds the metadata explode +
+        # sparse-term decode, so counting total and kept separately would
+        # re-run that pipeline twice (the pass-2 plan re-runs it once more,
+        # lazily, which is unavoidable without a persist)
+        row = bounds.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                (F.col("bound") >= F.lit(threshold)).cast("long")
+            ).alias("kept"),
+        ).collect()[0]
+        return res, PruningReport(
+            int(row["total"]), int(row["kept"] or 0), float(threshold), cheap
+        )
     return res

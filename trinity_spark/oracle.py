@@ -130,16 +130,23 @@ class OracleIndex:
         for e in req_evals[1:]:
             docs &= set(e)
         opt_evals = [self.eval(c) for c in optional]
+        # per-child evals in children order (positional — required/optional
+        # preserve relative order), so the per-doc loop is O(children), not
+        # an O(children^2) required.index equality scan
+        ordered: list[tuple[bool, dict[int, float]]] = []
+        ri = oi = 0
+        for c in children:
+            if isinstance(c, ConstTrue):
+                ordered.append((True, opt_evals[oi]))
+                oi += 1
+            else:
+                ordered.append((False, req_evals[ri]))
+                ri += 1
         out: dict[int, float] = {}
         for d in docs:
             s = 0.0
-            oi = 0
-            for c in children:  # fixed left-to-right order
-                if isinstance(c, ConstTrue):
-                    s += opt_evals[oi].get(d, 0.0)
-                    oi += 1
-                else:
-                    s += req_evals[required.index(c)][d]
+            for is_opt, e in ordered:  # fixed left-to-right order
+                s += e.get(d, 0.0) if is_opt else e[d]
             out[d] = s
         return out
 

@@ -10,7 +10,9 @@ no per-row Python in the Spark path):
 1. lowercase (the reference leaves case folding to the app; we freeze
    lowercasing as our app policy so build == query),
 2. acronym collapse: ``I.B.M`` / ``i.b.m.`` -> ``ibm``
-   (reference: dot-separated single-char sequences are merged),
+   (reference: dot-separated single-char sequences are merged; the sequence
+   must START with a letter — ``queries.cpp:2120`` requires ``_isalpha(*p)``
+   — so digit-led text like ``9.0`` / ``1.5`` is left for rule 4),
 3. intra-word apostrophes removed: ``L'Oreal`` -> ``loreal``,
 4. numeric normalization: trailing ``.0+`` dropped (``9.000`` -> ``9``),
    while real decimals (``8.25``) stay single tokens,
@@ -53,7 +55,10 @@ MAX_TERM_LENGTH = 64  # trinity_limits.h:14
 MAX_POSITION = 1 << 14  # trinity_limits.h:15
 
 # --- the frozen regex passes (order matters; shared with the oracle) ---
-_ACRONYM_RE = re.compile(r"(?<![a-z0-9])(?:[a-z0-9]\.){1,}[a-z0-9]\.?(?![a-z0-9])")
+# First char must be a LETTER (queries.cpp:2120 `_isalpha(*p)`): digit-led
+# dot sequences are decimals/numerics (rule 4), not acronyms — `9.0` must
+# normalize to `9` and `1.5` stay a decimal token, never collapse to `90`/`15`.
+_ACRONYM_RE = re.compile(r"(?<![a-z0-9])[a-z](?:\.[a-z0-9]){1,}\.?(?![a-z0-9])")
 _APOSTROPHE_RE = re.compile(r"(?<=[a-z0-9])['’](?=[a-z0-9])")
 _NUM_NORM_RE = re.compile(r"(?<=\d)\.0+(?!\d)")
 # word:tail first (ordered alternation): alpha head, ':', then the reference
