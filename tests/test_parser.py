@@ -140,3 +140,30 @@ def test_trailing_plus_raises_parse_error_not_indexerror():
 
     with pytest.raises(QueryParseError):
         parse_query("foo +")
+
+
+def test_not_with_prefix_minus_operand():
+    """Regression: 'a NOT -b' leaked the internal _Neg marker into the AST
+    and crashed downstream walks with TypeError; '-' is itself negation, so
+    NOT -b excludes b."""
+    from trinity_spark.plans.ast import Not, Token
+
+    n = parse_query("a NOT -b")
+    assert isinstance(n, Not)
+    assert n.req == Token("a") and n.excl == Token("b")
+
+
+def test_min_assignment_is_positional():
+    """'min=N' is the MatchSome k-assignment only right after ']'; anywhere
+    else it is ordinary query text (regression: 'cpu min=90' raised)."""
+    from trinity_spark.plans.ast import And, Phrase, Some, Token
+
+    n = parse_query("cpu min=90")
+    assert n == And((Token("cpu"), Phrase(("min", "90"))))
+    # the grammar position still works, with and without whitespace
+    assert parse_query("[a, b, c] min=2") == Some(
+        (Token("a"), Token("b"), Token("c")), 2
+    )
+    assert parse_query("[a, b, c] min = 2") == Some(
+        (Token("a"), Token("b"), Token("c")), 2
+    )

@@ -936,3 +936,34 @@ def test_batch_map_rewrite_refuses_with_nrt_slices(spark, tmp_path_factory):
         )
     # the slices survived the refused rewrite
     assert os.listdir(os.path.join(store.docid_map_dir(), "nrt")) == slice_dirs
+
+
+def test_merge_reads_one_manifest_snapshot(spark, tmp_path_factory):
+    """The gen list, segment metas, and deletes frame must come from ONE
+    manifest snapshot: with separate reads, a delete committed in between
+    was applied+counted but missing from the recorded deletes_gens lineage
+    (and erased by the retirement filter), double-subtracting those docs on
+    the next merge.  Simulated by landing a concurrent delete at the exact
+    former second-read point — inside read_deletes_with_gen."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "one_snapshot")
+    n = len(corpus)
+    late_doc = 7
+    base_rdwg = store.read_deletes_with_gen
+
+    def racy_rdwg(spark_, manifest=None):
+        store.read_deletes_with_gen = base_rdwg
+        store.add_deletes(spark_, [late_doc])  # the concurrent writer
+        return base_rdwg(spark_, manifest=manifest)
+
+    store.read_deletes_with_gen = racy_rdwg
+    meta = merge_segments(spark, store)
+    # the late delete was committed AFTER the merge's snapshot: it must not
+    # be applied, counted, recorded in lineage, or retired by THIS merge
+    assert meta.docs_cnt == n
+    live = store.read_manifest()["deletes"]
+    assert len(live) == 1, live
+    assert live[0]["gen"] not in meta.lineage.get("deletes_gens", [])
+    # and the NEXT merge applies it exactly once
+    meta2 = merge_segments(spark, store)
+    assert meta2.docs_cnt == n - 1
+    assert store.read_manifest()["deletes"] == []

@@ -285,3 +285,38 @@ def test_meta_tier_measures_spread_terms(spark, built, monkeypatch):
     assert gate2["bailed"] is True and planner.last_route["path"] == "single_pass"
     rows2 = [(r["doc_id"], r["score"]) for r in df2.collect()]
     assert rows2 == rows
+
+
+def test_meta_measures_published_by_gate():
+    """and_gate_report publishes whether the meta_span tier must MEASURE its
+    covered spans (a pass-1 driver action) — the bit routing_decision's
+    dispatcher test reads, so it can't drift from the executor."""
+    from trinity_spark.operators.topk import and_gate_report
+    from trinity_spark.plans.ast import And, Token
+    from trinity_spark.plans.planner import IndexStats
+
+    node = And((Token("the"), Token("rare")))
+    # df 1000 opens the meta tier but cannot bound coverage in the worst
+    # case (1000 postings x 512 spans/chunk tiles > 25% of 78125 spans)
+    stats = IndexStats(10_000_000, {"the": 2_000_000, "rare": 1000})
+    rep = and_gate_report(stats, node, chunk_bits=16)
+    assert rep["open"] and rep["tier"] == "meta_span"
+    assert rep["meta_measures"] is True
+    # df 10 bounds coverage by df alone: no measurement action
+    stats2 = IndexStats(10_000_000, {"the": 2_000_000, "rare": 10})
+    rep2 = and_gate_report(stats2, node, chunk_bits=16)
+    assert rep2["open"] and rep2["tier"] == "meta_span"
+    assert rep2["meta_measures"] is False
+
+
+def test_intersection_counts_token_bounds():
+    """Empty token lists and >63 tokens raise instead of producing a broken
+    signed-64-bit mask (bit 63 is unrepresentable as a Spark long literal)."""
+    import pytest
+
+    from trinity_spark.operators.intersect import intersection_counts
+
+    with pytest.raises(ValueError, match="empty"):
+        intersection_counts(None, [])
+    with pytest.raises(ValueError, match="63"):
+        intersection_counts(None, [f"t{i}" for i in range(64)])

@@ -25,7 +25,19 @@ def intersection_counts(
 
     Input is the logical postings (term, doc_id, ...) view; the scan is
     pushed down to the query tokens only.
+
+    At most 63 tokens: the mask lives in a SIGNED 64-bit Spark long, so bit
+    63 (1 << 63) cannot be represented as a literal — the reference's
+    machine-word mask has the same ceiling (intersect.cpp uses uint64_t;
+    we lose the sign bit).  Raises rather than silently truncating.
     """
+    if not tokens:
+        raise ValueError("intersection_counts: empty token list")
+    if len(tokens) > 63:
+        raise ValueError(
+            f"intersection_counts: {len(tokens)} tokens exceed the 63-bit "
+            "mask width; pre-select a candidate subset"
+        )
     per_row = postings.where(F.col("term").isin(tokens)).select(
         "doc_id",
         F.coalesce(

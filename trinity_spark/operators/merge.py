@@ -151,7 +151,13 @@ def merge_segments(
     apply_deletes: bool = True,
 ) -> SegmentMeta:
     """Merge segments (default: all) into one; returns the new meta."""
-    all_metas = store.segments()
+    # ONE manifest snapshot feeds segment metas, the gen list, AND the
+    # deletes frame: with separate reads, a delete committed in between
+    # would be physically applied and counted but omitted from the output
+    # segment's deletes_gens lineage (and kept by the retirement filter),
+    # so the next merge would subtract the same docs again
+    manifest0 = store.read_manifest()
+    all_metas = [SegmentMeta(**s) for s in manifest0["segments"]]
     metas = all_metas
     if segment_ids is not None:
         metas = [m for m in metas if m.segment_id in segment_ids]
@@ -170,8 +176,8 @@ def merge_segments(
     n_deleted = 0
     legacy_ids: list[str] = []
     if apply_deletes:
-        read_gens = [d["gen"] for d in store.read_manifest()["deletes"]]
-        deletes = store.read_deletes_with_gen(spark)
+        read_gens = [d["gen"] for d in manifest0["deletes"]]
+        deletes = store.read_deletes_with_gen(spark, manifest=manifest0)
         if deletes is not None:
             # only tombstones inside a merged segment's ACTUAL range matter —
             # per-meta ranges, not [min_lo, max_hi): merge sets can be
@@ -392,7 +398,6 @@ def merge_segments(
     }
     n_reused = int(counts.get(True, 0))
     n_total = int(sum(counts.values()))
-    rest_postings.unpersist()
     new_blocks.unpersist()
     wall = time.monotonic() - t0
     meta.metrics.update(

@@ -161,7 +161,9 @@ def _branch_cost(stats, branch) -> int:
     return sum(stats.df(t) for t in query_terms(branch))
 
 
-def and_gate_report(stats, node, span_bits: int = SPAN_BITS) -> dict:
+def and_gate_report(
+    stats, node, span_bits: int = SPAN_BITS, chunk_bits: int = 16
+) -> dict:
     """Gate decision + reasons for the AND span restriction, two tiers:
 
     - ``meta_span``: the rarest member term's df alone bounds the kept-span
@@ -203,6 +205,16 @@ def and_gate_report(stats, node, span_bits: int = SPAN_BITS) -> dict:
     if dfs[0] <= min(total_spans * META_KEEP_MAX, SPAN_CAND_MAX):
         rep["open"] = True
         rep["tier"] = "meta_span"
+        # df bounds POSTINGS, not block RANGE coverage (a spread term tiles
+        # up to spans-per-chunk spans per block): when df alone cannot
+        # guarantee the kept fraction even in that worst case, the executor
+        # MEASURES the covered spans first — a driver-side count action.
+        # Published here (the one place the tier is decided) so the
+        # collection dispatcher's pass-1 test can't drift from the executor.
+        spans_per_chunk = max(1 << max(chunk_bits - span_bits, 0), 1)
+        rep["meta_measures"] = dfs[0] * spans_per_chunk > min(
+            META_KEEP_MAX * total_spans, float(SPAN_CAND_MAX)
+        )
         rep["reason"] = (
             f"rarest term df {dfs[0]} bounds kept spans under "
             f"{META_KEEP_MAX:.0%} of {total_spans}: metadata-only span "
@@ -420,7 +432,13 @@ def rare_and_topk(
 
     terms = query_terms(node)  # every branch is required: any term restricts
     stats = index.stats_for(terms)
-    rep = report if report is not None else and_gate_report(stats, node, span_bits)
+    rep = (
+        report
+        if report is not None
+        else and_gate_report(
+            stats, node, span_bits, getattr(index, "chunk_bits", 16)
+        )
+    )
     tier = rep.get("tier")
 
     if tier == "probe":
@@ -488,23 +506,25 @@ def rare_and_topk(
         )
         .distinct()
     )
-    # df bounds POSTINGS, not block RANGE coverage: a uniformly-spread term
-    # with one posting per chunk covers up to spans-per-chunk spans per
-    # block, so a df well under the gate can still tile ~every span.  When
-    # df alone cannot guarantee the kept fraction even in that worst case
-    # (df * spans_per_chunk over the gate budget), MEASURE the covered
-    # spans first (one metadata-only count, no decode) and bail to the
-    # single pass if the restriction would keep too much.
-    cb = getattr(index, "chunk_bits", 16)
-    spans_per_chunk = max(1 << max(cb - span_bits, 0), 1)
+    # Whether df alone guarantees the kept fraction (or the covered spans
+    # must be MEASURED first — one metadata-only count, no decode) is
+    # decided by and_gate_report and published as rep["meta_measures"], so
+    # the collection dispatcher's pass-1 prediction can't drift from what
+    # runs here.  Fallback recompute covers externally-built reports from
+    # before the key existed.
     total = max(stats.n_docs >> span_bits, 1)
-    worst_case = stats.df(rarest) * spans_per_chunk
+    if "meta_measures" not in rep:
+        cb = getattr(index, "chunk_bits", 16)
+        spans_per_chunk = max(1 << max(cb - span_bits, 0), 1)
+        rep["meta_measures"] = stats.df(rarest) * spans_per_chunk > min(
+            META_KEEP_MAX * total, float(SPAN_CAND_MAX)
+        )
     # the span set rides a broadcast only while it provably fits the budget
     # (SPAN_CAND_MAX longs): at 10^12-doc geometry a within-bail span set
     # can still be billions of rows, and a forced broadcast of that is the
     # scale failure the gate exists to prevent
     hint_broadcast = True
-    if worst_case > min(META_KEEP_MAX * total, float(SPAN_CAND_MAX)):
+    if rep["meta_measures"]:
         spans, n_spans = _materialize_spans(spans)
         rep["meta_spans"] = n_spans
         if n_spans > PROBE_BAIL_KEEP * total:

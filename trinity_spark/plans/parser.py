@@ -58,7 +58,14 @@ def _lex(q: str) -> list[tuple[str, str]]:
                      "minassign", "phrase", "or_kw", "and_kw", "not_kw", "plus",
                      "minus", "comma", "word"):
             if m.group(name):
-                toks.append((name, m.group("k") if name == "minassign" else m.group(name)))
+                if name == "minassign" and (not toks or toks[-1][0] != "rbrack"):
+                    # 'min=N' is the MatchSome k-assignment ONLY in its
+                    # grammar position (right after ']'); anywhere else it
+                    # is ordinary query text — 'cpu min=90' must parse as a
+                    # search, not raise
+                    toks.append(("word", m.group("minassign")))
+                else:
+                    toks.append((name, m.group("k") if name == "minassign" else m.group(name)))
                 break
     return toks
 
@@ -119,7 +126,10 @@ class _Parser:
             if pending_not:
                 if node is None:
                     raise QueryParseError("NOT with no left operand")
-                node = Not(node, unit)
+                # 'a NOT -b': unwrap the prefix-minus marker ('-' is itself
+                # negation, so NOT -b excludes b) — leaking _Neg into the
+                # AST crashes downstream walks with TypeError
+                node = Not(node, unit.child if isinstance(unit, _Neg) else unit)
                 pending_not = False
             elif node is None:
                 if isinstance(unit, _Neg):
@@ -189,7 +199,9 @@ class _Parser:
                 if self.peek() == "comma":
                     self.take()
                     continue
-                b = self.parse_expr_until_comma()
+                # inside [...] commas separate branches (parse_and_chain
+                # breaks on comma); OR still allowed inside a branch
+                b = self.parse_expr()
                 if b is not None:
                     branches.append(b)
             if self.peek() == "rbrack":
@@ -202,22 +214,6 @@ class _Parser:
                 return None
             return Some(tuple(branches), k)
         raise QueryParseError(f"unexpected token {kind}:{val!r}")
-
-    def parse_expr_until_comma(self) -> Node | None:
-        # inside [...] commas separate branches; OR still allowed inside
-        branches = []
-        left = self.parse_and_chain()
-        if left is not None:
-            branches.append(left)
-        while self.peek() == "or_kw":
-            self.take()
-            r = self.parse_and_chain()
-            if r is not None:
-                branches.append(r)
-        if not branches:
-            return None
-        return branches[0] if len(branches) == 1 else Or(tuple(branches))
-
 
 class _Neg(Node):
     """Internal marker for prefix '-' awaiting its left operand."""

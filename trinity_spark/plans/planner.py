@@ -15,11 +15,11 @@ Reference analogs, re-expressed declaratively (SURVEY.md §3-4):
 - NOT -> LEFT ANTI join (``docset_iterators.cpp:652-677``); ConstTrueExpr ->
   optional branch contributing ``coalesce(score, 0)`` (``docset_iterators.h:
   174-206``).
-- Phrase (``docset_iterators.cpp:66-224``): inner-join member postings on
-  doc_id — join chain ordered by ascending df (the reference's cost reorder,
-  ``exec.cpp:154-170``; Catalyst has no df statistics, so the planner owns
-  this) — then JVM-side adjacency: phrase freq = size(filter(pos_0,
-  p -> all_i array_contains(pos_i, p+i))).  No Python in the hot path.
+- Phrase (``docset_iterators.cpp:66-224``): evaluated inside the whole-tree
+  map aggregation (``_compile_map``) — member postings aggregate into a
+  term->positions map per doc, then JVM-side adjacency: phrase freq =
+  size(filter(pos_0, p -> all_i array_contains(pos_i, p+i))), with
+  position-0 (word:tail operator) hits excluded.  No Python in the hot path.
 - Scoring: functions.bm25 (exact similarity.h:165-235 contract); df and N are
   sums over segments (similarity.h:238-250), supplied by the index view.
 - Masked docs -> LEFT ANTI join against deleted_docs (docidupdates.cpp analog).
@@ -249,8 +249,9 @@ def routing_decision(
     shape never reaches a gate (so the caller leaves ``last_route`` at its
     single-pass default); ``pass1`` is True only for routes that submit
     extra driver-side jobs before the main plan — the pruned-OR threshold
-    collect and the AND probe tier — never the metadata-only meta_span
-    tier."""
+    collect, the AND probe tier, and the meta_span tier when it must
+    measure its covered spans (a persist+count action) rather than trust
+    the rarest term's df bound."""
     routable = (
         isinstance(node, Or)
         and all(isinstance(c, Token) for c in node.children)
@@ -295,13 +296,18 @@ def routing_decision(
                 "pass1": bool(rep["open"]),
             }
         return dict(none, terms=terms)
-    rep = and_gate_report(stats, node)
+    rep = and_gate_report(stats, node, chunk_bits=getattr(index, "chunk_bits", 16))
     return {
         "route": "rare_and" if rep["open"] else None,
         "gate": dict(rep, type="and_span_restrict"),
         "terms": terms,
-        # meta_span is action-free; only the probe tier runs pass-1 jobs
-        "pass1": bool(rep["open"] and rep.get("tier") == "probe"),
+        # pass-1 driver actions: the probe tier always, and the meta_span
+        # tier when it must MEASURE its covered spans (rep["meta_measures"],
+        # published by and_gate_report — the same bit the executor acts on)
+        "pass1": bool(
+            rep["open"]
+            and (rep.get("tier") == "probe" or rep.get("meta_measures"))
+        ),
     }
 
 
@@ -330,15 +336,26 @@ class QueryPlanner:
         members = _phrase_member_terms(node)
         with_pos = sorted(t for t in qts if t in members)
         plain = sorted(t for t in qts if t not in members)
+        # duck-typed custom index views may not take the kwarg: check the
+        # SIGNATURE instead of catching TypeError around the calls, which
+        # would swallow a genuine TypeError raised inside postings_for and
+        # silently rerun the query with positions decoded for every term
         try:
-            if not with_pos:
-                return self.index.postings_for(qts, with_positions=False)
-            if not plain:
-                return self.index.postings_for(qts, with_positions=True)
-            pos_part = self.index.postings_for(with_pos, with_positions=True)
-            flat_part = self.index.postings_for(plain, with_positions=False)
-        except TypeError:  # duck-typed custom index views without the kwarg
+            import inspect
+
+            supports_kwarg = "with_positions" in inspect.signature(
+                self.index.postings_for
+            ).parameters
+        except (TypeError, ValueError):  # builtins/partials w/o signature
+            supports_kwarg = False
+        if not supports_kwarg:
             return self.index.postings_for(qts)
+        if not with_pos:
+            return self.index.postings_for(qts, with_positions=False)
+        if not plain:
+            return self.index.postings_for(qts, with_positions=True)
+        pos_part = self.index.postings_for(with_pos, with_positions=True)
+        flat_part = self.index.postings_for(plain, with_positions=False)
         flat_part = flat_part.withColumn(
             "positions", F.lit(None).cast("array<int>")
         )
@@ -867,21 +884,22 @@ class QueryPlanner:
     # --- node compilers: every result is (doc_id long, score double) ---
 
     def _compile(self, node: Node) -> DataFrame:
+        # Only two shapes reach here (score_all's dispatch sends everything
+        # else — phrases, Not, nesting, ConstTrue — through _compile_map's
+        # single-aggregation path): a lone Token, or a distinct-token n-ary
+        # (_is_distinct_token_nary), which stays on the narrower CASE-mapped
+        # (bid, score) shuffle.  The former general compiler (per-node
+        # Phrase/Not/ConstTrue branches + a union-of-branches n-ary) was
+        # unreachable dead code and had already rotted — its single-term
+        # phrase path counted position-0 hits the oracle excludes — so it
+        # was removed rather than left to drift further.
         if isinstance(node, Token):
             return self._compile_token(node)
-        if isinstance(node, Phrase):
-            return self._compile_phrase(node)
         if isinstance(node, (And, Or, Some)):
             return self._compile_nary(node)
-        if isinstance(node, Not):
-            req = self._compile(node.req)
-            excl = self._compile(node.excl).select("doc_id")
-            return req.join(excl, "doc_id", "left_anti")
-        if isinstance(node, ConstTrue):
-            # top-level optional: matches nothing on its own (exec.cpp:370-377)
-            spark = self.index.postings.sparkSession
-            return spark.createDataFrame([], "doc_id long, score double")
-        raise TypeError(type(node))
+        raise TypeError(
+            f"_compile: {type(node).__name__} routes through _compile_map"
+        )
 
     def _compile_token(self, node: Token) -> DataFrame:
         ctx = _rw(
@@ -898,61 +916,6 @@ class QueryPlanner:
         score = (self.similarity or default_similarity)(ctx, F.col("tf"))
         return self._postings.where(F.col("term") == node.term).select(
             "doc_id", score.alias("score")
-        )
-
-    def _compile_phrase(self, node: Phrase) -> DataFrame:
-        # phrase idf = sum of member idfs in phrase order (similarity.h:209-217)
-        idf = 0.0
-        for t in node.terms:
-            idf += self._stats.idf(t)
-        # ONE scan of all members' postings + ONE doc_id aggregation building
-        # a term -> positions map, instead of a (k-1)-join chain (each join is
-        # a full shuffle of both sides; the map agg shuffles the same rows
-        # once, and its doc_id key is the same exchange the enclosing n-ary
-        # aggregation uses).  Adjacency stays JVM-side: phrase freq = count of
-        # p in positions(term_0) with term_i's positions containing p+i.
-        uniq = sorted(set(node.terms))
-        g = (
-            self._postings.where(F.col("term").isin(uniq))
-            .groupBy("doc_id")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("m")
-            )
-            .where(F.size(F.map_keys(F.col("m"))) == len(uniq))
-        )
-        pos = lambda t: F.element_at(F.col("m"), t)  # noqa: E731
-        # (p > 0): position-0 hits (word:tail operators) never anchor a
-        # phrase — the codecs.h:191-195 positionless contract
-        cond = lambda p: reduce(  # noqa: E731
-            lambda a, b: a & b,
-            [p > 0]
-            + [
-                F.array_contains(pos(t), p + F.lit(i))
-                for i, t in enumerate(node.terms)
-                if i > 0
-            ],
-        )
-        pf = (
-            F.size(F.filter(pos(node.terms[0]), cond))
-            if len(node.terms) > 1
-            else F.size(pos(node.terms[0]))
-        )
-        ctx = _rw(
-            TermContext(
-                " ".join(node.terms), idf,
-                min(self._stats.df(t) for t in node.terms), 1,
-                n_docs=self._stats.n_docs,
-                member_dfs=tuple(self._stats.df(t) for t in node.terms),
-            ),
-            node,
-        )
-        score = (self.similarity or default_similarity)(ctx, F.col("pf"))
-        return (
-            g.select("doc_id", pf.alias("pf"))
-            .where(F.col("pf") > 0)
-            .select("doc_id", score.alias("score"))
         )
 
     def _compile_nary(self, node: And | Or | Some) -> DataFrame:
@@ -1003,17 +966,14 @@ class QueryPlanner:
                 F.col("term").isin([t.term for t in leaves])
             ).select("doc_id", bid.alias("bid"), score.alias("score"))
         else:
-            branches = []
-            for c in children:
-                if isinstance(node, And) and isinstance(c, ConstTrue):
-                    branches.append(self._compile(c.child))
-                else:
-                    branches.append(self._compile(c))
-            tagged = [
-                b.select("doc_id", F.lit(i).alias("bid"), "score")
-                for i, b in enumerate(branches)
-            ]
-            u = reduce(lambda a, b: a.unionByName(b), tagged)
+            # unreachable: score_all dispatches here only for
+            # _is_distinct_token_nary trees, which always satisfy the fast
+            # path above (the former union-of-_compile-branches fallback was
+            # dead code and was removed)
+            raise TypeError(
+                "_compile_nary: non-distinct-token n-ary routes through "
+                "_compile_map"
+            )
         # presence is aggregated SEPARATELY from the score: a custom
         # similarity may legally return null for a matched row (the map
         # compiler documents the same contract), so score-NULLness must not

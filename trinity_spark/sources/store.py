@@ -650,12 +650,20 @@ class SegmentStore:
             .distinct()
         )
 
-    def read_deletes_with_gen(self, spark: SparkSession) -> DataFrame | None:
+    def read_deletes_with_gen(
+        self, spark: SparkSession, manifest: dict[str, Any] | None = None
+    ) -> DataFrame | None:
         """Tombstones with their generation — merge's delete ACCOUNTING needs
         the gen to skip tombstones a segment already applied (recorded in
         its lineage ``deletes_gens``), or a partial merge followed by a full
-        merge would subtract the same doc twice."""
-        m = self.read_manifest()
+        merge would subtract the same doc twice.
+
+        ``manifest``: pass an already-read manifest so the caller's gen list
+        and this frame come from the SAME snapshot — a delete committed
+        between two separate reads would be applied and counted but missing
+        from the recorded lineage, re-subtracting those docs on the next
+        merge."""
+        m = manifest if manifest is not None else self.read_manifest()
         if not m["deletes"]:
             return None
         return (
