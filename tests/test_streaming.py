@@ -572,3 +572,51 @@ def test_replace_documents_replayed_after_crash_keeps_new_docs(
     assert deletes is not None
     masked = [r["doc_id"] for r in deletes.collect()]
     assert masked == [3] and base not in masked
+
+
+def test_gc_reclaims_orphan_docid_map_slice(spark, tmp_path_factory):
+    """A crashed NRT attempt's docid-map slice (written, never committed)
+    must be gc-able once a retry committed the range under a different
+    segment_id — otherwise read_docid_map serves duplicate doc_ids from both
+    slices forever.  Slices of LIVE segments and of segments retired by a
+    MERGE (whose translations still live only in the original slices) must
+    survive."""
+    import os
+
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.merge import merge_segments
+    from trinity_spark.sources.store import SegmentStore
+    from trinity_spark.streaming.nrt import append_micro_segment
+
+    store = SegmentStore(str(tmp_path_factory.mktemp("orphan_slice")))
+    corpus = gen_transcripts(120)
+    a, b = corpus.iloc[:60], corpus.iloc[60:]
+    append_micro_segment(spark, store, spark.createDataFrame(a), "batch-a")
+
+    # crashed attempt: slice for seg [60, 120) written, commit never happened
+    from trinity_spark.operators.docids import assign_doc_ids
+    from pyspark.sql import functions as F
+
+    orphan_id = "seg-00000000000060-00000000000120"
+    with_ids = assign_doc_ids(spark.createDataFrame(b)).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(60)).cast("long")
+    )
+    store.write_docid_map_slice(with_ids, orphan_id)
+    # retry commits FEWER rows (first 40 turns) under a different id
+    append_micro_segment(spark, store, spark.createDataFrame(b.iloc[:40]), "batch-b")
+
+    nrt_root = os.path.join(store.docid_map_dir(), "nrt")
+    assert orphan_id in set(os.listdir(nrt_root))
+    removed = store.gc()
+    assert removed["docid_map_slices"] == [orphan_id]
+    live = set(os.listdir(nrt_root))
+    assert orphan_id not in live and len(live) == 2  # both committed slices
+    # duplicate translations are gone
+    m = store.read_docid_map(spark)
+    assert m.groupBy("doc_id").count().where("count > 1").count() == 0
+
+    # merge retires the NRT segment ids; their slices must SURVIVE gc
+    merge_segments(spark, store)
+    removed2 = store.gc()
+    assert removed2["docid_map_slices"] == []
+    assert set(os.listdir(nrt_root)) == live

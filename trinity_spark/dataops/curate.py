@@ -85,13 +85,18 @@ def curate(
     - ``"minhash"``: banded MinHash LSH (``minhash_near_duplicates``) with
       the ``minhash_preset`` recall/cost point — THE 100 TB path: candidate
       cost is bounded by band-bucket collisions, and ``max_bucket_size``
-      (default 10k; None disables) caps degenerate buckets via star pairing
-      with a logged skip report.  Probabilistic recall (preset s* curve),
-      verified pairs are exact Jaccard either way.
+      (default 10k; None disables) caps degenerate buckets by salt-splitting
+      them into sub-buckets re-linked through a representative chain
+      (``dedup._capped_bucket_pairs``), with a logged skip report.
+      Probabilistic recall (preset s* curve), verified pairs are exact
+      Jaccard either way.
 
-    Returns docs + n_tokens, quality, lang, component (near-dup cluster id or
-    own id), keep boolean, reason string.  ``df.where("keep")`` is the
-    curated corpus.
+    Returns (id, text, n_tokens, quality, lang, component (near-dup cluster
+    id or own id), keep boolean, reason string); ``df.where("keep")`` is the
+    curated corpus, text included.  OTHER input columns (source, url, ...)
+    are not carried — the gates run over a narrow (id, text) projection so
+    wide payloads never ride the checkpoints/shuffles; join back on
+    ``id_col`` to reattach them.
     """
     if near_dup_method not in ("exact", "minhash"):
         raise ValueError(
@@ -263,6 +268,6 @@ def curate(
             )
         )
     return annotated.select(
-        id_col, "n_tokens", "quality", "lang", "component",
+        id_col, text_col, "n_tokens", "quality", "lang", "component",
         (F.col("reason") == "").alias("keep"), "reason",
     )

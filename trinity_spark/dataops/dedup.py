@@ -115,6 +115,35 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def bucket_all_pairs(
+    src: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    sig_col: str | None = None,
+    sig_as: tuple[str, str] = ("sig_a", "sig_b"),
+) -> DataFrame:
+    """All ``(id_a < id_b)`` pairs within each bucket (rows equal on every
+    ``key_cols`` column), optionally carrying a per-side payload column
+    (``sig_col`` aliased to ``sig_as``).  THE within-bucket self-join — the
+    MinHash/SimHash band joins, the embedding LSH/IVF verify stages, and the
+    capped-bucket splitter all build on this one definition, so a tie-break
+    or null-key change cannot silently miss a path."""
+    a, b = src.alias("a"), src.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    if sig_col:
+        cols += [
+            F.col(f"a.{sig_col}").alias(sig_as[0]),
+            F.col(f"b.{sig_col}").alias(sig_as[1]),
+        ]
+    return a.join(b, cond).select(*cols)
+
+
 def _capped_bucket_pairs(
     banded: DataFrame,
     key_cols: list[str],
@@ -152,20 +181,7 @@ def _capped_bucket_pairs(
         raise ValueError("max_bucket_size must be >= 2 (pairs need 2 docs)")
 
     def _pairs(src: DataFrame, keys: list[str]) -> DataFrame:
-        a, b = src.alias("a"), src.alias("b")
-        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        for k in keys:
-            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
-        cols = [
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        ]
-        if sig_col:
-            cols += [
-                F.col(f"a.{sig_col}").alias("sig_a"),
-                F.col(f"b.{sig_col}").alias("sig_b"),
-            ]
-        return a.join(b, cond).select(*cols)
+        return bucket_all_pairs(src, keys, id_col, sig_col)
 
     sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     m = F.col("n").cast("double")
@@ -290,19 +306,8 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    def all_pairs(src: DataFrame) -> DataFrame:
-        a, b = src.alias("a"), src.alias("b")
-        return a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-
     if max_bucket_size is None:
-        return all_pairs(banded).distinct()
+        return bucket_all_pairs(banded, ["band", "bucket"], id_col).distinct()
     return _capped_bucket_pairs(
         banded, ["band", "bucket"], id_col, max_bucket_size, label="LSH"
     )
@@ -554,22 +559,10 @@ def simhash_near_duplicates(
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.key")
 
-    def all_pairs(src: DataFrame) -> DataFrame:
-        a, b = src.alias("a"), src.alias("b")
-        return a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-
     if max_bucket_size is None:
-        pairs = all_pairs(banded).distinct()
+        pairs = bucket_all_pairs(
+            banded, ["band", "key"], id_col, sig_col="simhash"
+        ).distinct()
     else:
         pairs = _capped_bucket_pairs(
             banded,

@@ -92,12 +92,25 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     per payload (vectorized where the codec allows), features leave as a
     fixed-dim array<float> column."""
 
+    decoders = {
+        "image": decode_image,
+        "audio": decode_audio,
+        # video frames decode as images once a real codec is plugged in;
+        # the frame explode lives in frame_sample_plan
+        "video": decode_image,
+    }
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                (decode_image(p, fake=fake) if k == "image" else decode_audio(p, fake=fake))
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            feats = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                dec = decoders.get(k)
+                if dec is None:
+                    # explicit dispatch: an unknown kind must error, not be
+                    # silently decoded as audio (the old else-branch fed
+                    # video payloads to decode_audio)
+                    raise ValueError(f"extract_features: unknown media kind {k!r}")
+                feats.append(dec(p, fake=fake))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -25,6 +25,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import bucket_all_pairs
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -39,7 +41,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine with the SAME zero-norm clamp as the numpy kernels
+    (ivf_assign_arrow etc. use max(norm, 1e-300)): a zero vector scores
+    0.0 against everything.  Without the clamp the SQL fold returned NaN,
+    and Spark sorts NaN ABOVE every number — a single all-zero embedding
+    would top every brute-force ranking and pass every >= threshold
+    near-dup verify."""
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-300))
 
 
 def brute_force_topk(
@@ -433,7 +441,7 @@ def cosine_pairs(
         # membership instead of once per candidate pair; duplicates across
         # bands carry identical cosines, so a distinct collapses them
         src = banded.select(
-            F.col(id_col).alias("_vid"),
+            F.col(id_col).cast("long").alias("_vid"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
             "band",
             "key",
@@ -455,22 +463,9 @@ def cosine_pairs(
             "id_a", "id_b", F.col("sig_a").alias("va"), F.col("sig_b").alias("vb")
         )
     else:
-        a, b = banded.alias("a"), banded.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col(f"a.{vec_col}").alias("va"),
-                F.col(f"b.{vec_col}").alias("vb"),
-            )
-            .distinct()
-        )
+        pairs = bucket_all_pairs(
+            banded, ["band", "key"], id_col, sig_col=vec_col, sig_as=("va", "vb")
+        ).distinct()
     if kernel == "arrow":
         return _verify_pairs_arrow(pairs, threshold)
     cos = F.round(
@@ -549,16 +544,8 @@ def semantic_dedup_pairs(
             "id_a", "id_b", F.col("sig_a").alias("va"), F.col("sig_b").alias("vb")
         )
     else:
-        a, b = src.alias("a"), src.alias("b")
-        pairs = a.join(
-            b,
-            (F.col(f"a.{list_col}") == F.col(f"b.{list_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
+        pairs = bucket_all_pairs(
+            src, [list_col], id_col, sig_col=vec_col, sig_as=("va", "vb")
         )
     if kernel == "arrow":
         return _verify_pairs_arrow(pairs, threshold)
@@ -687,7 +674,11 @@ def ivf_assign_arrow(
             )
 
     v = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        # cast like the join twin resolves implicitly: the kernel passes the
+        # id column through under a declared long schema, so an int32/string
+        # id would raise an Arrow schema mismatch only on THIS path
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
     )
     return v.mapInArrow(kern, f"{id_col} long, {vec_col} array<double>, list_id int")
 
@@ -911,7 +902,7 @@ def semantic_dedup_pairs_gram(
     equal to the fold paths up to last-bit summation order.
     """
     src = indexed.select(
-        F.col(id_col).alias("_vid"),
+        F.col(id_col).cast("long").alias("_vid"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
         F.col(list_col).alias("_list"),
     )
@@ -998,7 +989,9 @@ def brute_force_topk_many(
             )
 
     v = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        # long cast up front: the kernel emits int64 ids under a long schema
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
     )
     cand = v.mapInArrow(kern, f"_qidx int, {id_col} long, score double")
     from pyspark.sql import Window

@@ -310,9 +310,24 @@ def pack_sequences(
     )
     parts = (
         narrow.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_tokens").alias("n_toks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").alias("n_toks"),
+            # null token counts (NULL text / NULL token_col) ride the same
+            # single action: they would otherwise surface as an opaque
+            # ArrowInvalid in the kernel (and F.sum skips nulls, so the
+            # offsets would silently drift from the kernel's cumsum)
+            F.sum(F.col("n_tokens").isNull().cast("long")).alias("n_nulls"),
+        )
         .collect()  # O(partitions) rows
     )
+    n_nulls = sum(int(r["n_nulls"] or 0) for r in parts)
+    if n_nulls:
+        raise ValueError(
+            f"pack_sequences: {n_nulls} document(s) have NULL token counts "
+            f"(NULL {text_col if not token_col else token_col}); filter or "
+            "impute them before packing"
+        )
     by_pid = {r["pid"]: r for r in parts}
     offsets: dict[int, int] = {}
     expect: dict[int, int] = {}

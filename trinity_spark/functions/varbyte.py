@@ -69,6 +69,16 @@ def decode_varbyte(buf: bytes | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if not is_last[-1]:
+        # the final byte carries the continuation bit: a group is
+        # unterminated (partial write / truncated object-store read).
+        # Without this check the trailing value silently vanished from the
+        # decoded array — corruption must surface as an error, not as
+        # missing postings.
+        raise ValueError(
+            f"decode_varbyte: truncated trailing group ({b.size} bytes, "
+            "last byte has the continuation bit set)"
+        )
     # group id of each byte = number of completed groups before it
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))

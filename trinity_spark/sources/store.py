@@ -635,6 +635,51 @@ class SegmentStore:
                 if p not in live_deletes and not _young(p):
                     (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
                     removed["deletes"].append(name)
+        # Orphan NRT docid-map slices: a crashed append/replace attempt's
+        # slice (written before commit_segment, never committed) would
+        # otherwise live forever — and if the retry committed FEWER rows
+        # under a different segment_id, read_docid_map (recursive union)
+        # serves duplicate doc_id rows from both.  Removal rule: the slice's
+        # exact segment_id is not live anywhere, AND every live segment
+        # whose doc range intersects the slice's owns its OWN exactly-named
+        # slice (so no live segment's translations come from this one).
+        # That keeps slices of NRT segments retired by a MERGE — the merge
+        # does not rewrite the map, so the merged segment's translations
+        # still live only in the original slices.
+        removed["docid_map_slices"] = []
+        nrt_root = os.path.join(self.docid_map_dir(), "nrt")
+        if os.path.isdir(nrt_root):
+            slice_names = set(os.listdir(nrt_root))
+            live_ranges = [
+                (s["segment_id"], int(s["doc_lo"]), int(s["doc_hi"]))
+                for m in manifests
+                for s in m["segments"]
+            ]
+            live_ids = {sid for sid, _, _ in live_ranges}
+
+            def _slice_range(name: str) -> tuple[int, int] | None:
+                parts = name.rsplit("-", 2)
+                try:
+                    return int(parts[-2]), int(parts[-1])
+                except (ValueError, IndexError):
+                    return None  # unparseable: never touch
+
+            for name in sorted(slice_names):
+                p = os.path.join(nrt_root, name)
+                if name in live_ids or _young(p):
+                    continue
+                rng = _slice_range(name)
+                if rng is None:
+                    continue
+                lo, hi = rng
+                intersecting = [
+                    sid
+                    for sid, slo, shi in live_ranges
+                    if slo < hi and lo < shi
+                ]
+                if all(sid in slice_names for sid in intersecting):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed["docid_map_slices"].append(name)
         return removed
 
     def read_deletes(self, spark: SparkSession) -> DataFrame | None:

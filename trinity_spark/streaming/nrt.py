@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from .. import __version__
 from ..operators.build import field_stats_from_blocks, term_dict_from_blocks
 from ..operators.fastbuild import blocks_from_turns
-from ..operators.docids import assign_doc_ids
+from ..operators.docids import assign_doc_ids, assign_doc_ids_counted
 from ..operators.segments import CHUNK_BITS
 from ..sources.store import SegmentMeta, SegmentStore
 
@@ -48,15 +48,39 @@ def append_micro_segment(
     chunk_bits: int = CHUNK_BITS,
 ) -> SegmentMeta | None:
     """Index one batch of new turns as a new segment; returns its meta."""
-    n = turns.count()
-    if n == 0:
-        return None
-    base = next_doc_id(store)
-    t0 = time.monotonic()
-    segment_id = f"seg-{base:014d}-{base + n:014d}"
-    with_ids = assign_doc_ids(turns).withColumn(
-        "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
-    )
+    # persist the micro-batch: the id assignment scans it twice (conv-bases
+    # aggregation + bases join), and the count comes free from the former —
+    # the previous separate turns.count() was a third full pass per epoch
+    turns = turns.persist()
+    try:
+        with_ids, n = assign_doc_ids_counted(turns)
+        if n == 0:
+            return None
+        base = next_doc_id(store)
+        t0 = time.monotonic()
+        segment_id = f"seg-{base:014d}-{base + n:014d}"
+        with_ids = with_ids.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
+        )
+        return _append_assigned(
+            spark, store, with_ids, n, base, segment_id, t0,
+            input_desc, chunk_bits,
+        )
+    finally:
+        turns.unpersist()
+
+
+def _append_assigned(
+    spark: SparkSession,
+    store: SegmentStore,
+    with_ids: DataFrame,
+    n: int,
+    base: int,
+    segment_id: str,
+    t0: float,
+    input_desc: str,
+    chunk_bits: int,
+) -> SegmentMeta:
     # deterministic per-segment slice + overwrite => a replayed batch (crash
     # between this write and commit_segment) rewrites the SAME files; the old
     # append mode would re-append the doc range and double every tf
