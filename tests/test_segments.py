@@ -309,7 +309,7 @@ def test_gc_removes_only_unreferenced(spark, tmp_path_factory):
     seg_root = os.path.join(store.base, "segments")
     assert len(os.listdir(seg_root)) == 3  # 2 retired dirs + 1 merged
     protected = store.gc()  # retained snapshots still reference the inputs
-    assert protected == {"segments": [], "deletes": []}
+    assert protected == {"segments": [], "deletes": [], "docid_map_slices": []}
     assert len(os.listdir(seg_root)) == 3
     store.expire_snapshots(keep_last=1)
     removed = store.gc()
@@ -317,7 +317,7 @@ def test_gc_removes_only_unreferenced(spark, tmp_path_factory):
     assert len(removed["deletes"]) == 1  # the retired tombstone file
     assert os.listdir(seg_root) == [meta.segment_id]
     # second pass is a no-op; index still answers correctly
-    assert store.gc() == {"segments": [], "deletes": []}
+    assert store.gc() == {"segments": [], "deletes": [], "docid_map_slices": []}
     oracle = OracleIndex.build(
         [(d, t) for d, t in docs_in_stable_order(corpus) if d != 5]
     )
@@ -888,7 +888,7 @@ def test_gc_orphan_grace_skips_young_paths(spark, tmp_path_factory):
     merge_segments(spark, store)
     store.expire_snapshots(keep_last=1)
     held = store.gc(orphan_grace_sec=3600)  # everything here is seconds old
-    assert held == {"segments": [], "deletes": []}
+    assert held == {"segments": [], "deletes": [], "docid_map_slices": []}
     removed = store.gc()
     assert len(removed["segments"]) == 2 and len(removed["deletes"]) == 1
 

@@ -133,7 +133,7 @@ def test_spark_submit_maintenance_cli(spark, tmp_path, capsys):
     )
     # compact already ran its own gc: nothing left to reclaim, and only the
     # merged segment's dir remains on disk
-    assert removed == {"segments": [], "deletes": []}
+    assert removed == {"segments": [], "deletes": [], "docid_map_slices": []}
     store = SegmentStore(index_dir)
     seg_root = os.path.join(index_dir, "segments")
     assert sorted(os.listdir(seg_root)) == [store.segments()[0].segment_id]
