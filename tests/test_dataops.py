@@ -1617,3 +1617,27 @@ def test_ivf_index_corpus_smaller_than_n_lists(spark):
     got = indexed.collect()
     assert len(got) == 10
     assert all(0 <= r["list_id"] < 10 for r in got)
+
+
+def test_curate_null_text_is_gated(spark):
+    """NULL-text rows must fail a gate, not sail through: every numeric
+    gate predicate evaluates NULL (skipped) on them, so without the
+    explicit null gate they came out keep=true with reason=''."""
+    from trinity_spark.dataops.curate import curate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a normal english document that is about the weather and the news today"),
+            (1, None),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(docs, min_quality=0.0, languages=None).collect()
+    }
+    assert out[0]["keep"] and out[0]["reason"] == ""
+    for d in (1, 2):
+        assert not out[d]["keep"]
+        assert out[d]["reason"] == "null_text"

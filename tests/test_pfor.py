@@ -51,3 +51,18 @@ def test_packing_is_denser_than_varbyte_for_wide_uniform():
 )
 def test_property_roundtrip(vals):
     _roundtrip(vals)
+
+
+def test_tail_count_mismatch_raises():
+    # header/tail disagreement is corruption: extra tail values must not be
+    # silently dropped, missing ones must not yield a short array.
+    import pytest
+
+    arr = np.arange(BLOCK + 2, dtype=np.uint64)
+    buf = pfor_encode(arr)
+    with pytest.raises(ValueError, match="tail"):
+        pfor_decode(buf + b"\x03")  # one extra single-byte varbyte group
+    with pytest.raises(ValueError, match="tail"):
+        # tail values are 128,129 (2-byte groups); dropping the whole last
+        # group decodes cleanly through varbyte but comes up one value short
+        pfor_decode(buf[:-2])

@@ -39,3 +39,17 @@ def test_delta_roundtrip(values, base_off):
     base = max(s[0] - base_off, 0)
     buf = delta_encode(np.array(s, dtype=np.uint64), base=base)
     assert delta_decode(buf, base=base).tolist() == s
+
+
+def test_over_long_group_raises():
+    # ceil(64/7) = 10 bytes is the longest legitimate uint64 group; an
+    # 11+-byte group would shift payload >=70 bits (numpy wraps shifts
+    # >=64) into a silent garbage value — must raise instead.
+    import pytest
+
+    corrupt = bytes([0x80] * 12 + [0x01])
+    with pytest.raises(ValueError, match="over-long group"):
+        decode_varbyte(corrupt)
+    # the 10-byte boundary itself still decodes (2**63 needs 10 groups)
+    big = np.array([2**64 - 1], dtype=np.uint64)
+    assert decode_varbyte(encode_varbyte(big)).tolist() == [2**64 - 1]

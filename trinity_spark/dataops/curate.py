@@ -117,7 +117,11 @@ def curate(
     )
 
     gate = (
-        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        # NULL text first: every later predicate evaluates NULL (skipped)
+        # on it, so without this gate a text-less document sails through
+        # with keep=true and reason=''.
+        F.when(t.isNull(), F.lit("null_text"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
         .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
         .when(F.col("quality") < min_quality, F.lit("low_quality"))
     )

@@ -56,16 +56,13 @@ def pfor_encode(values: np.ndarray) -> bytes:
     full = v[: n_full * BLOCK].reshape(n_full, BLOCK)
     widths = np.array([_bit_width(b) for b in full], dtype=np.uint8)
     parts: list[bytes] = [
-        np.uint32(n).tobytes(),
+        np.array([n], dtype="<u4").tobytes(),
         widths.tobytes(),
     ]
     # pack per distinct width: one unpack/pack matrix op per width group
-    packed: dict[int, bytes] = {}
-    order: list[tuple[int, int]] = []  # (block_idx, width) in stream order
     by_width: dict[int, list[int]] = {}
     for i, w in enumerate(widths):
         by_width.setdefault(int(w), []).append(i)
-        order.append((i, int(w)))
     chunks: dict[int, bytes] = {}
     for w, idxs in by_width.items():
         if w == 0:
@@ -91,7 +88,7 @@ def pfor_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    n = int(np.frombuffer(b[:4].tobytes(), dtype=np.uint32)[0])
+    n = int(np.frombuffer(b[:4].tobytes(), dtype="<u4")[0])
     n_full = n // BLOCK
     widths = b[4 : 4 + n_full].astype(np.int64)
     lens = (BLOCK * widths + 7) // 8
@@ -112,7 +109,16 @@ def pfor_decode(buf: bytes) -> np.ndarray:
         out[(idxs[:, None] * BLOCK + np.arange(BLOCK)).ravel()] = vals.ravel()
     tail_off = int(4 + n_full + lens.sum())
     tail = decode_varbyte(b[tail_off:])
-    return np.concatenate([out, tail[: n - n_full * BLOCK]])
+    n_tail = n - n_full * BLOCK
+    if tail.size != n_tail:
+        # header/tail disagreement = corruption (partial write, torn read).
+        # Same policy as decode_varbyte's truncated-group check: surface it,
+        # never return silently-truncated or silently-short postings.
+        raise ValueError(
+            f"pfor_decode: header says {n_tail} tail values, varbyte tail "
+            f"carries {tail.size}"
+        )
+    return np.concatenate([out, tail])
 
 
 def _bit_width_vec(values: np.ndarray) -> np.ndarray:

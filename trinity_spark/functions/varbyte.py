@@ -85,6 +85,15 @@ def decode_varbyte(buf: bytes | np.ndarray) -> np.ndarray:
     n = ends.size
     values = np.zeros(n, dtype=np.uint64)
     lengths = ends - starts + 1
+    if int(lengths.max()) > 10:
+        # a uint64 never needs more than ceil(64/7)=10 varbyte groups; an
+        # 11+-byte group is corruption, and shifting payload by >=70 bits
+        # would wrap (numpy shift >=64 is undefined) into a garbage value.
+        # Same policy as the truncated-trailing-group check above: raise.
+        raise ValueError(
+            f"decode_varbyte: over-long group ({int(lengths.max())} bytes; "
+            "max 10 for uint64) — corrupt buffer"
+        )
     payload = (b & 0x7F).astype(np.uint64)
     for byte_idx in range(int(lengths.max())):
         sel = lengths > byte_idx

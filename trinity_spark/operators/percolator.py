@@ -223,14 +223,14 @@ def percolate_routed(
     parsed = _parse_all(queries)
     routable: dict[str, Node] = {}
     fallback: dict[str, Node] = {}
-    routing_rows: list[tuple[str, str]] = []
+    route_term_set: set[str] = set()
     for qid, node in parsed.items():
         s = routing_terms(node)
         if s is None:
             fallback[qid] = node
         else:
             routable[qid] = node
-            routing_rows.extend((qid, t) for t in sorted(s))
+            route_term_set |= s
     spark = docs.sparkSession
     with_toks = docs.select(
         F.col(id_col), tokens_column(F.col(text_col)).alias("toks")
@@ -249,7 +249,7 @@ def percolate_routed(
     )
     if routable:
         route_terms = spark.createDataFrame(
-            sorted({(t,) for _, t in routing_rows}), "term string"
+            [(t,) for t in sorted(route_term_set)], "term string"
         )
         cand_ids = (
             with_toks.select(
