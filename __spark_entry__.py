@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 K1 = 1.2  # /root/reference/similarity.h:169 (norm fixed to k1 — no length norm)
 
 
+def _entry_tmpdir(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit: store-backed
+    entries return LAZY DataFrames over files in this dir (the driver
+    collects after the entry returns, so removal here would break it), but
+    repeated gate/bench invocations must not accrete dirs unboundedly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _index(spark: SparkSession, sf_dir: str):
     """Build the logical index over documents(doc_id, text)."""
     from trinity_spark.operators.build import build_field_stats, build_term_dict
@@ -484,8 +498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # segment lineage, queried through the block decode path — same SQL
     # oracle as the logical-index entries, so a wire bug cannot hide
     def bm25_pfor_store(spark, sf):
-        import tempfile
-
         from trinity_spark.operators.indexer import SegmentIndex, build_index
         from trinity_spark.plans.planner import QueryPlanner
         from trinity_spark.sources.store import SegmentStore
@@ -498,9 +510,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(0).cast("long").alias("turn_idx"),
             "text",
         )
-        store = SegmentStore(tempfile.mkdtemp(prefix="trinity_pfor_entry_"))
+        store = SegmentStore(_entry_tmpdir("trinity_pfor_entry_"))
         build_index(spark, turns, store, rows_per_segment=250, codec="pfor")
-        assert store.default_codec() == "pfor"
+        if store.default_codec() != "pfor":
+            # codec identity is the point of this entry; a bare assert
+            # would be compiled out under python -O
+            raise RuntimeError(
+                f"pfor store committed codec {store.default_codec()!r}"
+            )
         planner = QueryPlanner(SegmentIndex(spark, store))
         scored = planner.score_all("hash AND scan")
         return _top10(scored)
@@ -540,8 +557,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle re-derives assignment AND probe selection in SQL and
         # scans only the probed lists (not the full corpus): this checks the
         # pruned path itself, not its agreement with brute force.
-        import tempfile
-
         from trinity_spark.dataops.similarity import (
             ivf_index,
             ivf_topk_partitioned,
@@ -551,7 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vecs = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
         query = [float(x) for x in vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
         indexed, cents = ivf_index(vecs.where(F.col("vec_id") != 0), n_lists=8, iters=0)
-        path = tempfile.mkdtemp(prefix="trinity_ivf_part_") + "/ivf"
+        path = _entry_tmpdir("trinity_ivf_part_") + "/ivf"
         write_ivf_partitioned(indexed, path)
         return ivf_topk_partitioned(spark, path, cents, query, k=10, n_probe=3)
 
@@ -1220,8 +1235,8 @@ qs AS (SELECT 'q' || vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 3),
 scored AS (
   SELECT q.query_id, e.vec_id,
          round(list_dot_product(e.v, q.qv)
-               / (sqrt(list_dot_product(e.v, e.v))
-                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+               / greatest(sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv)), 1e-300), 6) AS score
   FROM ev e, qs q WHERE e.vec_id >= 3
 ),
 ranked AS (
@@ -1294,8 +1309,8 @@ unl AS (SELECT * FROM ev WHERE vec_id >= 100),
 scored AS (
   SELECT u.vec_id, l.vec_id AS lid, l.label,
          round(list_dot_product(u.v, l.v)
-               / (sqrt(list_dot_product(u.v, u.v))
-                  * sqrt(list_dot_product(l.v, l.v))), 6) AS s
+               / greatest(sqrt(list_dot_product(u.v, u.v))
+                  * sqrt(list_dot_product(l.v, l.v)), 1e-300), 6) AS s
   FROM unl u, lab l
 ),
 ranked AS (
@@ -1759,8 +1774,8 @@ ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
        FROM embeddings WHERE vec_id <> 0)
 SELECT e.vec_id,
        round(list_dot_product(e.ev, q.qv)
-             / (sqrt(list_dot_product(e.ev, e.ev))
-                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+             / greatest(sqrt(list_dot_product(e.ev, e.ev))
+                * sqrt(list_dot_product(q.qv, q.qv)), 1e-300), 6) AS score
 FROM ed e, q
 ORDER BY score DESC, e.vec_id ASC
 LIMIT 10
@@ -1806,8 +1821,8 @@ cand AS (
 )
 SELECT c.vec_id,
        round(list_dot_product(c.v, q.qv)
-             / (sqrt(list_dot_product(c.v, c.v))
-                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+             / greatest(sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(q.qv, q.qv)), 1e-300), 6) AS score
 FROM cand c, q
 ORDER BY score DESC, c.vec_id ASC
 LIMIT 10
@@ -1841,8 +1856,8 @@ asg AS (
            row_number() OVER (
              PARTITION BY e.vec_id
              ORDER BY list_dot_product(e.v, c.centroid)
-                      / (sqrt(list_dot_product(e.v, e.v))
-                         * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      / greatest(sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.centroid, c.centroid)), 1e-300) DESC,
                       c.list_id DESC
            ) AS rn
     FROM ev e CROSS JOIN init c
@@ -1852,15 +1867,15 @@ probes AS (
   SELECT c.list_id
   FROM init c, q
   ORDER BY list_dot_product(c.centroid, q.qv)
-           / (sqrt(list_dot_product(c.centroid, c.centroid))
-              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           / greatest(sqrt(list_dot_product(c.centroid, c.centroid))
+              * sqrt(list_dot_product(q.qv, q.qv)), 1e-300) DESC,
            c.list_id ASC
   LIMIT 3
 )
 SELECT e.vec_id,
        round(list_dot_product(e.v, q.qv)
-             / (sqrt(list_dot_product(e.v, e.v))
-                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+             / greatest(sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv)), 1e-300), 6) AS score
 FROM ev e
 JOIN asg a ON a.vec_id = e.vec_id
 JOIN probes p ON p.list_id = a.list_id, q
@@ -1882,8 +1897,8 @@ pairs AS (
 verified AS (
   SELECT p.id_a, p.id_b,
          round(list_dot_product(ea.v, eb.v)
-               / (sqrt(list_dot_product(ea.v, ea.v))
-                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+               / greatest(sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v)), 1e-300), 6) AS cosine
   FROM pairs p
   JOIN ev ea ON ea.vec_id = p.id_a
   JOIN ev eb ON eb.vec_id = p.id_b
@@ -1910,8 +1925,8 @@ cents AS (SELECT rk::INT AS list_id, v AS c FROM init WHERE rk < 4),
 scored AS (
   SELECT e.vec_id, c.list_id,
          list_dot_product(e.v, c.c)
-           / (sqrt(list_dot_product(e.v, e.v))
-              * sqrt(list_dot_product(c.c, c.c))) AS cos
+           / greatest(sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(c.c, c.c)), 1e-300) AS cos
   FROM ev e, cents c
 ),
 assign AS (
@@ -1926,21 +1941,20 @@ pairs AS (
 )
 SELECT p.id_a, p.id_b,
        round(list_dot_product(ea.v, eb.v)
-             / (sqrt(list_dot_product(ea.v, ea.v))
-                * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+             / greatest(sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v)), 1e-300), 6) AS cosine
 FROM pairs p
 JOIN ev ea ON ea.vec_id = p.id_a
 JOIN ev eb ON eb.vec_id = p.id_b
 WHERE cosine >= 0.35
 """
 
-    # split boundaries: the SAME float accumulation as traindata.hash_split
-    # (order matters — 0.8 + 0.1 != 0.9 exactly in IEEE754)
-    _bounds = []
-    _acc = 0.0
-    for _w in (0.8, 0.1):
-        _acc += _w
-        _bounds.append(int(_acc * (1 << 32)))
+    # split boundaries: IMPORT the engine's derivation (traindata.hash_split
+    # compiles exactly these bounds) — a hand copy here would keep passing
+    # its own arithmetic while the engine drifted
+    from trinity_spark.dataops.traindata import mixture_parts, split_bounds
+
+    _bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
     o["data_split"] = f"""
 WITH b AS (
   SELECT doc_id,
@@ -1954,13 +1968,9 @@ SELECT doc_id, bucket,
 FROM b
 """
 
-    # mixture copy counts: same integer-exact base/threshold derivation as
-    # traindata.sample_sources (base = int(w), thr = round(frac(w) * 2^32))
-    def _mix_parts(w):
-        base = int(w)
-        return base, int(round((w - base) * (1 << 32)))
-
-    _mix = {s: _mix_parts(w) for s, w in
+    # mixture copy counts: the engine's own derivation (sample_sources
+    # compiles exactly these base/threshold pairs)
+    _mix = {s: mixture_parts(w) for s, w in
             (("src0", 2.5), ("src1", 0.4), ("src2", 0.0))}
     _mix_base = " ".join(
         f"WHEN '{s}' THEN {b}" for s, (b, _) in _mix.items()

@@ -325,6 +325,16 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.build_only:
+        missing = [
+            n for n, v in
+            (("--cpus", args.cpus), ("--turns", args.turns),
+             ("--index-dir", args.index_dir))
+            if v is None
+        ]
+        if missing:
+            # this flag is the sub_build subprocess protocol; invoked by
+            # hand without them it died inside Spark on master='local[None]'
+            ap.error(f"--build-only requires {', '.join(missing)}")
         res = run_build(
             args.cpus, args.turns, args.index_dir, args.chunk_bits, args.codec
         )

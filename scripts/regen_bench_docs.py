@@ -60,7 +60,7 @@ def _span_docs() -> int:
 
 
 def bench_md(d: dict, window: str) -> str:
-    b = d["build"]
+    b = d.get("build") or {}
     lines: list[str] = []
     a = lines.append
     a("# BENCH — trinity_spark measured results")
@@ -70,22 +70,30 @@ def bench_md(d: dict, window: str) -> str:
     a("(BASELINE.md's measured-status section is generated from the same")
     a("artifact in the same invocation).")
     a("")
-    a(f"Corpus: deterministic synthetic transcripts (fixtures.py), {b['turns']} turns")
-    a(f"(sf={d['sf']}); build = docid assignment + fused tokenize/postings/delta+varbyte")
-    a("block-encode (one mapInArrow pass, zero data shuffles) + term-sorted segment")
-    a("write + manifest commit, all phases included.")
+    if b:
+        a(f"Corpus: deterministic synthetic transcripts (fixtures.py), {b['turns']} turns")
+        a(f"(sf={d.get('sf')}); build = docid assignment + fused tokenize/postings/delta+varbyte")
+        a("block-encode (one mapInArrow pass, zero data shuffles) + term-sorted segment")
+        a("write + manifest commit, all phases included.")
+        a("")
+    a("Environment caveat: this sandbox VM shows hypervisor CPU steal;")
+    a("identical runs can vary several-fold across time windows. Scaling")
+    a("numbers below are best-of-N per level on the same input (all raw")
+    a("walls listed).")
     a("")
-    a("Environment caveat: this sandbox VM shows hypervisor CPU steal (vmstat st up")
-    a("to ~15%); identical runs vary up to ~3x. Scaling numbers below are")
-    a("best-of-N per level on the same input (all raw walls listed).")
-    a("")
-    a("## Index build")
-    a(f"- wall: {b['wall_sec']} s on local[{b['cpus']}]")
-    a(f"- throughput: **{b['turns_per_sec']} turns/sec**")
-    a(f"- segments: {b['segments']} (each with per-segment metrics + lineage in manifest.json)")
-    a("")
+    if b:
+        a("## Index build")
+        a(f"- wall: {b['wall_sec']} s on local[{b['cpus']}]")
+        a(f"- throughput: **{b['turns_per_sec']} turns/sec**")
+        a(f"- segments: {b['segments']} (each with per-segment metrics + lineage in manifest.json)")
+        a("")
+    else:
+        a("Build: not measured in this window.")
+        a("")
 
     sc = d.get("scaling")
+    if sc and not _scaling_levels(sc):
+        sc = None  # present-but-empty scaling dict: nothing to render
     if sc:
         levels = _scaling_levels(sc)
         (n_lo, lo), (n_hi, hi) = levels[0], levels[-1]
@@ -126,9 +134,8 @@ def bench_md(d: dict, window: str) -> str:
             "steal in the low-core minimum. Steal on a high-core leg only "
             f"depresses a pair ratio, never inflates it. Pair ({n_lo},{n_hi}) is "
             "used because per-thread contention grows with thread count on this "
-            "oversubscribed host (measured same-window 2->4 eff 0.99 while "
-            "8-thread legs are depressed) — the low-thread pair is the "
-            "least-distorted proxy for separate cluster executors. Raw walls per "
+            "oversubscribed host — the low-thread pair is the least-distorted "
+            "proxy for separate cluster executors. Raw walls per "
             f"level: {sc['all_walls']}."
         )
         a("")
@@ -177,44 +184,52 @@ def bench_md(d: dict, window: str) -> str:
             )
             a("")
 
-    a("## BM25 query latency (reference query set, k=10)")
-    a("")
-    a("Cold = first execution of each plan on a warm session (one untimed warmup")
-    a("plan absorbs JVM/codegen startup); warm = MEDIAN OF 3 repeat executions of")
-    a("the same plan (single warm runs on this steal-prone VM can print")
-    a("warm > cold inversions that are window noise, not plan instability).")
-    a("")
-    a("| query | cold sec | warm sec |")
-    a("|---|---|---|")
-    any_steal = False
-    for q, cold in d["queries"].items():
-        warm = d["queries_warm"][q]
-        mark = _steal_mark(cold, warm)
-        any_steal = any_steal or bool(mark)
-        a(f"| {q} | {cold:.3f} | {warm:.3f}{mark} |")
-    a("")
-    if any_steal:
-        a(
-            "\\* warm median > single-shot cold: hypervisor-steal window noise, "
-            "not plan instability — the routed path per query is recorded in the "
-            "pruning-gate section and identical across runs."
-        )
+    queries = d.get("queries") or {}
+    warm_map = d.get("queries_warm") or {}
+    if not queries:
+        a("Query latency: not measured in this window.")
         a("")
-    a(
-        f"cold p50 = {d['query_p50_sec']} s, warm p50 = {d['query_p50_warm_sec']} s."
-    )
-    a("`q_bmx_pruned_or` is the skewed stopword disjunction routed through the")
-    a("COST-GATED auto-pruning path (plans/planner.py + operators/topk.py): the gate")
-    a("only takes the two-pass block-max plan when the df profile predicts the")
-    a("skipped decode work beats the extra-job overhead AND span pruning is")
-    a("feasible (a term with df >= #spans sits in every span, so stopword bounds")
-    a("tax every span at this sf). `q_bmx_plain_equiv` is the SAME query with")
-    a("routing disabled — the gated wall matches it (zero gate penalty). It is a")
-    a("heavier query than `q_or` (two stopwords vs three mid-df terms), so `q_or`")
-    a("is not its baseline.")
-    a("")
+    else:
+        a("## BM25 query latency (reference query set, k=10)")
+        a("")
+        a("Cold = first execution of each plan on a warm session (one untimed warmup")
+        a("plan absorbs JVM/codegen startup); warm = MEDIAN OF 3 repeat executions of")
+        a("the same plan (single warm runs on this steal-prone VM can print")
+        a("warm > cold inversions that are window noise, not plan instability).")
+        a("")
+        a("| query | cold sec | warm sec |")
+        a("|---|---|---|")
+        any_steal = False
+        for q, cold in queries.items():
+            warm = warm_map.get(q, float("nan"))
+            mark = _steal_mark(cold, warm)
+            any_steal = any_steal or bool(mark)
+            a(f"| {q} | {cold:.3f} | {warm:.3f}{mark} |")
+        a("")
+        if any_steal:
+            a(
+                "\\* warm median > single-shot cold: hypervisor-steal window noise, "
+                "not plan instability — the routed path per query is recorded in the "
+                "pruning-gate section and identical across runs."
+            )
+            a("")
+        a(
+            f"cold p50 = {d.get('query_p50_sec')} s, warm p50 = {d.get('query_p50_warm_sec')} s."
+        )
+        a("`q_bmx_pruned_or` is the skewed stopword disjunction routed through the")
+        a("COST-GATED auto-pruning path (plans/planner.py + operators/topk.py): the gate")
+        a("only takes the two-pass block-max plan when the df profile predicts the")
+        a("skipped decode work beats the extra-job overhead AND span pruning is")
+        a("feasible (a term with df >= #spans sits in every span, so stopword bounds")
+        a("tax every span at this sf). `q_bmx_plain_equiv` is the SAME query with")
+        a("routing disabled — the gated wall matches it (zero gate penalty). It is a")
+        a("heavier query than `q_or` (two stopwords vs three mid-df terms), so `q_or`")
+        a("is not its baseline.")
+        a("")
 
     pr = d.get("pruning")
+    if pr and not (pr.get("gates") or {}).get("q_bmx_pruned_or"):
+        pr = None  # gate-closed routing evidence absent: skip the section
     if pr:
         g = pr["gates"]["q_bmx_pruned_or"]["gate"]
         a("## Pruning gate evidence (both sides)")
@@ -414,11 +429,18 @@ def bench_md(d: dict, window: str) -> str:
     return "\n".join(lines).rstrip() + "\n"
 
 
-def baseline_section(d: dict, window: str, round_no: int, n_tests: int, n_entries: int) -> str:
+def baseline_section(
+    d: dict, window: str, round_no: int, n_tests: int | None, n_entries: int
+) -> str:
     # Every section except the headline build can be disabled per-run
     # (TRINITY_BENCH_SCALING=0 etc.); absent/empty sections render as an
     # explicit "not measured in this window" line instead of crashing after
     # BENCH.md was already rewritten (the skew this script exists to stop).
+    suite_note = (
+        f" ({n_tests}-test suite)"
+        if n_tests
+        else " (suite count not collected this run)"
+    )
     sc = d.get("scaling") or {}
     scaling_line = (
         "- Scaling: not measured in this window "
@@ -496,7 +518,7 @@ the same `bench_result.json` by `scripts/regen_bench_docs.py`.
 {scaling_line}- Rank identity vs reference semantics: 18-query-class pocket-oracle gate
   (also off physical segments, post-merge, under deletes, under pruning,
   under search-after paging, at a pinned time-travel snapshot) +
-  {n_entries} DuckDB-checked entries, all green locally ({n_tests}-test suite).
+  {n_entries} DuckDB-checked entries, all green locally{suite_note}.
 {build_line}{xl_line}{merge_line}{pruning_line}"""
 
 
@@ -524,8 +546,10 @@ def main() -> None:
             capture_output=True,
             text=True,
         )
-        m = re.search(r"(\d+) tests collected", out.stdout)
-        n_tests = int(m.group(1)) if m else 0
+        m = re.search(r"(\d+) tests? collected", out.stdout)
+        # a failed/odd collection must not silently render a false
+        # "0-test suite" into BASELINE.md: leave the count unknown instead
+        n_tests = int(m.group(1)) if (out.returncode == 0 and m) else None
 
     # Render BOTH documents before writing EITHER: a crash mid-render must
     # not leave BENCH.md rewritten while BASELINE.md still cites the old

@@ -17,7 +17,7 @@ from trinity_spark.operators.merge import merge_segments
 from trinity_spark.oracle import OracleIndex
 from trinity_spark.plans.parser import parse_query
 from trinity_spark.plans.planner import QueryPlanner
-from trinity_spark.sources.store import SegmentStore
+from trinity_spark.sources.store import SegmentMeta, SegmentStore
 from trinity_spark.streaming.nrt import append_micro_segment
 
 N_BASE, N_MICRO = 600, 120
@@ -255,3 +255,35 @@ def test_compact_warns_when_max_rounds_exhausted(spark, tiered_store):
     with _w.catch_warnings():
         _w.simplefilter("error", RuntimeWarning)
         compact(spark, store, min_merge=2, micro_docs=256)
+
+
+def test_tier_binning_exact_on_boundaries():
+    """Tier = integer repeated division: a segment sitting EXACTLY on a
+    tier boundary must land in the higher tier (float log(1000)/log(10)
+    = 2.9999999999999996 truncated one tier low and grouped it with
+    segments up to tier_factor x smaller)."""
+
+    class _FakeStore:
+        def __init__(self, sizes):
+            self._metas = [
+                SegmentMeta(
+                    segment_id=f"s{i}", generation=i, doc_lo=0, doc_hi=n,
+                    docs_cnt=n,
+                )
+                for i, n in enumerate(sizes)
+            ]
+
+        def segments(self):
+            return self._metas
+
+    micro = 100
+    # four segments exactly at micro*10^3 (tier 4 for tier_factor=10) and
+    # four at micro*10^2 (tier 3): each tier must merge among itself only
+    sizes = [micro * 10**3] * 4 + [micro * 10**2] * 4
+    plans = plan_compaction(
+        _FakeStore(sizes), min_merge=4, tier_factor=10, micro_docs=micro
+    )
+    assert sorted(sorted(p) for p in plans) == [
+        ["s0", "s1", "s2", "s3"],
+        ["s4", "s5", "s6", "s7"],
+    ]

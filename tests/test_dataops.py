@@ -1641,3 +1641,11 @@ def test_curate_null_text_is_gated(spark):
     for d in (1, 2):
         assert not out[d]["keep"]
         assert out[d]["reason"] == "null_text"
+
+
+def test_simhash_band_recall_guard(spark):
+    """max_hamming >= n_bands loses recall silently (pigeonhole: every band
+    can absorb one flipped bit) — must raise instead."""
+    docs = _docs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError, match="bands"):
+        dedup.simhash_near_duplicates(docs, max_hamming=8, band_bits=8)

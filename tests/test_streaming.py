@@ -620,3 +620,45 @@ def test_gc_reclaims_orphan_docid_map_slice(spark, tmp_path_factory):
     removed2 = store.gc()
     assert removed2["docid_map_slices"] == []
     assert set(os.listdir(nrt_root)) == live
+
+
+def test_streaming_percolator_chunked_registry(spark, tmp_path, monkeypatch):
+    """Registries past MAX_COMPILED_QUERIES must still work on a STREAM:
+    the chunked path localCheckpoints the tokenized frame for batch input,
+    which is illegal on streaming DataFrames (AnalysisException) — streams
+    re-tokenize per chunk instead."""
+    from trinity_spark.operators import percolator as perc_mod
+    from trinity_spark.operators.percolator import percolate
+    from trinity_spark.streaming.alerts import start_alert_stream
+
+    monkeypatch.setattr(perc_mod, "MAX_COMPILED_QUERIES", 2)
+    docs = [
+        (0, "disk failure on node seven"),
+        (1, "all systems nominal"),
+        (2, "failure to acquire lock retry scheduled"),
+        (3, "disk nearly full"),
+    ]
+    queries = {
+        "q_disk": "disk",
+        "q_fail": "failure",
+        "q_lock": "lock",
+        "q_retry": "retry",
+        "q_phrase": '"disk failure"',
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = sorted(
+        (r["doc_id"], r["query_id"]) for r in percolate(df, queries).collect()
+    )
+    assert want
+
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sink = str(tmp_path / "alerts")
+    q = start_alert_stream(stream, queries, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == want

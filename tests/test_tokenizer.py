@@ -222,3 +222,23 @@ def test_word_tail_end_to_end_searchable(spark):
     )
     got = [r["doc_id"] for r in QueryPlanner(index).plan("site:x-box.com", k=5).collect()]
     assert set(got) == {0, 2}
+
+
+def test_multidot_numerics_do_not_fabricate_decimals():
+    """`.0` inside `1.0.2` is NOT trailing: the old pass collapsed it to the
+    fabricated decimal `1.2`, so a query for 1.2 matched version 1.0.2."""
+    assert tokenize_py("release 1.0.2") == ["release", "1.0", "2"]
+    assert tokenize_py("10.0.5 node") == ["10.0", "5", "node"]
+    # genuinely trailing zero-groups still drop, even chained
+    assert tokenize_py("version 1.0.0") == ["version", "1"]
+
+
+def test_word_tail_stored_verbatim_through_normalization():
+    """Rule 5: the reference consumes the word:tail region and stores it
+    VERBATIM (queries.cpp:2153-2163) — normalization passes must not
+    acronym-collapse, apostrophe-join, or num-normalize inside a tail."""
+    assert tokenize_py("site:x.y") == ["site:x.y"]
+    assert tokenize_py("site:9.0") == ["site:9.0"]
+    # apostrophe ends the tail (not in the tail grammar); the remainder
+    # tokenizes as plain words instead of joining across the quote
+    assert tokenize_py("site:o'neil.com") == ["site:o", "neil", "com"]

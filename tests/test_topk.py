@@ -320,3 +320,7 @@ def test_intersection_counts_token_bounds():
         intersection_counts(None, [])
     with pytest.raises(ValueError, match="63"):
         intersection_counts(None, [f"t{i}" for i in range(64)])
+    with pytest.raises(ValueError, match="duplicate"):
+        # coalesce fires the FIRST matching branch: a repeated token's later
+        # bit would silently never be set in any mask
+        intersection_counts(None, ["join", "join", "scan"])

@@ -530,17 +530,28 @@ def simhash_near_duplicates(
     band_bits: int = 8,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of the 32/band_bits bit-bands
+    """Near-dup pairs by SimHash: bucket on each of the 64/band_bits bit-bands
     (a pair within hamming distance < #bands shares at least one exact band),
     verify hamming distance exactly.
+
+    The band guarantee requires ``max_hamming < 64 // band_bits``: with h
+    differing bits and only h bands, every band can absorb one flipped bit
+    and a TRUE pair would silently never become a candidate — raises rather
+    than losing recall quietly (lower ``band_bits`` to widen the band count).
 
     ``max_bucket_size`` bounds the within-bucket self-join exactly like
     ``lsh_candidate_pairs``: oversized key buckets (boilerplate corpora
     hashing to one SimHash) are salt-split with a verified representative
     chain (see ``_capped_bucket_pairs``); skipped cross-sub-bucket
     candidates are logged.  None = exact (no cap)."""
-    sig = simhash(docs, id_col, text_col)
     n_bands = SIMHASH_BITS // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than {n_bands} bands of "
+            f"{band_bits} bits over {SIMHASH_BITS}-bit SimHash (pigeonhole: "
+            f"a true pair could differ in every band); lower band_bits"
+        )
+    sig = simhash(docs, id_col, text_col)
     mask = (1 << band_bits) - 1
     banded = sig.select(
         F.col(id_col), F.col("simhash"),

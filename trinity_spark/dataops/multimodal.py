@@ -138,7 +138,14 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def repartition_for_media(media: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
     """Size-aware salting: big payloads spread out, small ones pack together.
-    Salt = cumulative-size bucket surrogate (payload_len / target) + id hash."""
-    size_bucket = (F.length("payload") / F.lit(target_bytes)).cast("long")
+    Salt = size bucket (payload_len / target) x 64 + id hash, so same-tier
+    payloads scatter over 64 sub-buckets (probabilistic: two same-tier
+    payloads still collide with p=1/64 — this bounds expected skew, it is
+    not a strict one-big-payload-per-partition guarantee).  NULL payloads
+    (metadata-only rows) count as size 0 so they spread with the small tier
+    instead of all hashing to the single NULL-salt partition."""
+    size_bucket = (
+        F.coalesce(F.length("payload"), F.lit(0)) / F.lit(target_bytes)
+    ).cast("long")
     salt = F.pmod(F.xxhash64("media_id"), F.lit(64)) + size_bucket * 64
     return media.repartition(salt)

@@ -58,6 +58,29 @@ def split_bucket(id_col, seed: int = 7):
     ).cast("long")
 
 
+def split_bounds(weights: dict[str, float]) -> list[int]:
+    """Upper bucket bound for every split but the last — the EXACT float
+    accumulation hash_split compiles (accumulation order matters: 0.8 + 0.1
+    != 0.9 exactly in IEEE754).  Exposed so oracle/SQL reproductions import
+    this derivation instead of hand-copying it (copy drift = silent parity
+    loss)."""
+    names = list(weights)
+    bounds: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append(int(acc * (1 << 32)))
+    return bounds
+
+
+def mixture_parts(w: float) -> tuple[int, int]:
+    """(whole copies, fractional-accept threshold in 2^32 bucket units) for
+    a mixture rate — the exact derivation sample_sources compiles; exposed
+    for oracle reproductions (see split_bounds)."""
+    base = int(w)
+    return base, int(round((w - base) * (1 << 32)))
+
+
 def hash_split(
     docs: DataFrame,
     weights: dict[str, float] | None = None,
@@ -80,11 +103,7 @@ def hash_split(
         raise ValueError("split weights must be non-negative")
     bucket = split_bucket(id_col, seed)
     names = list(weights)
-    bounds = []
-    acc = 0.0
-    for name in names[:-1]:
-        acc += weights[name]
-        bounds.append(int(acc * (1 << 32)))
+    bounds = split_bounds(weights)
     expr = F.lit(names[-1])
     for name, hi in reversed(list(zip(names[:-1], bounds))):
         expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
@@ -122,15 +141,11 @@ def sample_sources(
         raise ValueError("rates must be non-negative")
     bucket = split_bucket(id_col, seed)
 
-    def _parts(w: float) -> tuple[int, int]:
-        base = int(w)
-        return base, int(round((w - base) * (1 << 32)))
-
     src = F.col(source_col)
-    db, dt = _parts(default_rate)
+    db, dt = mixture_parts(default_rate)
     base_expr, thr_expr = F.lit(db), F.lit(dt)
     for name, w in rates.items():
-        b, t = _parts(w)
+        b, t = mixture_parts(w)
         base_expr = F.when(src == name, F.lit(b)).otherwise(base_expr)
         thr_expr = F.when(src == name, F.lit(t)).otherwise(thr_expr)
     copies = base_expr + F.when(bucket < thr_expr, 1).otherwise(0)

@@ -25,7 +25,6 @@ and finishes with the store's deferred GC pass.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import SparkSession
 
@@ -49,7 +48,7 @@ def plan_compaction(
     if max_merge < min_merge:
         raise ValueError(f"max_merge {max_merge} must be >= min_merge {min_merge}")
     if tier_factor < 2:
-        # tier_factor=1 would divide by log(1)=0; <=0 is a math domain error
+        # tier_factor=1 would never shrink q below itself (infinite loop)
         raise ValueError("tier_factor must be >= 2")
     if micro_docs < 1:
         raise ValueError("micro_docs must be >= 1")
@@ -58,7 +57,14 @@ def plan_compaction(
         if m.docs_cnt < micro_docs:
             t = 0
         else:
-            t = 1 + int(math.log(m.docs_cnt / micro_docs) / math.log(tier_factor))
+            # integer repeated division, not float log: log(1000)/log(10)
+            # evaluates to 2.9999999999999996 and int() would drop an
+            # exact-boundary segment one tier low, grouping it with
+            # segments up to tier_factor x smaller
+            t, q = 1, m.docs_cnt // micro_docs
+            while q >= tier_factor:
+                q //= tier_factor
+                t += 1
         tiers.setdefault(t, []).append(m)
     plans: list[list[str]] = []
     for t in sorted(tiers):

@@ -33,6 +33,11 @@ def intersection_counts(
     """
     if not tokens:
         raise ValueError("intersection_counts: empty token list")
+    if len(set(tokens)) != len(tokens):
+        # the coalesce below fires the FIRST matching branch, so a repeated
+        # token's later bit would never be set — every mask touching it
+        # silently wrong.  Raise: bit positions are the caller's contract.
+        raise ValueError("intersection_counts: duplicate tokens in list")
     if len(tokens) > 63:
         raise ValueError(
             f"intersection_counts: {len(tokens)} tokens exceed the 63-bit "

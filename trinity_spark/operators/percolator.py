@@ -95,7 +95,11 @@ def _percolate_chunked(
     if len(parsed) <= MAX_COMPILED_QUERIES:
         return _percolate_toks(with_toks, parsed, id_col)
     items = sorted(parsed.items())
-    if not checkpointed:  # tokenize ONCE across the chunk passes
+    # tokenize ONCE across the chunk passes.  Streaming frames cannot be
+    # checkpointed (AnalysisException) — there each chunk re-tokenizes its
+    # micro-batch, an accepted per-batch cost that keeps >500-query
+    # registries working on streams at identical semantics.
+    if not checkpointed and not with_toks.isStreaming:
         with_toks = with_toks.localCheckpoint(eager=False)
     out = None
     for lo in range(0, len(items), MAX_COMPILED_QUERIES):

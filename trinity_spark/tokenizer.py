@@ -14,8 +14,10 @@ no per-row Python in the Spark path):
    must START with a letter — ``queries.cpp:2120`` requires ``_isalpha(*p)``
    — so digit-led text like ``9.0`` / ``1.5`` is left for rule 4),
 3. intra-word apostrophes removed: ``L'Oreal`` -> ``loreal``,
-4. numeric normalization: trailing ``.0+`` dropped (``9.000`` -> ``9``),
-   while real decimals (``8.25``) stay single tokens,
+4. numeric normalization: trailing ``.0+`` dropped (``9.000`` -> ``9``,
+   ``1.0.0`` -> ``1``), while real decimals (``8.25``) stay single tokens
+   and a non-trailing ``.0`` is left alone (``1.0.2`` -> ``1.0``, ``2`` —
+   never the fabricated decimal ``1.2``),
 5. ``word:tail`` operator tokens: an alpha head followed by ``:`` and a
    domain-ish tail is ONE raw token — ``site:x-box.com``, ``site:.gr``
    (reference: ``queries.cpp:2153-2163`` consumes the whole region and stores
@@ -58,20 +60,41 @@ MAX_POSITION = 1 << 14  # trinity_limits.h:15
 # First char must be a LETTER (queries.cpp:2120 `_isalpha(*p)`): digit-led
 # dot sequences are decimals/numerics (rule 4), not acronyms — `9.0` must
 # normalize to `9` and `1.5` stay a decimal token, never collapse to `90`/`15`.
-_ACRONYM_RE = re.compile(r"(?<![a-z0-9])[a-z](?:\.[a-z0-9]){1,}\.?(?![a-z0-9])")
-_APOSTROPHE_RE = re.compile(r"(?<=[a-z0-9])['’](?=[a-z0-9])")
-_NUM_NORM_RE = re.compile(r"(?<=\d)\.0+(?!\d)")
 # word:tail first (ordered alternation): alpha head, ':', then the reference
 # tail grammar — alnum | '.' followed by alnum | '-' between alnums
 _WORD_TAIL = r"[a-z]+:(?:[a-z0-9]|\.(?=[a-z0-9])|(?<=[a-z0-9])-(?=[a-z0-9]))+"
 _TOKEN_RE = re.compile(_WORD_TAIL + r"|\d+\.\d+|[a-z0-9]+")
+# Every normalization pass leads with a word:tail alternative that returns
+# the tail VERBATIM (rule 5: the reference consumes the whole region and
+# stores it as-is, queries.cpp:2153-2163) — without the shield the acronym
+# pass collapsed `site:x.y` to `site:xy` and num-norm turned `site:9.0`
+# into `site:9`, breaking store-verbatim parity.
+_TAIL_SHIELD = "(" + _WORD_TAIL + ")|"
+_ACRONYM_RE = re.compile(
+    _TAIL_SHIELD + r"((?<![a-z0-9])[a-z](?:\.[a-z0-9]){1,}\.?(?![a-z0-9]))"
+)
+# leading alnum char is CONSUMED (not a lookbehind) so a tail consumed by
+# the shield never donates its last char to an apostrophe join
+_APOSTROPHE_RE = re.compile(_TAIL_SHIELD + r"([a-z0-9])['’](?=[a-z0-9])")
+# trailing .0+ groups drop only when nothing decimal follows: `.0` inside
+# `1.0.2` is NOT trailing (old `(?<=\d)\.0+(?!\d)` collapsed it to the
+# fabricated decimal `1.2`); `1.0.0` -> `1`, `9.000` -> `9`, `8.25` stays
+_NUM_NORM_RE = re.compile(_TAIL_SHIELD + r"(\d)(?:\.0+)+(?!\d|\.\d)")
+
+
+def _acronym_sub(m: re.Match) -> str:
+    return m.group(1) or m.group(2).replace(".", "")
+
+
+def _keep_shield_or_group2(m: re.Match) -> str:
+    return m.group(1) or m.group(2)
 
 
 def _normalize(text: str) -> str:
     text = text.lower()
-    text = _ACRONYM_RE.sub(lambda m: m.group(0).replace(".", ""), text)
-    text = _APOSTROPHE_RE.sub("", text)
-    text = _NUM_NORM_RE.sub("", text)
+    text = _ACRONYM_RE.sub(_acronym_sub, text)
+    text = _APOSTROPHE_RE.sub(_keep_shield_or_group2, text)
+    text = _NUM_NORM_RE.sub(_keep_shield_or_group2, text)
     return text
 
 
@@ -117,9 +140,9 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
     SLOWER than plain replace — pandas' regex replace already short-circuits
     on non-matching rows.)"""
     s = texts.fillna("").str.lower()
-    s = s.str.replace(_ACRONYM_RE, lambda m: m.group(0).replace(".", ""), regex=True)
-    s = s.str.replace(_APOSTROPHE_RE, "", regex=True)
-    s = s.str.replace(_NUM_NORM_RE, "", regex=True)
+    s = s.str.replace(_ACRONYM_RE, _acronym_sub, regex=True)
+    s = s.str.replace(_APOSTROPHE_RE, _keep_shield_or_group2, regex=True)
+    s = s.str.replace(_NUM_NORM_RE, _keep_shield_or_group2, regex=True)
     return s.str.findall(_TOKEN_RE)
 
 
