@@ -598,7 +598,13 @@ def main() -> None:
     # survives even if a log-tail capture truncates the stdout line
     # (BENCH_r03.json had parsed=null for exactly that reason)
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_result.json"), "w") as f:
+    # bench_result.json is owned by FULL windows (scaling measured): the
+    # published BENCH.md/BASELINE.md cite it, so a quick smoke run (tiny
+    # sf / TRINITY_BENCH_SCALING=0) writing there would orphan the docs'
+    # evidence.  Smoke windows land in bench_result_smoke.json instead.
+    detail_name = "bench_result.json" if result.get("scaling") else "bench_result_smoke.json"
+    result["detail_file"] = detail_name
+    with open(os.path.join(here, detail_name), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     # BENCH.md/BASELINE.md have ONE owner: scripts/regen_bench_docs.py,
     # regenerated here only for a FULL window (scaling section measured).
@@ -678,7 +684,7 @@ def _headline(r: dict) -> dict:
         "query_p50_warm_sec": r.get("query_p50_warm_sec"),
         "build_turns_per_sec": build.get("turns_per_sec"),
         "scaling_efficiency": sc.get("efficiency"),
-        "detail_file": "bench_result.json",
+        "detail_file": r.get("detail_file", "bench_result.json"),
     }
     return out
 
