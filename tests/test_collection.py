@@ -99,6 +99,40 @@ def test_collection_plan_time_actions_batched(spark, tmp_path):
     )
 
 
+def test_batched_stats_uses_warmed_term_dict_caches(spark, tmp_path):
+    """Stores whose driver-side term-dict cache is already warm (stats_for's
+    _df_cache) answer the batched lookup with ZERO Spark jobs — repeat
+    collection queries over the same SegmentIndex list must not pay the
+    tagged union job the cold path needs."""
+    from trinity_spark.operators.collection import _batched_stats
+    from trinity_spark.operators.indexer import SegmentIndex
+
+    terms = ["error", "timeout"]
+    indexes = []
+    for i in range(3):
+        st = SegmentStore(str(tmp_path / f"w{i}"))
+        build_index(
+            spark, spark.createDataFrame(gen_transcripts(200, seed=i)), st,
+            rows_per_segment=200,
+        )
+        idx = SegmentIndex(spark, st)
+        idx.stats_for(terms)  # warms _df_cache (dict: small dictionary)
+        assert isinstance(idx._df_cache, dict)
+        indexes.append(idx)
+    sc = spark.sparkContext
+    sc.setJobGroup("warm-batched-stats", "must be driver-side only")
+    try:
+        stats = _batched_stats(indexes, terms)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("warm-batched-stats")
+    assert len(jobs) == 0, f"warm batched stats ran {len(jobs)} jobs"
+    for idx, got in zip(indexes, stats):
+        want = idx.stats_for(terms)
+        assert got.n_docs == want.n_docs
+        assert {t: got.df(t) for t in terms} == {t: want.df(t) for t in terms}
+
+
 def test_collection_par_matches_serial(spark, tmp_path, monkeypatch):
     """exec_query_collection_par (exec_query_par, exec.h:87-177): identical
     rows and order to the serial union path over an 8-store collection, and

@@ -52,6 +52,27 @@ def test_sessionize_validates(spark):
         sessionize(_events(spark), gap_minutes=0)
 
 
+def test_sessionize_string_ts_mixed_offsets_orders_chronologically(spark):
+    """String ts with mixed UTC offsets sorts lexicographically by OFFSET,
+    not time — the window must order by the same epoch seconds the gap is
+    computed from, or lag() sees out-of-order neighbors and negative gaps
+    glue separated events into one session."""
+    rows = [
+        # chronological: 06:30Z, 06:40Z, then a 3h gap to 09:40Z — but the
+        # '+05:00' strings sort FIRST lexicographically ('+' < '2'... and
+        # '2024-03-01T11:' < '2024-03-01T06:' is false, so offset forms
+        # interleave wrongly with Z forms)
+        (0, "2024-03-01T06:30:00Z", 1),
+        (1, "2024-03-01T11:40:00+05:00", 1),  # == 06:40Z
+        (2, "2024-03-01T09:40:00Z", 1),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts string, user_id long")
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(events, gap_minutes=30).collect()}
+    # 06:30 and 06:40 share a session; 09:40 (3h later) starts a new one
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
 def test_sessionize_single_window_shuffle(spark):
     """One exchange (the user_id window partition), no joins."""
     plan = sessionize(_events(spark))._jdf.queryExecution().executedPlan().toString()

@@ -321,6 +321,18 @@ def test_pack_sequences_validates_budget(spark):
         pack_sequences(docs, budget=0)
 
 
+def test_pack_sequences_rejects_negative_token_counts(spark):
+    """A -1 'unknown' sentinel via token_col would regress the prefix sum
+    and shift later bin_ids low with no error — must fail loud like NULL."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, -1), (2, 10)], "doc_id long, n long"
+    ).withColumn("text", F.lit(""))
+    with pytest.raises(ValueError, match="negative token"):
+        pack_sequences(docs, budget=16, token_col="n")
+
+
 # --- balanced_sample ---------------------------------------------------------
 
 def _strata(spark):

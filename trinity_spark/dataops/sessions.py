@@ -36,10 +36,6 @@ def sessionize(
     """
     if gap_minutes <= 0:
         raise ValueError("gap_minutes must be > 0")
-    order = [F.col(ts_col)] + (
-        [F.col("event_id")] if "event_id" in events.columns else []
-    )
-    w = Window.partitionBy(user_col).orderBy(*order)
     # NTZ timestamps cannot cast straight to double; epoch seconds via an
     # intermediate timestamp cast.  CAVEAT: for TIMESTAMP_NTZ inputs the
     # cast maps wall time through spark.sql.session.timeZone, so in a
@@ -47,6 +43,13 @@ def sessionize(
     # gap by +/-1h — run with a fixed-offset session tz (UTC is this
     # deployment's default) for reproducible gaps on NTZ data
     sec = F.col(ts_col).cast("timestamp").cast("double")
+    # The window MUST order by the same epoch-seconds value the gap is
+    # computed from: a raw string ts column with mixed UTC offsets sorts
+    # lexicographically (offset order, not chronological order), which
+    # would hand lag() out-of-order neighbors and negative gaps that
+    # silently glue separated events into one session.
+    order = [sec] + ([F.col("event_id")] if "event_id" in events.columns else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap_sec = sec - F.lag(sec).over(w)
     new_session = F.when(
         gap_sec.isNull() | (gap_sec > gap_minutes * 60.0), F.lit(1)

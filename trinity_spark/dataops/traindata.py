@@ -333,6 +333,11 @@ def pack_sequences(
             # ArrowInvalid in the kernel (and F.sum skips nulls, so the
             # offsets would silently drift from the kernel's cumsum)
             F.sum(F.col("n_tokens").isNull().cast("long")).alias("n_nulls"),
+            # negative counts (e.g. a -1 'unknown' sentinel from an
+            # upstream tokenizer, reachable only via token_col) would
+            # regress the prefix sum and shift every later bin_id low
+            # with no error — fail loud like the NULL case instead
+            F.sum((F.col("n_tokens") < 0).cast("long")).alias("n_negs"),
         )
         .collect()  # O(partitions) rows
     )
@@ -342,6 +347,12 @@ def pack_sequences(
             f"pack_sequences: {n_nulls} document(s) have NULL token counts "
             f"(NULL {text_col if not token_col else token_col}); filter or "
             "impute them before packing"
+        )
+    n_negs = sum(int(r["n_negs"] or 0) for r in parts)
+    if n_negs:
+        raise ValueError(
+            f"pack_sequences: {n_negs} document(s) have negative token "
+            "counts; filter or impute them before packing"
         )
     by_pid = {r["pid"]: r for r in parts}
     offsets: dict[int, int] = {}

@@ -67,6 +67,7 @@ def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
     n_docs: dict[int, int] = {}
     nd_frames: list[DataFrame] = []
     df_frames: list[DataFrame] = []
+    cached_dfs: dict[int, dict[str, int]] = {}
     for i, idx in enumerate(indexes):
         if hasattr(idx, "store"):
             n_docs[i] = sum(s.docs_cnt for s in idx.store.segments())
@@ -77,6 +78,13 @@ def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
                 )
             )
         if terms:
+            # a SegmentIndex whose term dictionary is already warmed
+            # driver-side (stats_for's _df_cache) answers with zero Spark
+            # work — only cache-miss stores join the tagged union job
+            warm = getattr(idx, "_df_cache", None)
+            if isinstance(warm, dict):
+                cached_dfs[i] = {t: warm.get(t, 0) for t in terms}
+                continue
             df_frames.append(
                 idx.term_dict.where(F.col("term").isin(terms)).select(
                     F.lit(i).alias("src"), "term", F.col("df").cast("long").alias("df")
@@ -91,6 +99,7 @@ def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
         ):
             n_docs[r["src"]] = int(r["n"] or 0)
     dfs: dict[int, dict[str, int]] = {i: {} for i in range(len(indexes))}
+    dfs.update(cached_dfs)
     if df_frames:
         for r in (
             reduce(DataFrame.unionByName, df_frames)
@@ -245,7 +254,7 @@ def exec_query_collection(
         # store so they overlap (documents_only returns ALL matches —
         # unbounded — so it must stay a lazy union, never a driver merge)
         return exec_query_collection_par(
-            spark, stores, query, k, similarity,
+            spark, stores, node, k, similarity,
             _indexes=indexes, _stats=stats,
         )
     frames = []
