@@ -785,6 +785,26 @@ def test_multimodal_feature_plumbing(spark):
     assert np.allclose(np.array(feats[0]["feature"]), expect, atol=1e-5)
 
 
+def test_extract_features_null_payload_consistent(spark):
+    """NULL/empty payload (metadata-only row): n_bytes and the feature's
+    length slot must AGREE — the old b'\\x00' substitute emitted
+    feature[0]=1 against n_bytes=0 in the same row."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, "application/octet-stream", None, None, None),
+            (2, "image", bytearray(b""), "application/octet-stream", None, None, None),
+            (3, "image", bytearray(b"abc"), "application/octet-stream", None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.extract_features(media, fake=True).collect()}
+    for mid in (1, 2, 3):
+        assert rows[mid]["feature"][0] == rows[mid]["n_bytes"]
+    assert rows[1]["n_bytes"] == 0 and rows[1]["feature"] == [0.0] * multimodal.FEATURE_DIM
+    assert rows[2]["feature"] == [0.0] * multimodal.FEATURE_DIM
+    assert rows[3]["n_bytes"] == 3
+
+
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")

@@ -10,7 +10,11 @@ from trinity_spark.oracle import OracleIndex
 from trinity_spark.plans.parser import parse_query
 from trinity_spark.plans.planner import QueryPlanner
 from trinity_spark.sources.store import SegmentStore
-from trinity_spark.streaming.nrt import append_micro_segment, start_indexing_stream
+from trinity_spark.streaming.nrt import (
+    append_micro_segment,
+    nrt_segment_id,
+    start_indexing_stream,
+)
 
 N0, N1 = 600, 300
 
@@ -198,7 +202,7 @@ def test_replay_after_crash_is_idempotent(spark, seeded_store):
 
     # simulate the crashed first attempt: slice written, segment NOT committed
     base = next_doc_id(store)
-    sid = f"seg-{base:014d}-{base + N1:014d}"
+    sid = nrt_segment_id(base, N1, "stream-batch")
     with_ids = assign_doc_ids(df1).withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
     )
@@ -554,7 +558,7 @@ def test_replace_documents_replayed_after_crash_keeps_new_docs(
     crashed = assign_doc_ids(turns).withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
     )
-    store.write_docid_map_slice(crashed, f"seg-{base:014d}-{base + 1:014d}")
+    store.write_docid_map_slice(crashed, nrt_segment_id(base, 1, "replace-batch"))
     # retry: the same one-call replace
     meta = replace_documents(spark, store, turns)
     assert meta.doc_lo == base
@@ -662,3 +666,101 @@ def test_streaming_percolator_chunked_registry(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(sink).collect()
     )
     assert got == want
+
+
+def test_concurrent_nrt_writers_loser_rejected(spark, seeded_store):
+    """Two ingest writers that both read the same high-water mark (optimistic
+    doc-id allocation, no lock) must not silently destroy each other: their
+    marker-suffixed segment ids keep the data paths disjoint, and the second
+    commit is REJECTED by the store's nrt range-overlap check with the
+    winner's batch fully intact."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trinity_spark.operators.docids import assign_doc_ids
+    from trinity_spark.operators.segments import CHUNK_BITS
+    from trinity_spark.streaming.nrt import _append_assigned, next_doc_id
+
+    store, corpus0 = seeded_store
+    base = next_doc_id(store)
+
+    def assigned(corpus):
+        df = spark.createDataFrame(corpus)
+        return assign_doc_ids(df).withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
+        )
+
+    c_a = gen_transcripts(40, seed=71)
+    c_b = gen_transcripts(40, seed=72)
+    meta_a = _append_assigned(
+        spark, store, assigned(c_a), 40, base, time.monotonic(),
+        "stream-a-epoch-0", CHUNK_BITS,
+    )
+    # writer B allocated against the SAME stale high-water mark
+    with pytest.raises(ValueError, match="overlaps committed segment"):
+        _append_assigned(
+            spark, store, assigned(c_b), 40, base, time.monotonic(),
+            "stream-b-epoch-0", CHUNK_BITS,
+        )
+    # the winner's batch survives end-to-end: its segment is live, and the
+    # loser's orphan slice was discarded on rejection — the doc-id space
+    # serves exactly one translation per id
+    live = {s.segment_id for s in store.segments()}
+    assert meta_a.segment_id in live
+    dm = store.read_docid_map(spark)
+    n_ids = dm.select("doc_id").distinct().count()
+    assert dm.count() == n_ids == N0 + 40
+    # and the winner's docs are queryable
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    assert planner.plan("error", k=5).count() >= 0
+
+
+def test_stream_dedup_null_text_passes_through(spark, tmp_path):
+    """NULL-text docs share a NULL content hash; keying them would collapse
+    every NULL-text doc after the first.  They must pass through undeduped
+    (batch parity: curate gates them individually, never as duplicates)."""
+    from datetime import datetime
+
+    from trinity_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        (0, "alpha beta", datetime(2026, 1, 1, 10, 0, 0)),
+        (1, None, datetime(2026, 1, 1, 10, 0, 1)),
+        (2, None, datetime(2026, 1, 1, 10, 0, 2)),
+        (3, "alpha beta", datetime(2026, 1, 1, 10, 0, 3)),  # dup of 0
+        (4, None, datetime(2026, 1, 1, 10, 0, 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sink = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, watermark_delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [0, 1, 2, 4]  # all three NULL-text docs admitted
+
+
+def test_percolate_routed_rejects_streaming_input(spark, tmp_path):
+    """The routed path self-joins the doc frame (unsupported on streams);
+    it must fail fast with a pointer to the stream-safe percolate()."""
+    import pytest
+
+    from trinity_spark.operators.percolator import percolate_routed
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    with pytest.raises(ValueError, match="batch DataFrame"):
+        percolate_routed(stream, {"q0": "alpha"})

@@ -51,7 +51,13 @@ def make_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic fake decoder: byte-statistics feature vector.
     Stands in for a real image/audio decode; same output shape contract."""
-    b = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
+    b = np.frombuffer(payload or b"", dtype=np.uint8).astype(np.float32)
+    if b.size == 0:
+        # NULL/empty payload (metadata-only row): all-zero feature whose
+        # length slot agrees with the n_bytes column — the old b"\x00"
+        # substitute reported a phantom byte (feature[0]=1) that
+        # n_bytes=0 contradicted in the same output row
+        return np.zeros(8, dtype=np.float32)
     return np.array(
         [
             len(b),

@@ -224,6 +224,16 @@ def percolate_routed(
     Reference analog: percolator.cpp:1-134 evaluates per-document against
     a compiled query; the routing index is our distributed addition (the
     reference percolates one document at a time, where routing is free)."""
+    if docs.isStreaming:
+        # the routing pass is a self-join (distinct tokens vs the doc frame)
+        # plus a localCheckpoint — both unsupported on streaming frames.
+        # percolate()/streaming.alerts.percolate_stream is the stream path:
+        # a stateless projection with identical match semantics.
+        raise ValueError(
+            "percolate_routed requires a batch DataFrame; for streams use "
+            "percolate() (or streaming.alerts.percolate_stream), whose "
+            "compiled projection has identical semantics"
+        )
     parsed = _parse_all(queries)
     routable: dict[str, Node] = {}
     fallback: dict[str, Node] = {}

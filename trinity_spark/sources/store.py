@@ -423,11 +423,41 @@ class SegmentStore:
             blocks, term_dict, field_stats, meta.segment_id
         )
         m = self.read_manifest()
+        self._check_nrt_allocation(m, meta)
         m["segments"] = [s for s in m["segments"] if s["segment_id"] != meta.segment_id]
         meta.generation = m["next_generation"]
         m["next_generation"] += 1
         m["segments"].append(meta.__dict__)
         self._write_manifest(m)
+
+    def _check_nrt_allocation(self, m: dict[str, Any], meta: SegmentMeta) -> None:
+        """Optimistic-concurrency check for NRT appends: doc-id allocation
+        reads the high-water mark without a lock, so a concurrent writer may
+        have committed the same range first.  The writers' data paths are
+        already disjoint (marker-suffixed segment ids, streaming/nrt.py), so
+        the loser raises here with nothing clobbered — its orphaned data
+        files are gc-able and the batch can re-run against a fresh range.
+        Scoped to nrt-append metas: a MERGE legitimately commits a segment
+        overlapping its (about-to-retire) inputs.  A millisecond window
+        remains between this read and the manifest rename (last-wins) —
+        true multi-writer CAS is the documented Iceberg swap point."""
+        if meta.lineage.get("mode") != "nrt-append":
+            return
+        clash = [
+            s["segment_id"]
+            for s in m["segments"]
+            if s["segment_id"] != meta.segment_id
+            and s["doc_lo"] < meta.doc_hi
+            and meta.doc_lo < s["doc_hi"]
+        ]
+        if clash:
+            raise ValueError(
+                f"doc-id range [{meta.doc_lo}, {meta.doc_hi}) of "
+                f"{meta.segment_id!r} overlaps committed segment(s) {clash}: "
+                "a concurrent writer advanced the high-water mark after this "
+                "batch's allocation; its data files are orphaned (gc-able) — "
+                "re-run the batch to allocate a fresh range"
+            )
 
     def commit_segment_with_deletes(
         self,
@@ -449,6 +479,7 @@ class SegmentStore:
             blocks, term_dict, field_stats, meta.segment_id
         )
         m = self.read_manifest()
+        self._check_nrt_allocation(m, meta)
         seg_gen = m["next_generation"]
         del_gen = seg_gen + 1  # tombstones are the NEWER generation: they veto
         path = os.path.join(self.base, "deletes", f"{del_gen}.parquet")
@@ -479,6 +510,29 @@ class SegmentStore:
         else:
             raise ValueError(f"no committed segment {segment_id!r}")
         self._write_manifest(m)
+
+    def discard_uncommitted(self, segment_id: str) -> None:
+        """Remove a segment attempt's data that was REJECTED before its
+        manifest commit (the nrt allocation check): until the next ``gc()``
+        the orphaned docid-map slice would serve duplicate doc-id
+        translations for a range another writer committed — a later
+        ``replace_documents`` old-version lookup could then tombstone the
+        WINNER's document through the loser's stale rows.  Refuses if the
+        current manifest names the segment."""
+        import shutil
+
+        if any(
+            s["segment_id"] == segment_id
+            for s in self.read_manifest()["segments"]
+        ):
+            raise ValueError(
+                f"segment {segment_id!r} is committed; use retire_segments + gc"
+            )
+        for p in (
+            os.path.join(self.base, "segments", segment_id),
+            os.path.join(self.docid_map_dir(), "nrt", segment_id),
+        ):
+            shutil.rmtree(p, ignore_errors=True)
 
     def retire_segments(self, segment_ids: list[str]) -> None:
         """Drop merged-away segments from the manifest (the merge retention

@@ -33,10 +33,18 @@ def dedup_stream(
     State is ONE row per distinct hash seen within the watermark horizon —
     the 10^12-doc bound.  Within the horizon the FIRST arrival wins
     (micro-batch processing order); later identical texts are dropped.
+
+    NULL-text rows (media-only / failed-extraction documents) pass through
+    UNDEDUPLICATED: their content hash is NULL, and
+    ``dropDuplicatesWithinWatermark`` keys NULLs as equal — keying them
+    would silently collapse every NULL-text document after the first into
+    one.  The batch side agrees: ``curate`` gates NULL-text docs
+    individually, never as exact duplicates of each other.
     """
-    return (
-        stream.withColumn("_h", content_hash(F.col(text_col)))
+    hashed = stream.withColumn("_h", content_hash(F.col(text_col)))
+    deduped = (
+        hashed.where(F.col("_h").isNotNull())
         .withWatermark(ts_col, watermark_delay)
         .dropDuplicatesWithinWatermark(["_h"])
-        .drop("_h")
     )
+    return deduped.unionByName(hashed.where(F.col("_h").isNull())).drop("_h")

@@ -21,6 +21,7 @@ compaction story once micro-segments pile up.
 
 from __future__ import annotations
 
+import hashlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,7 +30,7 @@ from pyspark.sql import functions as F
 from .. import __version__
 from ..operators.build import field_stats_from_blocks, term_dict_from_blocks
 from ..operators.fastbuild import blocks_from_turns
-from ..operators.docids import assign_doc_ids, assign_doc_ids_counted
+from ..operators.docids import assign_doc_ids_counted
 from ..operators.segments import CHUNK_BITS
 from ..sources.store import SegmentMeta, SegmentStore
 
@@ -38,6 +39,28 @@ def next_doc_id(store: SegmentStore) -> int:
     """High-water mark: one past the largest committed doc_id."""
     metas = store.segments()
     return max((m.doc_hi for m in metas), default=0)
+
+
+def nrt_segment_id(base: int, n: int, input_desc: str) -> str:
+    """Doc range + a marker-derived suffix.
+
+    The suffix makes CONCURRENT writers' data paths disjoint: doc-id
+    allocation is optimistic (``next_doc_id`` read, no lock), so two ingest
+    writers against one store can both read the same high-water mark — with
+    range-only ids the second writer's postings/docid-map-slice overwrites
+    silently destroyed the first's committed batch.  Distinct markers now
+    yield distinct segment ids (disjoint data paths), and the loser is
+    REJECTED at commit time by the store's nrt range-overlap check instead
+    of clobbering the winner.  A REPLAY of the same batch (same marker)
+    reproduces the same id, preserving the crash-idempotent overwrite
+    semantics the replay tests pin.  Writers that race with the SAME
+    input_desc (e.g. two concurrent default-marker ``replace_documents``
+    calls) still share a path — concurrent writers must use distinct
+    markers; single-ingest-writer remains the documented default, and the
+    atomic-CAS manifest commit a real multi-writer deployment needs is the
+    Iceberg swap point noted in sources/store.py."""
+    suffix = hashlib.md5(input_desc.encode("utf-8")).hexdigest()[:8]
+    return f"seg-{base:014d}-{base + n:014d}-{suffix}"
 
 
 def append_micro_segment(
@@ -58,13 +81,11 @@ def append_micro_segment(
             return None
         base = next_doc_id(store)
         t0 = time.monotonic()
-        segment_id = f"seg-{base:014d}-{base + n:014d}"
         with_ids = with_ids.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
         )
         return _append_assigned(
-            spark, store, with_ids, n, base, segment_id, t0,
-            input_desc, chunk_bits,
+            spark, store, with_ids, n, base, t0, input_desc, chunk_bits,
         )
     finally:
         turns.unpersist()
@@ -76,11 +97,14 @@ def _append_assigned(
     with_ids: DataFrame,
     n: int,
     base: int,
-    segment_id: str,
     t0: float,
     input_desc: str,
     chunk_bits: int,
+    deletes_df: DataFrame | None = None,
 ) -> SegmentMeta:
+    """Shared micro-segment commit sequence (append and replace differ only
+    in the tombstone set riding the commit)."""
+    segment_id = nrt_segment_id(base, n, input_desc)
     # deterministic per-segment slice + overwrite => a replayed batch (crash
     # between this write and commit_segment) rewrites the SAME files; the old
     # append mode would re-append the doc range and double every tf
@@ -90,26 +114,45 @@ def _append_assigned(
     blocks = blocks_from_turns(
         seg_turns, chunk_bits=chunk_bits, codec=codec
     ).persist()
+    lineage = {"input": input_desc, "doc_range": [base, base + n],
+               "chunk_bits": chunk_bits, "codec": codec,
+               "deletes_gens": [],
+               "engine_version": __version__, "mode": "nrt-append"}
+    if deletes_df is not None:
+        lineage["replace"] = True
     meta = SegmentMeta(
         segment_id=segment_id,
         generation=0,
         doc_lo=base,
         doc_hi=base + n,
         docs_cnt=n,
-        lineage={"input": input_desc, "doc_range": [base, base + n],
-                 "chunk_bits": chunk_bits, "codec": codec,
-                 "deletes_gens": [],
-                 "engine_version": __version__, "mode": "nrt-append"},
+        lineage=lineage,
         metrics={},
     )
-    store.commit_segment(
-        blocks, term_dict_from_blocks(blocks), field_stats_from_blocks(blocks, docs_cnt=n), meta
-    )
+    term_dict = term_dict_from_blocks(blocks)
+    stats = field_stats_from_blocks(blocks, docs_cnt=n)
+    del_gen = None
+    try:
+        if deletes_df is None:
+            store.commit_segment(blocks, term_dict, stats, meta)
+        else:
+            del_gen = store.commit_segment_with_deletes(
+                blocks, term_dict, stats, meta, deletes_df
+            )
+    except ValueError:
+        # rejected allocation (a concurrent writer committed the range
+        # first): drop this attempt's orphan data now, or its docid-map
+        # slice serves duplicate translations until the next gc()
+        blocks.unpersist()
+        store.discard_uncommitted(segment_id)
+        raise
     blocks.unpersist()
     wall = time.monotonic() - t0
     meta.metrics.update(
         {"turns": n, "wall_sec": round(wall, 3), "turns_per_sec": round(n / wall, 1)}
     )
+    if del_gen is not None:
+        meta.metrics["tombstone_gen"] = del_gen
     store.update_segment_metrics(meta.segment_id, meta.metrics)
     return meta
 
@@ -135,7 +178,10 @@ def replace_documents(
     """
     turns = turns.persist()
     try:
-        n = turns.count()
+        # id assignment + count in one pass (the separate turns.count() was
+        # a redundant full scan per update batch — append_micro_segment's
+        # own fix, now shared)
+        with_ids, n = assign_doc_ids_counted(turns)
         if n == 0:
             return None
         base = next_doc_id(store)
@@ -166,44 +212,13 @@ def replace_documents(
             .localCheckpoint(eager=True)
         )
         t0 = time.monotonic()
-        segment_id = f"seg-{base:014d}-{base + n:014d}"
-        with_ids = assign_doc_ids(turns).withColumn(
+        with_ids = with_ids.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
         )
-        store.write_docid_map_slice(with_ids, segment_id)
-        seg_turns = store.read_docid_map_slice(spark, segment_id)
-        codec = store.default_codec()  # replaces stay wire-homogeneous
-        blocks = blocks_from_turns(
-            seg_turns, chunk_bits=chunk_bits, codec=codec
-        ).persist()
-        meta = SegmentMeta(
-            segment_id=segment_id,
-            generation=0,
-            doc_lo=base,
-            doc_hi=base + n,
-            docs_cnt=n,
-            lineage={"input": input_desc, "doc_range": [base, base + n],
-                     "chunk_bits": chunk_bits, "codec": codec,
-                     "deletes_gens": [],
-                     "engine_version": __version__, "mode": "nrt-append",
-                     "replace": True},
-            metrics={},
+        return _append_assigned(
+            spark, store, with_ids, n, base, t0, input_desc, chunk_bits,
+            deletes_df=old,
         )
-        del_gen = store.commit_segment_with_deletes(
-            blocks,
-            term_dict_from_blocks(blocks),
-            field_stats_from_blocks(blocks, docs_cnt=n),
-            meta,
-            old,
-        )
-        blocks.unpersist()
-        wall = time.monotonic() - t0
-        meta.metrics.update(
-            {"turns": n, "wall_sec": round(wall, 3),
-             "turns_per_sec": round(n / wall, 1), "tombstone_gen": del_gen}
-        )
-        store.update_segment_metrics(meta.segment_id, meta.metrics)
-        return meta
     finally:
         turns.unpersist()
 

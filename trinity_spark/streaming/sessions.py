@@ -100,9 +100,14 @@ def sessionize_stream(
     state lifetime (matching the batch ``dataops.sessions.sessionize``).
     TTL eviction removes the counter, so a user returning after
     ``state_ttl_min`` restarts at 0 — downstream keys that must stay unique
-    across evictions should use (user_id, session_start_sec), the session's
-    first event time, which never repeats for a user (events advance in
-    arrival order and a new session starts strictly later than the last).
+    across evictions should prefer (user_id, session_start_sec), the
+    session's first event time.  That key is unique for a user whose events
+    arrive in event-time order; under OUT-OF-ORDER arrival it can repeat:
+    a late event can regress an open session's last_sec below an earlier
+    start, letting a later session re-open at a start_sec an older session
+    already used (same after a replayed first event post-eviction).
+    Pipelines that must survive disorder should add a processing-time
+    component (e.g. the batch/epoch id) to the key.
 
     ``state_ttl_min=None`` disables the processing-time state eviction —
     use for bounded replays and for ``trigger(availableNow=True)`` runs
