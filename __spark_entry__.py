@@ -833,6 +833,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans",
     ]
     ordered = {n: fn for n, fn in q.items() if n not in tail}
+    # ENFORCED, not just hand-maintained: the non-tail count sits exactly at
+    # the 50-row snapshot cap, so the very next entry added before the tail
+    # block would silently fall out of driver snapshots again (the 8a64d6b
+    # regression).  Raising here keeps the failure loud and local — move an
+    # already-green entry into `tail` when registering a new one.
+    if len(ordered) > 50:
+        raise RuntimeError(
+            f"{len(ordered)} entries registered ahead of the 50-row driver "
+            "snapshot cap; move an already-driver-green entry into `tail`"
+        )
     for n in tail:
         ordered[n] = q[n]
     return ordered

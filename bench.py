@@ -15,8 +15,11 @@ Warm query walls are each the median of 3 same-session runs (steal-robust).
 The corpus is the deterministic synthetic transcript table (BASELINE.json
 input_hint shape), sized from the sf directory name (sf0.1 -> 200k turns).
 Scaling evidence (north rule, sandbox proxy): the SAME build job runs in two
-fresh JVMs at local[8] and local[32] on the SAME input; efficiency =
-throughput_32 / (4 * throughput_8).  After a FULL window (scaling measured)
+fresh JVMs at local[N] vs local[4N] on the SAME input (default pair (1,4) —
+the least steal-distorted proxy on this host, see SCALING_PAIR below;
+TRINITY_SCALING_PAIR overrides); per-pair efficiency =
+throughput_4N / (4 * throughput_N), headline = median over back-to-back
+pairs.  After a FULL window (scaling measured)
 BENCH.md + BASELINE.md are regenerated from bench_result.json by
 scripts/regen_bench_docs.py — the docs' single owner; smoke runs (scaling
 skipped) never touch the published docs.
@@ -303,9 +306,7 @@ def run_queries(
                 "the OR a OR error OR zxqv", k=10, block_pruning=bp
             ).collect()
             warm_runs.setdefault(qid, []).append(time.monotonic() - t0)
-    import statistics as _st
-
-    warm = {k: round(_st.median(v), 3) for k, v in warm_runs.items()}
+    warm = {k: round(statistics.median(v), 3) for k, v in warm_runs.items()}
     # routed path per reference query (cheap driver metadata, shows which
     # queries took the rare-AND chunk restriction etc.)
     for q in qs:
@@ -548,7 +549,10 @@ def main() -> None:
         "collection": collection_bench,
     }
     if os.environ.get("TRINITY_BENCH_XL", "0") == "1":
-        result["xl"] = run_xl_section(cpus, sub_build)
+        try:
+            result["xl"] = run_xl_section(cpus, sub_build)
+        except Exception as e:  # artifact must survive a section crash
+            result["xl"] = {"enabled": True, "error": str(e)[:500]}
         if not result["xl"].get("error"):
             _save_cached_section("bench_xl.json", result["xl"])
     else:
@@ -563,7 +567,10 @@ def main() -> None:
             }
         )
     if os.environ.get("TRINITY_BENCH_DATAOPS", "0") == "1":
-        result["dataops"] = run_dataops_section(cpus)
+        try:
+            result["dataops"] = run_dataops_section(cpus)
+        except Exception as e:
+            result["dataops"] = {"enabled": True, "error": str(e)[:500]}
         if not result["dataops"].get("error"):
             _save_cached_section("bench_dataops.json", result["dataops"])
     else:
@@ -579,7 +586,10 @@ def main() -> None:
             }
         )
     if os.environ.get("TRINITY_BENCH_EMB", "0") == "1":
-        result["embeddings"] = run_embeddings_section(cpus)
+        try:
+            result["embeddings"] = run_embeddings_section(cpus)
+        except Exception as e:
+            result["embeddings"] = {"enabled": True, "error": str(e)[:500]}
         if not result["embeddings"].get("error"):
             _save_cached_section("bench_embeddings.json", result["embeddings"])
     else:
@@ -658,7 +668,7 @@ def _postings_bytes(index_dir: str) -> int:
     seg_root = os.path.join(index_dir, "segments")
     if os.path.isdir(seg_root):
         for root, _, files in os.walk(seg_root):
-            if os.path.basename(root) == "postings" or "postings" in root:
+            if os.path.basename(root) == "postings":
                 total += sum(
                     os.path.getsize(os.path.join(root, f))
                     for f in files
@@ -717,114 +727,122 @@ def run_xl_section(cpus: int, sub_build) -> dict:
 
     spark = get_spark(f"bench_xl_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    planner = QueryPlanner(SegmentIndex(spark, SegmentStore(idx)))
-    planner.plan("zzzwarmupnonterm", k=1).collect()
+    # every leg below is individually guarded: the build (minutes) and any
+    # already-measured legs must reach the artifact even when a later leg
+    # OOMs/times out — "keep the main artifact alive" applies to the whole
+    # section, not just the two legs that historically had guards
+    out: dict = {"enabled": True, "build": build}
+    try:
+        planner = QueryPlanner(SegmentIndex(spark, SegmentStore(idx)))
+        planner.plan("zzzwarmupnonterm", k=1).collect()
 
-    def _timed(fn, reps: int = 3) -> tuple[float, float, list]:
-        """(cold_wall, warm_median_wall, last_rows)."""
-        t0 = time.monotonic()
-        rows = fn()
-        cold = time.monotonic() - t0
-        warms = []
-        for _ in range(reps):
+        def _timed(fn, reps: int = 3) -> tuple[float, float, list]:
+            """(cold_wall, warm_median_wall, last_rows)."""
             t0 = time.monotonic()
             rows = fn()
-            warms.append(time.monotonic() - t0)
-        return round(cold, 3), round(statistics.median(warms), 3), rows
+            cold = time.monotonic() - t0
+            warms = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                rows = fn()
+                warms.append(time.monotonic() - t0)
+            return round(cold, 3), round(statistics.median(warms), 3), rows
 
-    queries = {
-        "q_term": "error",
-        "q_and": "error AND timeout",
-        "q_phrase": '"rate limit"',
-        # mid-df phrase members (12% doc density): the crossover gate routes
-        # FLAT — the fused single pass beats two-pass at 2.3x dominance
-        "q_skew": 'the AND "rate limit"',
-        # rare phrase (~2.7%-density members) + stopword: probe tier pays
-        "q_skew_probe": 'the AND "w0100 w0101"',
-    }
-    walls, walls_warm, gates, rows_by_q = {}, {}, {}, {}
-    for qid, q in queries.items():
-        cold, warm, rows = _timed(
-            lambda q=q: [
+        queries = {
+            "q_term": "error",
+            "q_and": "error AND timeout",
+            "q_phrase": '"rate limit"',
+            # mid-df phrase members (12% doc density): the crossover gate routes
+            # FLAT — the fused single pass beats two-pass at 2.3x dominance
+            "q_skew": 'the AND "rate limit"',
+            # rare phrase (~2.7%-density members) + stopword: probe tier pays
+            "q_skew_probe": 'the AND "w0100 w0101"',
+        }
+        walls, walls_warm, gates, rows_by_q = {}, {}, {}, {}
+        for qid, q in queries.items():
+            cold, warm, rows = _timed(
+                lambda q=q: [
+                    (r["doc_id"], r["score"])
+                    for r in planner.plan(q, k=10).collect()
+                ]
+            )
+            walls[qid], walls_warm[qid] = cold, warm
+            rows_by_q[qid] = rows
+            gates[qid] = dict(planner.last_route)
+
+        # routed vs forced-single-pass, rank identity asserted (the two AND
+        # shapes PLUS the gate-open OR below are the "both paths measured, same
+        # answer" evidence the scale story rests on)
+        vs_flat = {}
+        for qid in ("q_skew", "q_skew_probe"):
+            q = queries[qid]
+            _, flat_warm, flat_rows = _timed(
+                lambda q=q: [
+                    (r["doc_id"], r["score"])
+                    for r in planner.plan(q, k=10, block_pruning=False).collect()
+                ]
+            )
+            vs_flat[qid] = {
+                "routed_warm_sec": walls_warm[qid],
+                "flat_warm_sec": flat_warm,
+                "routed_path": gates[qid].get("path"),
+                "tier": (gates[qid].get("gate") or {}).get("tier"),
+                "rank_identical": rows_by_q[qid] == flat_rows,
+                "win": round(flat_warm / walls_warm[qid], 2)
+                if walls_warm[qid]
+                else None,
+            }
+
+        # gate-OPEN pruned OR at XL geometry: rare planted anchor + top stopword
+        from trinity_spark.operators.topk import pruned_or_topk
+
+        or_terms = ["qqrareanchor", "the"]
+        cold, pr_warm, pr_rows = _timed(
+            lambda: [
                 (r["doc_id"], r["score"])
-                for r in planner.plan(q, k=10).collect()
+                for r in planner.plan(" OR ".join(or_terms), k=10).collect()
             ]
         )
-        walls[qid], walls_warm[qid] = cold, warm
-        rows_by_q[qid] = rows
-        gates[qid] = dict(planner.last_route)
-
-    # routed vs forced-single-pass, rank identity asserted (the two AND
-    # shapes PLUS the gate-open OR below are the "both paths measured, same
-    # answer" evidence the scale story rests on)
-    vs_flat = {}
-    for qid in ("q_skew", "q_skew_probe"):
-        q = queries[qid]
-        _, flat_warm, flat_rows = _timed(
-            lambda q=q: [
+        or_route = dict(planner.last_route)
+        _, or_flat_warm, or_flat_rows = _timed(
+            lambda: [
                 (r["doc_id"], r["score"])
-                for r in planner.plan(q, k=10, block_pruning=False).collect()
+                for r in planner.plan(
+                    " OR ".join(or_terms), k=10, block_pruning=False
+                ).collect()
             ]
         )
-        vs_flat[qid] = {
-            "routed_warm_sec": walls_warm[qid],
-            "flat_warm_sec": flat_warm,
-            "routed_path": gates[qid].get("path"),
-            "tier": (gates[qid].get("gate") or {}).get("tier"),
-            "rank_identical": rows_by_q[qid] == flat_rows,
-            "win": round(flat_warm / walls_warm[qid], 2)
-            if walls_warm[qid]
-            else None,
+        _, rep = pruned_or_topk(
+            spark, planner.index, or_terms, k=10, return_report=True
+        )
+        pruned_or = {
+            "query": " OR ".join(or_terms),
+            "routed_path": or_route.get("path"),
+            "routed_warm_sec": pr_warm,
+            "flat_warm_sec": or_flat_warm,
+            "rank_identical": pr_rows == or_flat_rows,
+            "win": round(or_flat_warm / pr_warm, 2) if pr_warm else None,
+            "kept_chunks": rep.kept_chunks,
+            "total_chunks": rep.total_chunks,
+            "threshold": round(rep.threshold, 4),
         }
 
-    # gate-OPEN pruned OR at XL geometry: rare planted anchor + top stopword
-    from trinity_spark.operators.topk import pruned_or_topk
+        out.update({
+            "queries": walls,
+            "queries_warm": walls_warm,
+            "gates": {
+                k: {"path": v.get("path"),
+                    "tier": (v.get("gate") or {}).get("tier"),
+                    "reason": (v.get("gate") or {}).get("reason")}
+                for k, v in gates.items()
+            },
+            "vs_flat": vs_flat,
+            "pruned_or": pruned_or,
+        })
+    except Exception as e:  # keep build + any measured legs in the artifact
+        out["error"] = str(e)[:500]
+        return out
 
-    or_terms = ["qqrareanchor", "the"]
-    cold, pr_warm, pr_rows = _timed(
-        lambda: [
-            (r["doc_id"], r["score"])
-            for r in planner.plan(" OR ".join(or_terms), k=10).collect()
-        ]
-    )
-    or_route = dict(planner.last_route)
-    _, or_flat_warm, or_flat_rows = _timed(
-        lambda: [
-            (r["doc_id"], r["score"])
-            for r in planner.plan(
-                " OR ".join(or_terms), k=10, block_pruning=False
-            ).collect()
-        ]
-    )
-    _, rep = pruned_or_topk(
-        spark, planner.index, or_terms, k=10, return_report=True
-    )
-    pruned_or = {
-        "query": " OR ".join(or_terms),
-        "routed_path": or_route.get("path"),
-        "routed_warm_sec": pr_warm,
-        "flat_warm_sec": or_flat_warm,
-        "rank_identical": pr_rows == or_flat_rows,
-        "win": round(or_flat_warm / pr_warm, 2) if pr_warm else None,
-        "kept_chunks": rep.kept_chunks,
-        "total_chunks": rep.total_chunks,
-        "threshold": round(rep.threshold, 4),
-    }
-
-    out = {
-        "enabled": True,
-        "build": build,
-        "queries": walls,
-        "queries_warm": walls_warm,
-        "gates": {
-            k: {"path": v.get("path"),
-                "tier": (v.get("gate") or {}).get("tier"),
-                "reason": (v.get("gate") or {}).get("reason")}
-            for k, v in gates.items()
-        },
-        "vs_flat": vs_flat,
-        "pruned_or": pruned_or,
-    }
 
     # 10M merge with tombstones: copy the store (the cached index must stay
     # query-shaped for later runs), delete 1000 docs, full merge, record the
@@ -1031,6 +1049,7 @@ def run_dataops_section(cpus: int) -> dict:
     n_docs = int(os.environ.get("TRINITY_BENCH_DATAOPS_DOCS", "1000000"))
     spark = get_spark(f"bench_dataops_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
+    out: dict = {"enabled": True, "n_docs": n_docs, "cpus": cpus}
     try:
         pdf = gen_transcripts(n_docs)[["text"]].copy()
         # plant deterministic duplication so the dedup metrics are
@@ -1045,8 +1064,6 @@ def run_dataops_section(cpus: int) -> dict:
         pdf["doc_id"] = range(n_docs)
         docs = spark.createDataFrame(pdf[["doc_id", "text"]]).persist()
         docs.count()
-
-        out: dict = {"enabled": True, "n_docs": n_docs, "cpus": cpus}
 
         t0 = time.monotonic()
         s = substring_dup_stats(docs, window=20, stride=10).agg(
@@ -1117,15 +1134,20 @@ def run_dataops_section(cpus: int) -> dict:
         t0 = time.monotonic()
         hits_routed = percolate_routed(docs, rare_qs).count()
         w_routed = time.monotonic() - t0
-        assert hits_routed == hits_full
         out["percolate_routed_500q_rare"] = {
             "n_queries": len(rare_qs),
             "full_scan_wall_sec": round(w_full, 2),
             "routed_wall_sec": round(w_routed, 2),
             "win": round(w_full / max(w_routed, 1e-9), 2),
             "hits": hits_routed,
-            "hits_match_full_scan": True,
+            # MEASURED equality, not a claim: a bare assert vanishes under
+            # python -O and a hardcoded True would publish an unverified win
+            "hits_match_full_scan": hits_routed == hits_full,
         }
+        if hits_routed != hits_full:
+            raise RuntimeError(
+                f"routed percolation diverged: {hits_routed} != {hits_full}"
+            )
 
         # 5000-query registry — real alerting scale (queries now evaluate in
         # MAX_COMPILED_QUERIES chunks over the once-tokenized frame).  The
@@ -1158,7 +1180,6 @@ def run_dataops_section(cpus: int) -> dict:
         t0 = time.monotonic()
         hits_routed5 = percolate_routed(docs5, qs5k).count()
         w_routed5 = time.monotonic() - t0
-        assert hits_routed5 == hits_full5
         out["percolate_routed_5000q_rare"] = {
             "n_queries": len(qs5k),
             "n_docs": n_docs // 10,
@@ -1166,11 +1187,15 @@ def run_dataops_section(cpus: int) -> dict:
             "routed_wall_sec": round(w_routed5, 2),
             "win": round(w_full5 / max(w_routed5, 1e-9), 2),
             "hits": hits_routed5,
-            "hits_match_full_scan": True,
+            "hits_match_full_scan": hits_routed5 == hits_full5,
         }
+        if hits_routed5 != hits_full5:
+            raise RuntimeError(
+                f"routed percolation diverged: {hits_routed5} != {hits_full5}"
+            )
         return out
-    except Exception as e:  # keep the main artifact alive on OOM/timeout
-        return {"enabled": True, "error": str(e)[:500]}
+    except Exception as e:  # keep measured legs + the error in the artifact
+        return {**out, "error": str(e)[:500]}
     finally:
         try:
             docs.unpersist()
@@ -1200,6 +1225,7 @@ def run_embeddings_section(cpus: int) -> dict:
     spark = get_spark(f"bench_emb_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     vecs = None
+    out: dict = {"enabled": True}
     try:
         def gen(batches):
             for b in batches:
@@ -1226,8 +1252,8 @@ def run_embeddings_section(cpus: int) -> dict:
         vecs.count()
         cents = [list(x) for x in
                  np.random.default_rng(42).normal(size=(n_lists, dim))]
-        out: dict = {"enabled": True, "n_vecs": n, "dim": dim,
-                     "n_lists": n_lists, "cpus": cpus}
+        out.update({"n_vecs": n, "dim": dim, "n_lists": n_lists,
+                    "cpus": cpus})
 
         t0 = time.monotonic()
         assigned = S.ivf_assign_arrow(vecs, cents).persist()
@@ -1292,8 +1318,8 @@ def run_embeddings_section(cpus: int) -> dict:
             "canonical": n_canon, "removed": n - n_canon, "iters": 1,
         }
         return out
-    except Exception as e:  # keep the main artifact alive on OOM/timeout
-        return {"enabled": True, "error": str(e)[:500]}
+    except Exception as e:  # keep measured legs + the error in the artifact
+        return {**out, "error": str(e)[:500]}
     finally:
         try:
             vecs.unpersist()

@@ -49,6 +49,40 @@ def _steal_mark(cold: float, warm: float) -> str:
     return " \\*" if warm > cold else ""
 
 
+def _healthy(sec, *required: str):
+    """A numerically-rendered section needs its keys.  bench.py stores
+    `{'error': ...}` (or a partial dict + 'error') when a leg crashed —
+    rendering must degrade to an explicit 'errored' line, not KeyError
+    after BENCH.md was already planned: a regen crash leaves BOTH docs
+    stale, the exact skew this script exists to prevent."""
+    if not sec or sec.get("error") or any(k not in sec for k in required):
+        return None
+    return sec
+
+
+def _error_note(a, title: str, sec) -> None:
+    """Render the errored-section stub (title + the artifact's error)."""
+    if sec and sec.get("error"):
+        a(f"## {title}")
+        a("")
+        a(f"errored in this window: {sec['error']} (numbers not rendered;")
+        a("see the artifact's section for any partial measurements).")
+        a("")
+
+
+def _cached_note(a, sec) -> None:
+    """Optional sections re-rendered from a side-file cache must say so —
+    attributing an old window's numbers to the current one is the
+    two-windows drift in miniature."""
+    if sec and sec.get("cached"):
+        a(
+            "_(cached from an earlier full window's measurement — re-rendered, "
+            "not re-measured in this window; the raw section rides the "
+            "committed side cache file)_"
+        )
+        a("")
+
+
 def _span_docs() -> int:
     """Span width in docs, read from the engine constant (the artifact's
     chunk_bits describes the CHUNK geometry, not the span geometry — spans
@@ -141,6 +175,8 @@ def bench_md(d: dict, window: str) -> str:
         a("")
 
     mg = d.get("merge")
+    _error_note(a, "Segment merge (north-star merge phase)", mg)
+    mg = _healthy(mg, "blocks_reused", "blocks_reencoded", "segments_in")
     if mg:
         total_blocks = mg["blocks_reused"] + mg["blocks_reencoded"]
         pct = 100.0 * mg["blocks_reused"] / max(total_blocks, 1)
@@ -160,6 +196,8 @@ def bench_md(d: dict, window: str) -> str:
         a("")
 
     co = d.get("collection")
+    _error_note(a, "Collection execution (exec_query_par analog)", co)
+    co = _healthy(co, "n_stores", "turns_per_store", "query")
     if co:
         a("## Collection execution (exec_query_par analog)")
         a("")
@@ -260,9 +298,14 @@ def bench_md(d: dict, window: str) -> str:
             a("")
 
     ab = d.get("codec_ab")
-    if ab and ab.get("enabled"):
+    _error_note(a, "Wire codec A/B (varbyte vs PFOR)", ab)
+    if not (ab and ab.get("enabled")):
+        ab = None
+    ab = _healthy(ab, "varbyte", "pfor")
+    if ab:
         a("## Wire codec A/B (varbyte vs PFOR)")
         a("")
+        _cached_note(a, ab)
         a("Same corpus, same queries, the two selectable wires (`build_index(codec=...)`):")
         a("")
         a("| wire | build wall_sec | warm query p50 sec | postings on disk |")
@@ -277,10 +320,15 @@ def bench_md(d: dict, window: str) -> str:
         a("")
 
     xl = d.get("xl")
-    if xl and xl.get("enabled"):
+    _error_note(a, "10M-turn headroom (XL)", xl)
+    if not (xl and xl.get("enabled")):
+        xl = None
+    xl = _healthy(xl, "build", "queries", "queries_warm", "gates", "vs_flat")
+    if xl:
         xb = xl["build"]
         a("## 10M-turn headroom (XL)")
         a("")
+        _cached_note(a, xl)
         a(
             f"Build: {xb['turns']} turns in {xb['wall_sec']} s on "
             f"local[{xb['cpus']}] = **{xb['turns_per_sec']} turns/sec** "
@@ -339,9 +387,14 @@ def bench_md(d: dict, window: str) -> str:
             a("")
 
     do = d.get("dataops")
-    if do and do.get("enabled"):
+    _error_note(a, "LLM-dataops throughput (1M docs)", do)
+    if not (do and do.get("enabled")):
+        do = None
+    do = _healthy(do, "n_docs", "cpus")
+    if do:
         a("## LLM-dataops throughput (1M docs)")
         a("")
+        _cached_note(a, do)
         a(
             f"{do['n_docs']} synthetic docs (2% planted exact dups, 1% "
             f"boilerplate-prefixed) on local[{do['cpus']}]; every wall forces "
@@ -386,9 +439,14 @@ def bench_md(d: dict, window: str) -> str:
             a("")
 
     em = d.get("embeddings")
-    if em and em.get("enabled"):
+    _error_note(a, "Embedding-ops throughput", em)
+    if not (em and em.get("enabled")):
+        em = None
+    em = _healthy(em, "dim", "n_vecs", "n_lists", "cpus")
+    if em:
         a(f"## Embedding-ops throughput (1M x {em['dim']}-dim vectors)")
         a("")
+        _cached_note(a, em)
         a(
             f"{em['n_vecs']} vectors x {em['dim']} dims, {em['n_lists']} k-means "
             f"lists, planted exact dup every 100th row, on local[{em['cpus']}].  "
@@ -471,7 +529,7 @@ def baseline_section(
   turns this window (window-dependent across sessions; virtual docid_map —
   no corpus copy; every commit also retains a time-travel snapshot).
 """
-    mg = d.get("merge") or {}
+    mg = _healthy(d.get("merge"), "blocks_reused", "blocks_reencoded") or {}
     merge_line = (
         "- Merge: not measured in this window (`TRINITY_BENCH_MERGE=0`).\n"
     )
@@ -496,7 +554,7 @@ def baseline_section(
   plain **{w['win']}x** at rank identity.
 """
     xl = d.get("xl") or {}
-    xb = xl.get("build")
+    xb = _healthy(xl.get("build"), "turns_per_sec", "wall_sec")
     if xb and xb["turns_per_sec"] > b.get("turns_per_sec", float("inf")):
         xl_line = (
             f"  Rises with corpus size: **{xb['turns_per_sec'] / 1000:.1f}k turns/s "
@@ -510,7 +568,12 @@ def baseline_section(
         )
     else:
         xl_line = ""
-    return f"""## Round-{round_no} measured status (see BENCH.md for the full protocol)
+    title = (
+        f"Round-{round_no} measured status"
+        if round_no is not None
+        else "Measured status"
+    )
+    return f"""## {title} (see BENCH.md for the full protocol)
 
 Measurement window: {window} — this section and BENCH.md are generated from
 the same `bench_result.json` by `scripts/regen_bench_docs.py`.
@@ -525,7 +588,10 @@ the same `bench_result.json` by `scripts/regen_bench_docs.py`.
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", default=os.path.join(REPO, "bench_result.json"))
-    ap.add_argument("--round", type=int, default=5)
+    # no default round: bench.py's automatic regen invocation passes no
+    # --round, and a hardcoded number would stamp a wrong "Round-N" header
+    # over any later round's measurements — round-free unless told
+    ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--tests", type=int, default=None, help="test count; collected via pytest --collect-only when omitted")
     args = ap.parse_args()
 
@@ -559,7 +625,9 @@ def main() -> None:
     with open(baseline_path) as f:
         text = f.read()
     # the measured-status section is the last section; replace from its header
-    m = re.search(r"^## Round-\d+ measured status.*$", text, re.MULTILINE)
+    m = re.search(
+        r"^## (?:Round-\d+ )?[Mm]easured status.*$", text, re.MULTILINE
+    )
     head = text[: m.start()] if m else text.rstrip() + "\n\n"
     baseline_text = head + baseline_section(
         d, window, args.round, n_tests, n_entries

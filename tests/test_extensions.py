@@ -621,3 +621,49 @@ def test_percolate_direct_some_k0_node_matches_union(spark):
         (r["doc_id"], r["query_id"]) for r in percolate(docs, {"q": node}).collect()
     )
     assert got == [(0, "q"), (2, "q")]
+
+
+def test_expand_alternatives_are_tokenized():
+    """Alternatives run through the FROZEN tokenizer: 'NYC'/'I.B.M' must
+    become the normalized index terms, identity alts ('Error' for 'error')
+    are dropped, and punctuation-only alts vanish — verbatim splitting
+    minted df=0 terms the planner folded to constfalse, silently killing
+    the expansion."""
+    from trinity_spark.plans.ast import RewriteCtx
+    from trinity_spark.plans.rewrite import expand_spans
+
+    out = expand_synonyms(
+        parse_query("error"), {"error": ["NYC", "Error", "I.B.M", "!!"]}
+    )
+    assert out == Or(
+        (
+            Token("error"),
+            Token("nyc", rewrite=RewriteCtx("error", 1.0, 1)),
+            Token("ibm", rewrite=RewriteCtx("error", 1.0, 1)),
+        )
+    )
+    # span rewriting normalizes multi-word alternatives into Phrases of
+    # normalized terms
+    out2 = expand_spans(parse_query("big apple"), {"big apple": ["New York City"]})
+    assert out2 == Or(
+        (
+            And((Token("big"), Token("apple"))),
+            Phrase(
+                ("new", "york", "city"),
+                rewrite=RewriteCtx("big apple", 2 / 3, 2),
+            ),
+        )
+    )
+
+
+def test_and_normalize_preserves_strict_flag():
+    """Flattening must not merge a STRICT_AND into a plain AND (or graft
+    strictness onto plain children) — the '+term' provenance is the flag's
+    whole reason to exist."""
+    a, b, c = Token("a"), Token("b"), Token("c")
+    mixed = And((a, And((b, c), strict=True))).normalize()
+    assert mixed == And((a, And((b, c), strict=True)), strict=False)
+    flat = And((a, And((b, c), strict=False))).normalize()
+    assert flat == And((a, b, c), strict=False)
+    strict_in_strict = And((a, And((b, c), strict=True)), strict=True).normalize()
+    assert strict_in_strict == And((a, b, c), strict=True)

@@ -21,3 +21,18 @@ def test_default_seed_is_deterministic():
     a = gen_transcripts(300, seed=SEED)
     b = gen_transcripts(300, seed=SEED)
     assert a.equals(b)
+
+
+def test_write_transcripts_size_change_invalidates_stale_markers(tmp_path):
+    """The parquet is shared across sizes at one path: overwriting with a
+    different size must drop the previous size's marker, or a later call
+    for the old size adopts the wrong corpus."""
+    import pyarrow.parquet as pq
+
+    from trinity_spark.fixtures import write_transcripts
+
+    p = str(tmp_path / "corpus")
+    write_transcripts(p, 200)
+    write_transcripts(p, 100)
+    out = write_transcripts(p, 200)  # must REGENERATE, not reuse 100 rows
+    assert pq.read_metadata(out).num_rows == 200

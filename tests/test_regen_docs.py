@@ -57,3 +57,39 @@ def test_empty_scaling_dict_is_skipped(regen):
     bench = regen.bench_md(d, "w")
     assert "## Scaling" not in bench
     assert "| q | 0.500 | 0.400" in bench
+
+
+def test_errored_sections_render_stub_not_keyerror(regen):
+    """bench.py stores {'error': ...} (possibly with partial legs) when a
+    section crashes — the regen must render an explicit errored line, not
+    KeyError mid-render (which leaves BOTH docs stale)."""
+    with open(os.path.join(REPO, "bench_result.json")) as f:
+        d = json.load(f)
+    for k in ("collection", "xl", "dataops", "embeddings", "codec_ab", "merge"):
+        d[k] = {"enabled": True, "error": "boom"}
+    bench = regen.bench_md(d, "w")
+    assert bench.count("errored in this window: boom") >= 4
+    base = regen.baseline_section(d, "w", 5, None, 55)
+    assert "boom" not in base  # baseline falls back to not-measured lines
+    assert "Merge: not measured in this window" in base
+
+
+def test_cached_sections_carry_cached_marker(regen):
+    """Optional sections re-rendered from the side-file cache must say so —
+    attributing an old window's numbers to the current one is the
+    two-windows drift in miniature."""
+    with open(os.path.join(REPO, "bench_result.json")) as f:
+        d = json.load(f)
+    for k in ("xl", "dataops", "embeddings", "codec_ab"):
+        if isinstance(d.get(k), dict) and d[k].get("enabled"):
+            d[k]["cached"] = True
+    bench = regen.bench_md(d, "w")
+    assert "cached from an earlier full window" in bench
+
+
+def test_round_free_header_when_no_round_given(regen):
+    with open(os.path.join(REPO, "bench_result.json")) as f:
+        d = json.load(f)
+    base = regen.baseline_section(d, "w", None, None, 55)
+    assert base.startswith("## Measured status")
+    assert "Round-" not in base.splitlines()[0]

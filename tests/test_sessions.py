@@ -78,3 +78,22 @@ def test_sessionize_single_window_shuffle(spark):
     plan = sessionize(_events(spark))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_session_stats_mixed_offset_string_ts_chronological(spark):
+    """ts_first/ts_last must be chronological, not lexicographic: string
+    timestamps with mixed UTC offsets sort wrong (even swapped) as raw
+    strings — the same hardening sessionize's ordering already has."""
+    rows = [
+        ("u1", 1, "2024-03-01T11:40:00+05:00", 1.0),  # == 06:40Z (earlier)
+        ("u1", 2, "2024-03-01T09:40:00Z", 2.0),       # later instant
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts string, value double"
+    )
+    out = session_stats(df, gap_minutes=600).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ts_first"] == "2024-03-01T11:40:00+05:00"
+    assert r["ts_last"] == "2024-03-01T09:40:00Z"
+    assert r["duration_sec"] == 10800.0

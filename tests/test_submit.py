@@ -138,3 +138,15 @@ def test_spark_submit_maintenance_cli(spark, tmp_path, capsys):
     seg_root = os.path.join(index_dir, "segments")
     assert sorted(os.listdir(seg_root)) == [store.segments()[0].segment_id]
     assert store.fsck(spark, deep=True)["ok"]
+
+
+def test_local_master_thread_parse():
+    """local[N,F] (maxFailures form) is legal Spark master syntax; the
+    thread-count parse must not crash on it."""
+    from trinity_spark.session import _local_threads
+
+    assert _local_threads("local[4]", 8) == 4
+    assert _local_threads("local[4,2]", 8) == 4
+    assert _local_threads("local[*]", 8) == 8
+    assert _local_threads("local[*,3]", 8) == 8
+    assert _local_threads("spark://host:7077", 8) == 8

@@ -83,6 +83,9 @@ def session_stats(
             6,
         ).alias("duration_sec"),
         F.round(F.sum(value_col), 6).alias("value_sum"),
-        F.min(ts_col).alias("ts_first"),
-        F.max(ts_col).alias("ts_last"),
+        # chronological first/last, not lexicographic: string timestamps
+        # with mixed UTC offsets sort wrong (even swapped) as raw strings —
+        # order by the same cast the gap/duration math uses
+        F.min_by(ts_col, F.col(ts_col).cast("timestamp")).alias("ts_first"),
+        F.max_by(ts_col, F.col(ts_col).cast("timestamp")).alias("ts_last"),
     )

@@ -130,6 +130,13 @@ def write_transcripts(path: str, n_turns: int, seed: int = SEED) -> str:
     marker = os.path.join(path, f"_gen_{n_turns}_{seed}_v2.json")
     if os.path.exists(out) and os.path.exists(marker):
         return out
+    # the parquet is SHARED across sizes/seeds at one path: stale markers
+    # from a previous (n_turns, seed) must go with the overwrite, or a
+    # later call for that older shape would adopt this file as its corpus
+    import glob
+
+    for old in glob.glob(os.path.join(path, "_gen_*.json")):
+        os.remove(old)
     df = gen_transcripts(n_turns, seed)
     # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
     import pyarrow as pa

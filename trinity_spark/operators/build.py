@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..tokenizer import tokens_column
+from ..tokenizer import positionless_col, tokens_column
 
 HITS_SCHEMA = "doc_id long, term string, pos int"
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
@@ -39,7 +39,7 @@ def tokenize_turns(turns: DataFrame, text_col: str = "text") -> DataFrame:
     ).select(
         "doc_id",
         "term",
-        F.when(F.col("term").contains(":"), F.lit(0))
+        F.when(positionless_col(F.col("term")), F.lit(0))
         .otherwise(F.col("pos0") + 1)
         .cast("int")
         .alias("pos"),

@@ -27,7 +27,12 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from ..tokenizer import MAX_POSITION, MAX_TERM_LENGTH, tokenize_udf
+from ..tokenizer import (
+    MAX_POSITION,
+    MAX_TERM_LENGTH,
+    positionless_mask,
+    tokenize_udf,
+)
 
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
 
@@ -70,7 +75,7 @@ def _batch_postings(doc_ids: np.ndarray, token_lists: pd.Series) -> pa.RecordBat
         return None
     # 4) word:tail operator tokens are positionless (pos 0, codecs.h:191-195)
     # but still consume their slot — distances around them are preserved
-    op = flat_terms.str.contains(":", regex=False).to_numpy()
+    op = positionless_mask(flat_terms).to_numpy()
     if op.any():
         positions = np.where(op, 0, positions)
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..plans.ast import And, ConstTrue, Node, Not, Or, Phrase, Some, Token
 from ..plans.parser import parse_query
-from ..tokenizer import tokens_column
+from ..tokenizer import is_positionless, tokens_column
 
 
 def _predicate(node: Node, toks: Column) -> Column:
@@ -32,7 +32,7 @@ def _predicate(node: Node, toks: Column) -> Column:
     if isinstance(node, Token):
         return F.array_contains(toks, node.term)
     if isinstance(node, Phrase):
-        if any(":" in t for t in node.terms):
+        if any(is_positionless(t) for t in node.terms):
             # word:tail members are positionless (codecs.h:191-195): a phrase
             # through them can never adjacency-match — same as the engine
             return F.lit(False)

@@ -80,7 +80,20 @@ class And(Node):
     strict: bool = False  # STRICT_AND / '+term' (queries.h:15,43-45)
 
     def normalize(self):
-        kids = _flatten(And, list(self.children))
+        # flatten only nested ANDs whose strict flag MATCHES: merging a
+        # STRICT_AND into a plain AND (or vice versa) would erase/graft the
+        # '+term' provenance the flag exists to preserve.  Matching and
+        # scoring are unaffected either way (STRICT_AND is semantically
+        # AND), but rewrites and plan consumers read the flag.
+        kids: list[Node] = []
+        for c in self.children:
+            c = c.normalize()
+            if c is None:
+                continue
+            if isinstance(c, And) and c.strict == self.strict:
+                kids.extend(c.children)
+            else:
+                kids.append(c)
         if not kids:
             return None
         if len(kids) == 1:

@@ -15,13 +15,14 @@ translation coefficient — would exceed ``max_expansion``.
 from __future__ import annotations
 
 from ..plans.ast import And, ConstTrue, Node, Not, Or, Phrase, RewriteCtx, Some, Token
+from ..tokenizer import tokenize_py
 
 
-def _ctx(src: str, alt: str) -> RewriteCtx:
+def _ctx(src: str, n_alt_terms: int) -> RewriteCtx:
     """Provenance for one alternative: translation coefficient =
     min(src_tokens, dst_tokens) / max(src_tokens, dst_tokens)
     (queries.h:402-407); src_seq_size = the original run length."""
-    ns, nd = len(src.split()), max(len(alt.split()), 1)
+    ns, nd = len(src.split()), max(n_alt_terms, 1)
     return RewriteCtx(
         src=src,
         translation_coefficient=min(ns, nd) / max(ns, nd),
@@ -29,12 +30,38 @@ def _ctx(src: str, alt: str) -> RewriteCtx:
     )
 
 
-def _alt_node(src: str, alt: str) -> Node:
-    ctx = _ctx(src, alt)
-    words = alt.split()
-    if len(words) > 1:
-        return Phrase(tuple(words), rewrite=ctx)
-    return Token(alt, rewrite=ctx)
+def _alt_node(src: str, alt: str) -> Node | None:
+    """One alternative as an AST node — run through the FROZEN tokenizer:
+    the index stores normalized terms ('NYC' -> 'nyc', 'I.B.M' -> 'ibm'),
+    so a verbatim alt.split() would mint terms with df=0 that the planner
+    folds to constfalse, silently killing the expansion.  None when the
+    alternative normalizes to nothing (punctuation-only)."""
+    terms = tokenize_py(alt)
+    if not terms:
+        return None
+    ctx = _ctx(src, len(terms))
+    if len(terms) > 1:
+        return Phrase(tuple(terms), rewrite=ctx)
+    return Token(terms[0], rewrite=ctx)
+
+
+def _alt_nodes(src: str, alts: list[str]) -> tuple[Node, ...]:
+    """Tokenized, deduplicated alternatives for one source run.  Identity
+    alternatives — same NORMALIZED terms as the source or as an earlier
+    alternative ('Error' for 'error') — are dropped: Or.normalize cannot
+    dedup them (the rewrite ctx differs) and the score would double-count."""
+    seen = {tuple(tokenize_py(src))}
+    out: list[Node] = []
+    for a in alts:
+        node = _alt_node(src, a)
+        if node is None:
+            continue
+        key = node.terms if isinstance(node, Phrase) else (node.term,)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(node)
+    return tuple(out)
 
 
 def expand_synonyms(
@@ -51,24 +78,21 @@ def expand_synonyms(
 
     def expand(n: Node) -> Node:
         if isinstance(n, Token):
-            alts = [s for s in synonyms.get(n.term, []) if s != n.term]
-            factor = 1 + len(alts)
-            if alts and budget[0] * factor <= max_expansion:
+            alt_nodes = _alt_nodes(n.term, synonyms.get(n.term, []))
+            factor = 1 + len(alt_nodes)
+            if alt_nodes and budget[0] * factor <= max_expansion:
                 budget[0] *= factor
-                return Or((n,) + tuple(_alt_node(n.term, a) for a in alts))
+                return Or((n,) + alt_nodes)
             return n
         if isinstance(n, Phrase):
             # phrase-level alternatives: whole-phrase synonyms keyed by the
             # joined phrase text
             key = " ".join(n.terms)
-            # filter the identity alternative like the Token branch does: a
-            # self-synonym would add a second Phrase branch that Or.normalize
-            # cannot dedup (its rewrite ctx differs) — double-counted score
-            alts = [s for s in synonyms.get(key, []) if s != key]
-            factor = 1 + len(alts)
-            if alts and budget[0] * factor <= max_expansion:
+            alt_nodes = _alt_nodes(key, synonyms.get(key, []))
+            factor = 1 + len(alt_nodes)
+            if alt_nodes and budget[0] * factor <= max_expansion:
                 budget[0] *= factor
-                return Or((n,) + tuple(_alt_node(key, a) for a in alts))
+                return Or((n,) + alt_nodes)
             return n
         if isinstance(n, And):
             return And(tuple(expand(c) for c in n.children), n.strict)
@@ -115,11 +139,10 @@ def expand_spans(
                     if not all(isinstance(x, Token) for x in run):
                         continue
                     key = " ".join(x.term for x in run)
-                    alts = [s for s in synonyms.get(key, []) if s != key]
-                    factor = 1 + len(alts)
-                    if alts and budget[0] * factor <= max_expansion:
+                    alt_nodes = _alt_nodes(key, synonyms.get(key, []))
+                    factor = 1 + len(alt_nodes)
+                    if alt_nodes and budget[0] * factor <= max_expansion:
                         budget[0] *= factor
-                        alt_nodes = tuple(_alt_node(key, a) for a in alts)
                         out.append(Or((And(run),) + alt_nodes))
                         i += k
                         matched = True

@@ -13,6 +13,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_threads(master: str, default: int) -> int:
+    """Thread count from a local-mode master url: ``local[N]`` and the
+    maxFailures form ``local[N,F]`` -> N; ``local[*]``/``local[*,F]``/
+    non-local -> default."""
+    if master.startswith("local[") and master.endswith("]") and "*" not in master:
+        return int(master[len("local[") : -1].split(",")[0])
+    return default
+
+
 def get_spark(
     app_name: str = "trinity_spark",
     master: str | None = None,
@@ -29,10 +38,7 @@ def get_spark(
         os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
 
     master = master or os.environ.get("TRINITY_SPARK_MASTER", "local[*]")
-    # local[N] -> N; local[*] -> cpu count
-    par = os.cpu_count() or 8
-    if master.startswith("local[") and "*" not in master:
-        par = int(master[len("local[") : -1])
+    par = _local_threads(master, os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = max(par, 4)
 

@@ -109,10 +109,27 @@ def tokenize_py(text: str | None) -> list[str]:
     return _TOKEN_RE.findall(_normalize(text))
 
 
+# word:tail operator tokens are positionless (indexed at position 0).
+# ':' can only appear in a word_tail match, so a marker test is exact.
+# ONE definition, three execution surfaces: keep the Python / Column /
+# pandas twins below in lockstep — the oracle and the engine build paths
+# must agree or the rank-identity gate breaks obscurely.
+POSITIONLESS_MARKER = ":"
+
+
 def is_positionless(term: str) -> bool:
-    """word:tail operator tokens are positionless (indexed at position 0).
-    ':' can only appear in a word_tail match, so the test is exact."""
-    return ":" in term
+    """Python-side test (oracle / tokenize_terms_py path)."""
+    return POSITIONLESS_MARKER in term
+
+
+def positionless_col(term_col: Column) -> Column:
+    """Column-side twin of ``is_positionless`` (engine build path)."""
+    return term_col.contains(POSITIONLESS_MARKER)
+
+
+def positionless_mask(terms: "pd.Series") -> "pd.Series":
+    """pandas-side twin of ``is_positionless`` (fused Arrow build path)."""
+    return terms.str.contains(POSITIONLESS_MARKER, regex=False)
 
 
 def tokenize_terms_py(text: str | None) -> list[tuple[str, int]]:
