@@ -180,7 +180,7 @@ def run_pruning_win(cpus: int, index_dir: str) -> dict:
     node = parse_query(q)
     terms = [t.strip() for t in q.split(" OR ")]
     # untimed: chunk-count report + rank-identity of the two paths
-    res, rep = pruned_or_topk(spark, index, terms, 10, return_report=True, node=node)
+    res, rep = pruned_or_topk(index, terms, 10, return_report=True, node=node)
     pruned_rows = [(r["doc_id"], r["score"]) for r in res.collect()]
     plain_rows = [
         (r["doc_id"], r["score"])
@@ -813,7 +813,7 @@ def run_xl_section(cpus: int, sub_build) -> dict:
             ]
         )
         _, rep = pruned_or_topk(
-            spark, planner.index, or_terms, k=10, return_report=True
+            planner.index, or_terms, k=10, return_report=True
         )
         pruned_or = {
             "query": " OR ".join(or_terms),

@@ -175,3 +175,13 @@ def test_collection_par_matches_serial(spark, tmp_path, monkeypatch):
         for r in exec_query_collection(spark, stores, q, k=10).collect()
     ]
     assert auto2 == want
+
+
+def test_collection_pooled_with_documents_only_raises(spark, two_stores):
+    """documents_only is unbounded (lazy union only); a forced pooled=True
+    must conflict loudly instead of being silently dropped."""
+    stores, _ = two_stores
+    with pytest.raises(ValueError, match="documents_only"):
+        exec_query_collection(
+            spark, stores, "error", documents_only=True, pooled=True
+        )

@@ -147,3 +147,8 @@ def test_routing_decision_is_the_planner_predicate(index):
             assert route["path"] == predicted, (q, dec, route)
         if k == 0 or "error OR error" in q:
             assert dec["pass1"] is False, (q, dec)
+    # k=0 AND: the OR branch always had this guard; the AND branch paid
+    # eager pass-1 probe jobs for a guaranteed-empty page
+    for q in ["error AND timeout", 'the AND "rate limit"']:
+        dec = routing_decision(index, parse_query(q), 0)
+        assert dec["route"] is None and dec["pass1"] is False, (q, dec)

@@ -967,3 +967,41 @@ def test_merge_reads_one_manifest_snapshot(spark, tmp_path_factory):
     meta2 = merge_segments(spark, store)
     assert meta2.docs_cnt == n - 1
     assert store.read_manifest()["deletes"] == []
+
+
+def test_merge_commit_is_one_atomic_manifest_write(spark, tmp_path_factory):
+    """Merged segment in, inputs out, applied tombstone gens retired — ONE
+    manifest write.  The former three-write sequence had snapshots where
+    BOTH the inputs and the merged output were visible: a SegmentIndex
+    opened in that window served every merged doc twice."""
+    store, corpus = _fresh_index(spark, tmp_path_factory, "atomic_merge")
+    store.add_deletes(spark, [3])
+    meta = merge_segments(spark, store)
+    merged_id = meta.segment_id
+    # walk the retained history: the first snapshot naming the merged
+    # segment must already have the inputs retired and the gen gone
+    first = None
+    for snap in store.list_snapshots():
+        s = store.at(snap["snapshot_id"]).read_manifest()
+        ids = {x["segment_id"] for x in s["segments"]}
+        if merged_id in ids:
+            first = s
+            break
+    assert first is not None
+    ids = {x["segment_id"] for x in first["segments"]}
+    assert ids == {merged_id}, ids  # no snapshot ever held inputs + output
+    assert first["deletes"] == []
+    # docs_cnt exact and the tombstone applied once
+    assert meta.docs_cnt == len(corpus) - 1
+
+
+def test_merge_unknown_segment_ids_raise(spark, tmp_path_factory):
+    """A typo'd id must fail loudly, not silently merge the subset."""
+    import pytest
+
+    store, _ = _fresh_index(spark, tmp_path_factory, "unknown_ids")
+    real = store.segments()[0].segment_id
+    with pytest.raises(ValueError, match="not in the manifest"):
+        merge_segments(spark, store, segment_ids=[real, "seg-typo"])
+    # nothing was retired by the failed call
+    assert len(store.segments()) == 2

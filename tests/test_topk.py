@@ -44,7 +44,7 @@ def test_pruned_equals_unpruned_equals_oracle(spark, built, terms):
     oracle = OracleIndex.build(docs_in_stable_order(corpus))
     node = Or(tuple(Token(t) for t in terms)).normalize()
     want = oracle.topk(node, k=10)
-    got, report = pruned_or_topk(spark, index, terms, k=10, return_report=True)
+    got, report = pruned_or_topk(index, terms, k=10, return_report=True)
     rows = [(r["doc_id"], r["score"]) for r in got.collect()]
     assert [d for d, _ in rows] == [d for d, _ in want], (terms, report)
     for (gd, gs), (_, ws) in zip(rows, want):
@@ -56,7 +56,7 @@ def test_skew_query_actually_prunes(spark, built):
     # rare markers (df 2+4, idf ~6) + the top stopword (idf ~0.05): the cheap
     # pass yields T ~ 2.8 while marker-free chunks bound at ~0.04 -> pruned
     terms = ["qqfluxcapacitor", "zxqv", "the"]
-    got, report = pruned_or_topk(spark, index, terms, k=5, return_report=True)
+    got, report = pruned_or_topk(index, terms, k=5, return_report=True)
     assert report.threshold > 1.0, report
     assert 0 < report.kept_chunks < report.total_chunks, report
     # and still exact
@@ -167,7 +167,7 @@ def test_gate_report_and_last_route_surface(spark, built, monkeypatch):
 def test_single_term_falls_back(spark, built):
     index, corpus = built
     oracle = OracleIndex.build(docs_in_stable_order(corpus))
-    got, report = pruned_or_topk(spark, index, ["error"], k=5, return_report=True)
+    got, report = pruned_or_topk(index, ["error"], k=5, return_report=True)
     want = oracle.topk(Token("error"), k=5)
     rows = [(r["doc_id"], r["score"]) for r in got.collect()]
     assert [d for d, _ in rows] == [d for d, _ in want]

@@ -70,7 +70,12 @@ def _batched_stats(indexes: list, terms: list[str]) -> list[IndexStats]:
     cached_dfs: dict[int, dict[str, int]] = {}
     for i, idx in enumerate(indexes):
         if hasattr(idx, "store"):
-            n_docs[i] = sum(s.docs_cnt for s in idx.store.segments())
+            # reuse SegmentIndex's cached sum (stats_for warms it): a fresh
+            # manifest read + json parse per store per query adds driver
+            # latency at NRT-sized manifests x 100-store collections
+            if not hasattr(idx, "_n_docs"):
+                idx._n_docs = sum(s.docs_cnt for s in idx.store.segments())
+            n_docs[i] = idx._n_docs
         else:
             nd_frames.append(
                 idx.field_stats.select(
@@ -234,6 +239,15 @@ def exec_query_collection(
     ``pooled=True`` to force the pooled executor."""
     if not stores:
         raise ValueError("empty collection")
+    if documents_only and pooled:
+        # the pooled executor is a top-k merge (n_stores x k rows);
+        # documents_only is unbounded and must stay a lazy union —
+        # silently dropping the caller's force flag would deliver
+        # serialized execution with no signal
+        raise ValueError(
+            "pooled=True cannot combine with documents_only=True: the "
+            "unbounded match set only supports the lazy union path"
+        )
     node = parse_query(query) if isinstance(query, str) else query
     indexes = [
         SegmentIndex(spark, st) if hasattr(st, "read_manifest") else st

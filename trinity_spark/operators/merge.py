@@ -160,6 +160,14 @@ def merge_segments(
     all_metas = [SegmentMeta(**s) for s in manifest0["segments"]]
     metas = all_metas
     if segment_ids is not None:
+        known = {m.segment_id for m in all_metas}
+        unknown = [sid for sid in segment_ids if sid not in known]
+        if unknown:
+            # a silent subset merge would retire only the matched inputs
+            # while the caller believes the whole list was compacted
+            raise ValueError(
+                f"segment_ids not in the manifest: {unknown}"
+            )
         metas = [m for m in metas if m.segment_id in segment_ids]
     if not metas:
         raise ValueError("nothing to merge")
@@ -354,7 +362,11 @@ def merge_segments(
     term_dict = term_dict_from_blocks(new_blocks)
     stats = field_stats_from_blocks(new_blocks, docs_cnt=docs_cnt)
 
-    gen = store.read_manifest()["next_generation"]
+    # name suffix = next_generation at merge-PLAN time (manifest0, no extra
+    # read) — a uniqueness scope, not the committed generation: concurrent
+    # commits may bump the counter before commit_merge assigns the real one
+    # (meta.generation, set inside the atomic commit, is authoritative)
+    gen = manifest0["next_generation"]
     meta = SegmentMeta(
         segment_id=f"merged-{lo:014d}-{hi:014d}-g{gen:06d}",
         generation=0,
@@ -386,8 +398,22 @@ def merge_segments(
         },
         metrics={},
     )
-    store.commit_segment(new_blocks.drop("_reused"), term_dict, stats, meta)
-    store.retire_segments(ids)  # retention verdict (merge.cpp:418-447)
+    # ONE atomic manifest write: merged segment in, inputs out, fully-applied
+    # tombstone gens retired — no window serving merged docs twice, no lost
+    # concurrent delete (see SegmentStore.commit_merge).  Gens retire only if
+    # this merge covered every segment that existed at read time — deletes
+    # added concurrently (later gens) and deletes still masking unmerged
+    # segments stay in force.
+    store.commit_merge(
+        new_blocks.drop("_reused"),
+        term_dict,
+        stats,
+        meta,
+        retire_ids=ids,
+        retire_delete_gens=(
+            read_gens if (apply_deletes and full_merge and read_gens) else None
+        ),
+    )
     # byte-reuse economics for metrics: ONE group-count over the cached
     # output (materialized by the commit write above) — no pipeline replay
     counts = {
@@ -412,14 +438,6 @@ def merge_segments(
         }
     )
     store.update_segment_metrics(meta.segment_id, meta.metrics)
-    # retire ONLY the tombstone generations this merge read and applied, and
-    # only if it covered every segment that existed at read time — deletes
-    # added concurrently (later gens) and deletes still masking unmerged
-    # segments stay in force
-    if apply_deletes and full_merge and read_gens:
-        m = store.read_manifest()
-        m["deletes"] = [d for d in m["deletes"] if d["gen"] not in set(read_gens)]
-        store._write_manifest(m)
     return meta
 
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import K1
@@ -141,14 +141,6 @@ def or_gate_report(stats, terms: list[str], k: int, span_bits: int = SPAN_BITS) 
             rep["open"] = True
             rep["reason"] = "pruning predicted to beat single-pass"
     return rep
-
-
-def or_pruning_pays(
-    stats, terms: list[str], k: int, span_bits: int = SPAN_BITS
-) -> bool:
-    """True when block-max pruning of this plain-token disjunction should beat
-    the single-pass plan.  Driver-side arithmetic on cached df only."""
-    return or_gate_report(stats, terms, k, span_bits)["open"]
 
 
 def _branch_cost(stats, branch) -> int:
@@ -275,12 +267,6 @@ def and_gate_report(
     return rep
 
 
-def and_pruning_pays(stats, terms: list[str], span_bits: int = SPAN_BITS) -> bool:
-    return and_gate_report(
-        stats, And(tuple(Token(t) for t in terms)), span_bits
-    )["open"]
-
-
 @dataclass
 class PruningReport:
     # units are SPANS (2^SPAN_BITS-doc ranges) since the span-granularity
@@ -399,7 +385,6 @@ def _materialize_spans(span_df: DataFrame) -> tuple[DataFrame, int]:
 
 
 def rare_and_topk(
-    spark: SparkSession,
     index,
     node,
     k: int = 10,
@@ -552,7 +537,6 @@ def rare_and_topk(
 
 
 def pruned_or_topk(
-    spark: SparkSession,
     index,
     terms: list[str],
     k: int = 10,

@@ -296,6 +296,11 @@ def routing_decision(
                 "pass1": bool(rep["open"]),
             }
         return dict(none, terms=terms)
+    if k < 1:
+        # k=0 returns nothing; routing rare_and would pay eager pass-1
+        # Spark jobs (probe materialization) for a guaranteed-empty page —
+        # mirror the OR branch's k >= 1 guard
+        return dict(none, terms=terms)
     rep = and_gate_report(stats, node, chunk_bits=getattr(index, "chunk_bits", 16))
     return {
         "route": "rare_and" if rep["open"] else None,
@@ -446,20 +451,16 @@ class QueryPlanner:
             if dec["route"] == "pruned_or":
                 from ..operators.topk import pruned_or_topk
 
-                spark = self.index.postings.sparkSession
-                return pruned_or_topk(
-                    spark, self.index, dec["terms"], k, node=node
-                )
+                return pruned_or_topk(self.index, dec["terms"], k, node=node)
             if dec["route"] == "rare_and":
                 from ..operators.topk import rare_and_topk
 
-                spark = self.index.postings.sparkSession
                 # containment-based — valid under any similarity.  The
                 # gate dict is updated in place with what actually
                 # happened (probe span counts, bail), so last_route is
                 # the runtime record, not just the prediction.
                 out = rare_and_topk(
-                    spark, self.index, node, k, doc_filter,
+                    self.index, node, k, doc_filter,
                     similarity=self.similarity, report=dec["gate"],
                 )
                 if dec["gate"].get("bailed"):

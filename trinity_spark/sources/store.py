@@ -32,6 +32,7 @@ committed in the manifest.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -71,6 +72,28 @@ class SegmentStore:
             return {"segments": [], "deletes": [], "next_generation": 1}
         with open(p) as f:
             return json.load(f)
+
+    @contextlib.contextmanager
+    def _manifest_lock(self):
+        """Advisory exclusive lock serializing manifest READ-MODIFY-WRITE
+        cycles.  Every mutation method re-reads the manifest under this
+        lock before writing, so two same-host writers (an NRT ingest stream
+        racing a maintenance merge — the deployment this store targets)
+        cannot interleave between read_manifest and _write_manifest and
+        silently drop each other's entries (lost update: a tombstone or
+        segment committed in the window would vanish from the written
+        copy).  flock is advisory and same-host only; a multi-host
+        deployment swaps this for an Iceberg catalog's atomic
+        compare-and-swap commit (the documented substitution point)."""
+        import fcntl
+
+        os.makedirs(self.base, exist_ok=True)
+        with open(os.path.join(self.base, ".manifest.lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
     def _write_manifest(self, m: dict[str, Any]) -> None:
         """Atomic commit + retained snapshot.  Every manifest write bumps
@@ -112,12 +135,13 @@ class SegmentStore:
         snapshots pinned."""
         if keep_last is not None and keep_last < 1:
             raise ValueError(f"keep_last must be >= 1 or None, got {keep_last}")
-        m = self.read_manifest()
-        if keep_last is None:
-            m.pop("snapshot_retention", None)
-        else:
-            m["snapshot_retention"] = int(keep_last)
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.read_manifest()
+            if keep_last is None:
+                m.pop("snapshot_retention", None)
+            else:
+                m["snapshot_retention"] = int(keep_last)
+            self._write_manifest(m)
 
     def segments(self) -> list[SegmentMeta]:
         return [SegmentMeta(**s) for s in self.read_manifest()["segments"]]
@@ -205,11 +229,12 @@ class SegmentStore:
         would revert the caller's explicit choice and leave the store
         permanently mixed (new segments one codec, NRT appends/merges the
         other, byte reuse disabled).  Changing wires means a new store."""
-        m = self.read_manifest()
-        if "codec" not in m:
-            m["codec"] = codec
-            self._write_manifest(m)
-        elif m["codec"] != codec:
+        with self._manifest_lock():
+            m = self.read_manifest()
+            if "codec" not in m:
+                m["codec"] = codec
+                self._write_manifest(m)
+        if "codec" in m and m["codec"] != codec:
             raise ValueError(
                 f"store codec is fixed to {m['codec']!r} by its first build; "
                 f"got codec={codec!r} — build into a fresh store to switch "
@@ -273,9 +298,10 @@ class SegmentStore:
             ).sortWithinPartitions("doc_id")
         df.write.mode("overwrite").parquet(self.docid_map_dir())
         if n_docs is not None:
-            m = self.read_manifest()
-            m["docid_map"] = {"n_docs": int(n_docs)}
-            self._write_manifest(m)
+            with self._manifest_lock():
+                m = self.read_manifest()
+                m["docid_map"] = {"n_docs": int(n_docs)}
+                self._write_manifest(m)
 
     def write_conv_bases(
         self,
@@ -291,15 +317,16 @@ class SegmentStore:
         disk; the conv table is the minimal deterministic checkpoint that
         reproduces the exact same assignment from the (immutable) input."""
         bases.write.mode("overwrite").parquet(self.conv_bases_dir())
-        m = self.read_manifest()
-        m["docid_map"] = {
-            "mode": "virtual",
-            "n_docs": int(n_docs),
-            "n_convs": int(n_convs),
-            "input": input_desc,
-            "rule": "doc_id = base + turn_idx (dense per-conv turn_idx)",
-        }
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.read_manifest()
+            m["docid_map"] = {
+                "mode": "virtual",
+                "n_docs": int(n_docs),
+                "n_convs": int(n_convs),
+                "input": input_desc,
+                "rule": "doc_id = base + turn_idx (dense per-conv turn_idx)",
+            }
+            self._write_manifest(m)
 
     def read_conv_bases(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.conv_bases_dir())
@@ -422,13 +449,16 @@ class SegmentStore:
         meta.lineage["n_blocks"] = self._write_segment_data(
             blocks, term_dict, field_stats, meta.segment_id
         )
-        m = self.read_manifest()
-        self._check_nrt_allocation(m, meta)
-        m["segments"] = [s for s in m["segments"] if s["segment_id"] != meta.segment_id]
-        meta.generation = m["next_generation"]
-        m["next_generation"] += 1
-        m["segments"].append(meta.__dict__)
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.read_manifest()
+            self._check_nrt_allocation(m, meta)
+            m["segments"] = [
+                s for s in m["segments"] if s["segment_id"] != meta.segment_id
+            ]
+            meta.generation = m["next_generation"]
+            m["next_generation"] += 1
+            m["segments"].append(meta.__dict__)
+            self._write_manifest(m)
 
     def _check_nrt_allocation(self, m: dict[str, Any], meta: SegmentMeta) -> None:
         """Optimistic-concurrency check for NRT appends: doc-id allocation
@@ -478,21 +508,63 @@ class SegmentStore:
         meta.lineage["n_blocks"] = self._write_segment_data(
             blocks, term_dict, field_stats, meta.segment_id
         )
-        m = self.read_manifest()
-        self._check_nrt_allocation(m, meta)
-        seg_gen = m["next_generation"]
-        del_gen = seg_gen + 1  # tombstones are the NEWER generation: they veto
-        path = os.path.join(self.base, "deletes", f"{del_gen}.parquet")
-        deletes_df.select(F.col("doc_id").cast("long")).withColumn(
-            "gen", F.lit(del_gen)
-        ).write.mode("overwrite").parquet(path)
-        m["segments"] = [s for s in m["segments"] if s["segment_id"] != meta.segment_id]
-        meta.generation = seg_gen
-        m["next_generation"] = del_gen + 1
-        m["segments"].append(meta.__dict__)
-        m["deletes"].append({"gen": del_gen, "path": path})
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.read_manifest()
+            self._check_nrt_allocation(m, meta)
+            seg_gen = m["next_generation"]
+            del_gen = seg_gen + 1  # tombstones are NEWER: they veto
+            path = os.path.join(self.base, "deletes", f"{del_gen}.parquet")
+            deletes_df.select(F.col("doc_id").cast("long")).withColumn(
+                "gen", F.lit(del_gen)
+            ).write.mode("overwrite").parquet(path)
+            m["segments"] = [
+                s for s in m["segments"] if s["segment_id"] != meta.segment_id
+            ]
+            meta.generation = seg_gen
+            m["next_generation"] = del_gen + 1
+            m["segments"].append(meta.__dict__)
+            m["deletes"].append({"gen": del_gen, "path": path})
+            self._write_manifest(m)
         return del_gen
+
+    def commit_merge(
+        self,
+        blocks: DataFrame,
+        term_dict: DataFrame,
+        field_stats: DataFrame,
+        meta: SegmentMeta,
+        retire_ids: list[str],
+        retire_delete_gens: list[int] | None = None,
+    ) -> None:
+        """Merge commit: add the merged segment, retire its inputs, and
+        retire fully-applied tombstone generations in ONE atomic manifest
+        write (merge.cpp:418-447 retention verdict).  The previous
+        three-write sequence (commit_segment, retire_segments, tombstone
+        trim) had windows where BOTH the inputs and the merged output were
+        visible — a SegmentIndex opened in that window served every merged
+        doc twice — and where a concurrent add_deletes landing between the
+        trim's read and write was silently dropped (lost update)."""
+        meta.lineage["n_blocks"] = self._write_segment_data(
+            blocks, term_dict, field_stats, meta.segment_id
+        )
+        retire = set(retire_ids)
+        gens = set(retire_delete_gens or [])
+        with self._manifest_lock():
+            m = self.read_manifest()
+            meta.generation = m["next_generation"]
+            m["next_generation"] += 1
+            m["segments"] = [
+                s
+                for s in m["segments"]
+                if s["segment_id"] not in retire
+                and s["segment_id"] != meta.segment_id
+            ]
+            m["segments"].append(meta.__dict__)
+            if gens:
+                m["deletes"] = [
+                    d for d in m["deletes"] if d["gen"] not in gens
+                ]
+            self._write_manifest(m)
 
     def update_segment_metrics(
         self, segment_id: str, metrics: dict[str, Any]
@@ -502,14 +574,15 @@ class SegmentStore:
         itself, so it can only be recorded after).  Metadata-only; shares the
         atomic snapshot-per-write path, so with a retention policy set the
         extra snapshot is trimmed on the spot."""
-        m = self.read_manifest()
-        for s in m["segments"]:
-            if s["segment_id"] == segment_id:
-                s["metrics"] = dict(metrics)
-                break
-        else:
-            raise ValueError(f"no committed segment {segment_id!r}")
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.read_manifest()
+            for s in m["segments"]:
+                if s["segment_id"] == segment_id:
+                    s["metrics"] = dict(metrics)
+                    break
+            else:
+                raise ValueError(f"no committed segment {segment_id!r}")
+            self._write_manifest(m)
 
     def discard_uncommitted(self, segment_id: str) -> None:
         """Remove a segment attempt's data that was REJECTED before its
@@ -537,25 +610,29 @@ class SegmentStore:
     def retire_segments(self, segment_ids: list[str]) -> None:
         """Drop merged-away segments from the manifest (the merge retention
         verdict, merge.cpp:418-447). Data dirs are left for GC."""
-        m = self.read_manifest()
-        m["segments"] = [s for s in m["segments"] if s["segment_id"] not in segment_ids]
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.read_manifest()
+            m["segments"] = [
+                s for s in m["segments"] if s["segment_id"] not in segment_ids
+            ]
+            self._write_manifest(m)
 
     def add_deletes(self, spark: SparkSession, doc_ids: list[int] | DataFrame) -> int:
         """Mask documents (docidupdates.cpp analog): a new tombstone file +
         manifest entry at the next generation."""
-        m = self.read_manifest()
-        gen = m["next_generation"]
-        m["next_generation"] += 1
-        path = os.path.join(self.base, "deletes", f"{gen}.parquet")
-        df = (
-            spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
-            if isinstance(doc_ids, list)
-            else doc_ids.select(F.col("doc_id").cast("long"))
-        )
-        df.withColumn("gen", F.lit(gen)).write.mode("overwrite").parquet(path)
-        m["deletes"].append({"gen": gen, "path": path})
-        self._write_manifest(m)
+        with self._manifest_lock():
+            m = self.read_manifest()
+            gen = m["next_generation"]
+            m["next_generation"] += 1
+            path = os.path.join(self.base, "deletes", f"{gen}.parquet")
+            df = (
+                spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+                if isinstance(doc_ids, list)
+                else doc_ids.select(F.col("doc_id").cast("long"))
+            )
+            df.withColumn("gen", F.lit(gen)).write.mode("overwrite").parquet(path)
+            m["deletes"].append({"gen": gen, "path": path})
+            self._write_manifest(m)
         return gen
 
     # --- reads ---
