@@ -174,3 +174,49 @@ def test_mixed_codec_store_reads_and_merge_reencodes(spark, tmp_path):
     assert meta.lineage["codec"] == store.default_codec() == "varbyte"
     assert SegmentIndex(spark, store).codec == "varbyte"
     _assert_rank_identity(spark, store, docs, queries=["error", '"rate limit"'])
+
+
+def test_unknown_codec_tag_raises_not_drops(spark, tmp_path):
+    """A block row whose codec tag matches no known wire must raise at
+    decode — the old per-codec filter union silently VANISHED its postings
+    from every query (against the loud-corruption policy)."""
+    import pytest
+
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.indexer import build_index
+    from trinity_spark.operators.segments import decode_segments
+    from trinity_spark.sources.store import SegmentStore
+
+    store = SegmentStore(str(tmp_path / "idx"))
+    build_index(
+        spark, spark.createDataFrame(gen_transcripts(100)), store,
+        rows_per_segment=100,
+    )
+    from pyspark.sql import functions as F
+
+    blocks = store.read_blocks(spark, with_codec=True).withColumn(
+        "codec", F.lit("codec-from-the-future")
+    )
+    with pytest.raises(Exception, match="unknown wire codec"):
+        decode_segments(blocks).count()
+
+
+def test_payloads_without_positions_honored(spark, tmp_path):
+    """with_payloads=True + with_positions=False must skip the position
+    stream AND omit the positions column (the flag was silently ignored)."""
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.indexer import build_index
+    from trinity_spark.operators.segments import decode_segments
+    from trinity_spark.sources.store import SegmentStore
+
+    store = SegmentStore(str(tmp_path / "idx2"))
+    build_index(
+        spark, spark.createDataFrame(gen_transcripts(100)), store,
+        rows_per_segment=100,
+    )
+    out = decode_segments(
+        store.read_blocks(spark), with_payloads=True, with_positions=False
+    )
+    assert "positions" not in out.columns and "payloads" in out.columns
+    ref = decode_segments(store.read_blocks(spark), with_payloads=True)
+    assert out.count() == ref.count()

@@ -1669,3 +1669,38 @@ def test_simhash_band_recall_guard(spark):
     docs = _docs(spark, [(0, "a b c")])
     with pytest.raises(ValueError, match="bands"):
         dedup.simhash_near_duplicates(docs, max_hamming=8, band_bits=8)
+
+
+def test_exact_dedup_null_text_semantics(spark):
+    """Absent content is not comparable content: NULL-text docs all pass
+    through dedup_exact (the old equi-join dropped EVERY one — no
+    representative) and never form an exact_duplicates group."""
+    docs = _docs(
+        spark, [(0, "same"), (1, "same"), (4, "uniq")]
+    ).unionByName(
+        spark.createDataFrame([(2, None), (3, None)], "doc_id long, text string")
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [0, 2, 3, 4]
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1 and sorted(groups[0]["doc_ids"]) == [0, 1]
+
+
+def test_quality_score_null_text_scores_zero(spark):
+    """F.least skips NULLs: NULL text used to get full length credit and a
+    0.4 quality floor — above real short documents."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the of and to in it is short")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", textstats.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert rows[1] == 0.0
+    assert rows[2] == 0.0
+    assert rows[3] > rows[1]

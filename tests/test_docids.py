@@ -72,3 +72,19 @@ def test_single_conversation_many_partitions(spark):
     pdf["conv_id"] = "conv-000"
     pdf["turn_idx"] = range(len(pdf))
     _check(spark, pdf, num_partitions=6)
+
+
+def test_null_conv_id_raises(spark):
+    """NULL conv_id would be counted in n_docs but dropped by the equi-join
+    back to the corpus — silent index corruption.  Must fail loudly, at the
+    same collect the drift check already pays (zero extra actions)."""
+    import pytest
+
+    from trinity_spark.operators.docids import assign_doc_ids_counted
+
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, "b"), (None, 0, "ghost")],
+        "conv_id string, turn_idx int, text string",
+    )
+    with pytest.raises(ValueError, match="NULL conv_id"):
+        assign_doc_ids_counted(df)

@@ -409,3 +409,17 @@ def test_balanced_sample_validates(spark):
         balanced_sample(docs, "lang", 0)
     with pytest.raises(ValueError, match="empty"):
         balanced_sample(docs.where(F.lit(False)), "lang")
+
+
+def test_split_bucket_null_id_fails_loudly(spark):
+    """concat_ws skips NULLs: every NULL id would hash to md5('{seed}') —
+    one constant bucket, a whole cohort correlated into the same split."""
+    import pytest
+
+    from trinity_spark.dataops.traindata import hash_split
+
+    df = spark.createDataFrame(
+        [("a",), (None,)], "doc_id string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id|assert"):
+        hash_split(df).collect()

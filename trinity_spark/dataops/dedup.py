@@ -37,9 +37,15 @@ def content_hash(text_col: Column) -> Column:
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (hash, dup_count, doc_ids)."""
+    """Groups of byte-identical documents: (hash, dup_count, doc_ids).
+
+    NULL-text documents (media-only / failed extraction) are NOT a
+    duplicate group: absent content is not comparable content — ``curate``
+    gates them individually, ``dedup_exact`` keeps them all, and the
+    streaming dedup passes them through.  One shared semantic."""
     return (
         docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("hash"))
+        .where(F.col("hash").isNotNull())
         .groupBy("hash")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
@@ -50,10 +56,17 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id representative of each identical-content group."""
+    """Keep the lowest-id representative of each identical-content group.
+
+    NULL-text documents all pass through: their content hash is NULL, and
+    the old equi-join dropped EVERY one of them (no representative kept) —
+    while ``exact_duplicates`` reported them as a dup group.  The shared
+    semantic is now "absent content is not comparable content"."""
     ranked = docs.withColumn("hash", content_hash(F.col(text_col)))
-    keeper = ranked.groupBy("hash").agg(F.min(id_col).alias(id_col))
-    return ranked.join(keeper, [id_col, "hash"], "left_semi").drop("hash")
+    hashed = ranked.where(F.col("hash").isNotNull())
+    keeper = hashed.groupBy("hash").agg(F.min(id_col).alias(id_col))
+    kept = hashed.join(keeper, [id_col, "hash"], "left_semi")
+    return kept.unionByName(ranked.where(F.col("hash").isNull())).drop("hash")
 
 
 def conversation_texts(
@@ -692,7 +705,14 @@ def duplicate_windows(
     Returns (id, start, whash, n_occurrences).  One count shuffle on whash
     (map-side combined) + one hash-partitioned join back — both scale-safe:
     the key is a uniform md5, so no skew beyond genuinely viral passages."""
-    wins = token_windows(docs, id_col, text_col, window, stride, anchor)
+    # the window frame feeds BOTH join sides: without the lineage cut the
+    # corpus would be re-scanned and re-window-hashed once per side (plus
+    # once more in substring_dup_stats) — 2-3 redundant corpus passes at
+    # the 100 TB scale this operator targets.  Lazy checkpoint: computed
+    # once at the first action, reused by every consumer.
+    wins = token_windows(
+        docs, id_col, text_col, window, stride, anchor
+    ).localCheckpoint(eager=False)
     counts = (
         wins.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -57,7 +57,10 @@ def language_id(text_col: Column) -> Column:
 def quality_score(text_col: Column) -> Column:
     """[0,1] quality heuristic from length / punctuation / stopword ratios:
     quality = 0.4*len_norm + 0.3*(1 - punct_ratio) + 0.3*stop_ratio_norm."""
-    n_chars = F.length(text_col)
+    # NULL text scores 0, same as empty: F.least() SKIPS nulls, so an
+    # un-coalesced NULL length made len_norm=1.0 and handed NULL-text docs
+    # a 0.4 quality floor — above real short documents
+    n_chars = F.coalesce(F.length(text_col), F.lit(0))
     toks = _tokens(text_col)
     n_toks = F.size(toks)
     len_norm = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))

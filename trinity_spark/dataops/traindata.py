@@ -46,10 +46,21 @@ _DEFAULT_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 def split_bucket(id_col, seed: int = 7):
     """Deterministic 32-bit bucket for a document id: first 8 hex chars of
     md5("{seed}|{id}") — the cross-engine-stable hash used throughout
-    (DuckDB: ``('0x' || substr(md5(seed || '|' || id), 1, 8))::BIGINT``)."""
+    (DuckDB: ``('0x' || substr(md5(seed || '|' || id), 1, 8))::BIGINT``).
+
+    NULL ids fail the job: ``concat_ws`` SKIPS null arguments, so every
+    NULL id would hash to the one constant bucket md5("{seed}") — a whole
+    cohort silently landing in the same split / same sample decision."""
+    id_str = F.col(id_col).cast("string")
+    id_str = F.when(
+        id_str.isNull(),
+        F.assert_true(
+            id_str.isNotNull(), f"split_bucket: NULL {id_col}"
+        ).cast("string"),
+    ).otherwise(id_str)
     return F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            F.md5(F.concat_ws("|", F.lit(str(seed)), id_str)),
             1,
             8,
         ),

@@ -84,9 +84,21 @@ def _conv_bases(
                     | (F.col("n_distinct") != F.col("n_turns"))
                 ).cast("int")
             ).alias("sparse"),
+            # NULL conv_id forms its own group here but never matches the
+            # equi-join back to the corpus: its turns would VANISH from the
+            # index while n_docs still counted them (stats drift + an id
+            # hole).  Same collect, zero extra cost — fail loudly instead.
+            F.max(F.col("conv_id").isNull().cast("int")).alias("has_null"),
         )
         .collect()  # one row per partition — O(partitions), not O(rows)
     )
+    if any(r["has_null"] for r in parts):
+        raise ValueError(
+            "NULL conv_id in input turns: doc-id assignment joins on "
+            "conv_id, so NULL-keyed turns would be silently dropped from "
+            "the index while still counted in n_docs — clean the input "
+            "(assign a sentinel conv id) first"
+        )
     n_docs = int(sum(r["n_turns"] for r in parts))
     n_convs = int(sum(r["n_convs"] for r in parts))
     dense = all(r["sparse"] == 0 for r in parts)

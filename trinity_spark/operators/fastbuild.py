@@ -34,7 +34,9 @@ from ..tokenizer import (
     tokenize_udf,
 )
 
-POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
+# ONE schema definition: the decode side (segments.py) owns it; a drifted
+# copy here would silently emit the old shape from postings_from_turns
+from .segments import POSTINGS_SCHEMA  # noqa: E402
 
 _OUT_SCHEMA = pa.schema(
     [

@@ -70,6 +70,7 @@ SEGMENT_SCHEMA = (
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, positions array<int>"
 POSTINGS_PAYLOAD_SCHEMA = POSTINGS_SCHEMA + ", payloads array<long>"
 POSTINGS_NOPOS_SCHEMA = "term string, doc_id long, tf int"
+POSTINGS_PAYLOAD_NOPOS_SCHEMA = POSTINGS_NOPOS_SCHEMA + ", payloads array<long>"
 
 
 def _check_codec(codec: str) -> None:
@@ -336,19 +337,53 @@ def decode_segments(
             )
             for c in CODECS
         ]
+        # rows whose codec tag matches NO known wire must raise, not vanish:
+        # a segment written by a newer engine (or a corrupted manifest)
+        # would otherwise silently drop its postings from every query —
+        # against the module's loud-corruption policy.  Literal tags
+        # constant-fold, so a healthy store pays nothing for this branch.
+        unknown = blocks.where(
+            ~F.col("codec").isin(list(CODECS)) | F.col("codec").isNull()
+        )
+
+        def _raise_unknown(it):
+            for b in it:
+                if b.num_rows:
+                    tag = b.column("codec")[0].as_py()
+                    raise ValueError(
+                        f"unknown wire codec tag {tag!r} in block rows; "
+                        f"known: {sorted(CODECS)}"
+                    )
+            return
+            yield  # generator marker: yields nothing, raises on any row
+
+        out_schema = (
+            (POSTINGS_PAYLOAD_SCHEMA if with_positions else POSTINGS_PAYLOAD_NOPOS_SCHEMA)
+            if with_payloads
+            else (POSTINGS_SCHEMA if with_positions else POSTINGS_NOPOS_SCHEMA)
+        )
+        parts.append(unknown.mapInArrow(_raise_unknown, out_schema))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
     _check_codec(codec)
     if with_payloads:
+        cols = ["term", "doc_count", "doc_deltas", "tf_bytes"]
+        if with_positions:
+            cols.append("pos_bytes")
         sel = blocks.select(
-            "term", "doc_count", "doc_deltas", "tf_bytes", "pos_bytes",
+            *cols,
             F.coalesce(F.col("pay_bytes"), F.lit(b"")).alias("pay_bytes"),
         )
         return sel.mapInArrow(
-            lambda it: _decode_batches(it, with_payloads=True, codec=codec),
-            POSTINGS_PAYLOAD_SCHEMA,
+            lambda it: _decode_batches(
+                it, with_payloads=True, with_positions=with_positions,
+                codec=codec,
+            ),
+            POSTINGS_PAYLOAD_SCHEMA
+            if with_positions
+            else POSTINGS_PAYLOAD_NOPOS_SCHEMA,
         )
     if not with_positions:
         return blocks.select(
