@@ -1704,3 +1704,78 @@ def test_quality_score_null_text_scores_zero(spark):
     assert rows[1] == 0.0
     assert rows[2] == 0.0
     assert rows[3] > rows[1]
+
+
+# --- similarity review regressions -------------------------------------------
+
+def test_brute_force_topk_dim_mismatch_raises(spark):
+    """zip_with pads the short side with NULL: every score went NULL and
+    limit(k) returned k arbitrary ids — must raise instead."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="query dim|assert"):
+        similarity.brute_force_topk(vecs, [1.0, 0.0], k=2).collect()
+
+
+def test_lsh_topk_query_dim_mismatch_raises(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    sigged, planes = similarity.add_lsh_signatures(vecs, dim=4)
+    with pytest.raises(ValueError, match="plane dim"):
+        similarity.lsh_topk(sigged, planes, [1.0, 0.0], k=1)
+
+
+def test_cosine_pairs_arrow_kernel_int_ids(spark):
+    """The arrow verify kernel declares long ids; int32 inputs must be cast
+    through, not crash with an Arrow schema mismatch."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)] + [
+        (10, [0.0, 1.0, 0.0, 0.0])
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = similarity.cosine_pairs(
+        vecs, dim=4, threshold=0.99, bits=8, band_bits=4, kernel="arrow"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in pairs and all(a < b for a, b in pairs)
+
+
+def test_gram_kernel_string_ids_fail_fast(spark):
+    """String ids silently cast to NULL long and produced garbage pairs
+    mid-job; the numpy kernels must reject them at plan time."""
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        similarity.cosine_pairs(vecs, dim=2, kernel="gram")
+
+
+def test_gram_cap_healthy_path_equals_uncapped(spark):
+    """With no bucket over the cap, the capped gram path must short-circuit
+    to the plain grouped plan and return identical pairs."""
+    import random
+
+    random.seed(5)
+    rows = []
+    for i in range(40):
+        v = [random.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+        if i % 10 == 0:
+            rows.append((1000 + i, list(v)))  # planted exact dup
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(
+            vecs, dim=8, threshold=0.99, kernel="gram", max_bucket_size=64
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(
+            vecs, dim=8, threshold=0.99, kernel="gram"
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) >= 4

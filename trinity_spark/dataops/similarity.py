@@ -20,12 +20,29 @@ Two paths, as a 100 TB pipeline needs both:
 from __future__ import annotations
 
 import hashlib
+import logging
 import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import bucket_all_pairs
+
+_log = logging.getLogger(__name__)
+
+_INTEGRAL = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _require_integral_id(df: DataFrame, id_col: str, ctx: str) -> None:
+    """The numpy kernels carry ids as int64: a string id silently casts to
+    NULL long and produces garbage pairs mid-job — fail at plan time."""
+    dt = dict(df.dtypes).get(id_col)
+    if dt not in _INTEGRAL:
+        raise ValueError(
+            f"{ctx}: id column {id_col!r} must be an integral type for the "
+            f"numpy kernels (got {dt!r}); map string ids to int64 first "
+            "(e.g. xxhash64) or use kernel='sql'"
+        )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -59,10 +76,18 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (id, score), score desc, id asc tie-break."""
     q = F.array(*[F.lit(float(x)) for x in query])
-    scored = vectors.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"),
-    )
+    emb = F.col(vec_col).cast("array<double>")
+    # dim mismatch must raise, not rank garbage: zip_with pads the short
+    # side with NULL, the fold absorbs it, every score goes NULL, and
+    # limit(k) would return k arbitrary ids
+    score = F.when(
+        F.size(emb) != len(query),
+        F.assert_true(
+            F.size(emb) == len(query),
+            f"brute_force_topk: query dim {len(query)} != embedding dim",
+        ).cast("double"),
+    ).otherwise(F.round(cosine(emb, q), 6))
+    scored = vectors.select(F.col(id_col), score.alias("score"))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
@@ -106,6 +131,11 @@ def add_lsh_signatures(
 
 
 def _query_sig(query: list[float], planes: list[list[float]]) -> int:
+    if planes and len(query) != len(planes[0]):
+        # zip would silently truncate and probe the wrong buckets
+        raise ValueError(
+            f"query dim {len(query)} != plane dim {len(planes[0])}"
+        )
     sig = 0
     for i, plane in enumerate(planes):
         if sum(x * y for x, y in zip(query, plane)) >= 0:
@@ -417,7 +447,17 @@ def cosine_pairs(
     ``dedup._capped_bucket_pairs``).  None = exact (no cap)."""
     if kernel not in ("sql", "arrow", "gram"):
         raise ValueError(f"unknown kernel {kernel!r}; use 'sql', 'arrow' or 'gram'")
-    sigged, _ = add_lsh_signatures(vectors, dim, bits, seed, vec_col)
+    if kernel == "sql":
+        sigged, _ = add_lsh_signatures(vectors, dim, bits, seed, vec_col)
+    else:
+        # the kernels chosen for throughput get the matrix signature twin
+        # too (measured ~20x; same md5 planes, interchangeable except
+        # measure-zero sign boundaries) — the per-bit fold would dominate
+        # the very job the gram/arrow verify was selected to accelerate
+        _require_integral_id(vectors, id_col, f"cosine_pairs(kernel={kernel!r})")
+        sigged, _ = add_lsh_signatures_arrow(
+            vectors, dim, bits, seed, vec_col, id_col=id_col
+        )
     n_bands = math.ceil(bits / band_bits)
     mask = (1 << band_bits) - 1
     banded = sigged.select(
@@ -446,9 +486,14 @@ def cosine_pairs(
             "band",
             "key",
         )
-        return _gram_bucket_pairs(
-            src, ["band", "key"], threshold, max_bucket_size
-        ).distinct()
+        # dedupe on the PAIR: the same pair found in two different-shaped
+        # band buckets can round the 6th digit differently (BLAS
+        # accumulation order), and two such rows survive a plain distinct()
+        return (
+            _gram_bucket_pairs(src, ["band", "key"], threshold, max_bucket_size)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine"))
+        )
     if max_bucket_size is not None:
         from .dedup import _capped_bucket_pairs
 
@@ -585,6 +630,9 @@ def semantic_dedup(
         vec_col=vec_col,
         assign_kernel=assign_kernel,
     )
+    # three consumers (pairs job, resolve_duplicates, the final join) would
+    # each replay the full-corpus assignment scan — cut the lineage once
+    indexed = indexed.localCheckpoint(eager=False)
     pairs = semantic_dedup_pairs(
         indexed,
         threshold=threshold,
@@ -711,8 +759,10 @@ def _verify_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
             )
 
     cast = pairs.select(
-        "id_a",
-        "id_b",
+        # the kernel passes ids through under a declared long schema: an
+        # int32/decimal id would raise an Arrow schema mismatch mid-job
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
         F.col("va").cast("array<double>").alias("va"),
         F.col("vb").cast("array<double>").alias("vb"),
     )
@@ -788,18 +838,45 @@ def _gram_bucket_pairs(
         if max_bucket_size < 2:
             raise ValueError("max_bucket_size must be >= 2")
         sizes = src.groupBy(*key_cols).agg(F.count("*").alias("_m"))
-        src = (
-            src.join(sizes, key_cols)
-            .withColumn(
-                "_nsub",
-                F.greatest(
-                    F.lit(1), F.ceil(F.col("_m") / F.lit(max_bucket_size))
-                ).cast("long"),
-            )
-            .withColumn("_salt", F.pmod(F.xxhash64(F.col("_vid")), F.col("_nsub")))
-            .drop("_m", "_nsub")
+        report = (
+            sizes.where(F.col("_m") > max_bucket_size)
+            .agg(F.count(F.lit(1)).alias("buckets"), F.max("_m").alias("largest"))
+            .first()
         )
-    else:
+        if not report["buckets"]:
+            # healthy path: every bucket within the cap — the plain grouped
+            # gram plan, no sizes join, no salt, no representative chain
+            max_bucket_size = None
+        else:
+            # no-silent-caps convention (dedup._capped_bucket_pairs): the
+            # split costs cross-sub-bucket recall, so it is always logged
+            _log.warning(
+                "Gram cap: %d bucket(s) over max_bucket_size=%d (largest=%d) "
+                "salt-split into sub-buckets (all pairs within each "
+                "sub-bucket + a verified chain of sub-bucket representatives)",
+                report["buckets"],
+                max_bucket_size,
+                report["largest"],
+            )
+            # the split path consumes src four times (sizes join, gram
+            # input, representative agg, chain vector lookups) — pay the
+            # upstream banding/assignment lineage once
+            src = src.localCheckpoint(eager=True)
+            sizes = src.groupBy(*key_cols).agg(F.count("*").alias("_m"))
+            src = (
+                src.join(sizes, key_cols)
+                .withColumn(
+                    "_nsub",
+                    F.greatest(
+                        F.lit(1), F.ceil(F.col("_m") / F.lit(max_bucket_size))
+                    ).cast("long"),
+                )
+                .withColumn(
+                    "_salt", F.pmod(F.xxhash64(F.col("_vid")), F.col("_nsub"))
+                )
+                .drop("_m", "_nsub")
+            )
+    if max_bucket_size is None:
         src = src.withColumn("_salt", F.lit(0).cast("long"))
 
     out_schema = "id_a long, id_b long, cosine double"
@@ -901,6 +978,7 @@ def semantic_dedup_pairs_gram(
     Cosines are numpy-accumulated (pairwise/SIMD order) and rounded to 6 —
     equal to the fold paths up to last-bit summation order.
     """
+    _require_integral_id(indexed, id_col, "semantic_dedup_pairs_gram")
     src = indexed.select(
         F.col(id_col).cast("long").alias("_vid"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
@@ -972,7 +1050,12 @@ def brute_force_topk_many(
                 continue
             ids = b.column(id_col).to_numpy()
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            cos = np.round(Mn @ Qn.T, 6)
+            raw = Mn @ Qn.T
+            # HALF_UP (away from zero), matching Spark's F.round in
+            # brute_force_topk — np.round is HALF_EVEN and the two "exact"
+            # paths could emit different scores at a .xxxxx5 boundary and
+            # swap ranks at the k cut
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
             out_q, out_i, out_s = [], [], []
             for j in range(len(qids)):
                 top = np.lexsort((ids, -cos[:, j]))[:k]
@@ -1215,10 +1298,16 @@ def knn_classify_ivf(
 
     cand = probes.join(indexed.select("_nid", "_lab", "_nvec", "list_id"), "list_id")
 
-    # Pair cosines through the SAME numpy arithmetic as the closure kernel
-    # (normalize both sides, dot, np.round to 6) — Spark's F.round is
-    # HALF_UP while np.round is HALF_EVEN, and the documented contract is
-    # that a full probe reproduces knn_classify bit-for-bit
+    # Pair cosines through the same numpy CONTRACTS as the closure kernel
+    # (normalize both sides, dot, np.round to 6, identical tie rules) —
+    # Spark's F.round is HALF_UP while np.round is HALF_EVEN, so the SQL
+    # fold is not a substitute here.  Caveat on "bit-identical": the
+    # closure kernel accumulates via BLAS matmul (Mn @ Sn.T) while this
+    # per-pair path uses einsum dots; the accumulation orders can differ
+    # at ulp scale, so a cosine within 1 ulp of a .xxxxx5 rounding
+    # boundary could round differently.  Full-probe equivalence is
+    # asserted by test on the fixture corpora; adversarially constructed
+    # boundary values are outside the contract.
     def cos_kern(batches):
         for b in batches:
             Q = _batch_matrix(b, vec_col)
