@@ -1389,8 +1389,11 @@ WITH base AS (
   SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
 )
 SELECT vec_id,
-       min(vec_id) OVER (PARTITION BY embedding) AS component,
-       vec_id = min(vec_id) OVER (PARTITION BY embedding) AS is_canonical
+       CASE WHEN embedding IS NULL THEN vec_id
+            ELSE min(vec_id) OVER (PARTITION BY embedding) END AS component,
+       vec_id = CASE WHEN embedding IS NULL THEN vec_id
+                     ELSE min(vec_id) OVER (PARTITION BY embedding) END
+         AS is_canonical
 FROM base
 """
 

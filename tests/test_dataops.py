@@ -694,6 +694,22 @@ def test_exact_embedding_groups(spark, vectors):
     assert sum(1 for r in out.values() if r["is_canonical"]) == len(rows) - 1
 
 
+def test_exact_embedding_groups_null_passthrough(spark):
+    """NULL embeddings are not comparable content (the dedup_exact NULL-text
+    rule): a window PARTITION BY would group all NULLs into one 'duplicate'
+    cluster — each NULL row must pass through as its own canonical
+    component instead."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, None), (4, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in similarity.exact_embedding_groups(df).collect()}
+    assert len(out) == 4
+    assert out[4]["component"] == 1 and not out[4]["is_canonical"]
+    for nid in (2, 3):
+        assert out[nid]["component"] == nid and out[nid]["is_canonical"]
+
+
 def test_unknown_kernel_raises(spark, vectors):
     import pytest as _pytest
 

@@ -52,6 +52,33 @@ def test_sessionize_validates(spark):
         sessionize(_events(spark), gap_minutes=0)
 
 
+def test_sessionize_null_keys_fail_loudly(spark):
+    """NULL user_id would merge every anonymous event into one pseudo-user;
+    a NULL (or unparseable) ts poisons the lag-gap so every later event
+    silently starts a new session — both fail the job instead (the
+    split_bucket NULL-key rule)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    base = [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:05:00")]
+    schema = "event_id long, user_id long, ts string"
+    null_user = spark.createDataFrame(
+        base + [(3, None, "2024-01-01 10:06:00")], schema
+    )
+    with pytest.raises(SparkRuntimeException, match="sessionize"):
+        sessionize(null_user).collect()
+    null_ts = spark.createDataFrame(base + [(3, 1, None)], schema)
+    with pytest.raises(SparkRuntimeException, match="sessionize"):
+        sessionize(null_ts).collect()
+    # unparseable string: ANSI mode's cast throws its own DateTimeException
+    # before the guard; non-ANSI sessions hit the guard — loud either way
+    bad_ts = spark.createDataFrame(base + [(3, 1, "not-a-time")], schema)
+    with pytest.raises(Exception, match="sessionize|CAST_INVALID_INPUT"):
+        sessionize(bad_ts).collect()
+    # clean input unaffected
+    ok = sessionize(spark.createDataFrame(base, schema)).collect()
+    assert {r["session_id"] for r in ok} == {0}
+
+
 def test_sessionize_string_ts_mixed_offsets_orders_chronologically(spark):
     """String ts with mixed UTC offsets sorts lexicographically by OFFSET,
     not time — the window must order by the same epoch seconds the gap is

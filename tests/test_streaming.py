@@ -393,6 +393,40 @@ def test_sessionize_stream_validates(spark):
         sessionize_stream(df, gap_minutes=0)
 
 
+def test_sessionize_stream_null_keys_fail_loudly(spark, tmp_path):
+    """NULL user_id / NaT ts fail the stream job (batch sessionize parity):
+    a NaT ts would otherwise silently become the int64 sentinel under
+    .astype('int64') and glue/split sessions arbitrarily."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from trinity_spark.streaming.sessions import sessionize_stream
+
+    schema = "event_id long, ts timestamp, user_id long"
+    rows = [
+        (0, datetime(2024, 1, 1, 8, 0, 0), 1),
+        (1, None, 1),  # NaT ts for a live user
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(rows, schema).schema)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, state_ttl_min=None)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="NULL ts"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+
+
 def test_windowed_event_counts_watermark_finalization(spark, tmp_path):
     """Append-mode tumbling windows emit exactly the finalized windows
     (window_end <= final watermark); the straggler window stays open."""

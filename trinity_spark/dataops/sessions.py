@@ -33,6 +33,12 @@ def sessionize(
     ``gap_minutes`` (strictly greater, so an exact-gap event continues the
     session).  session_id is 0-based and dense per user; ties on ts keep a
     deterministic order via a secondary sort on event_id when present.
+
+    NULL keys fail the job (the split_bucket / build NULL-conv_id rule):
+    a NULL ``user_col`` would glue every anonymous event into one pseudo-
+    user's sessions, and a NULL (or unparseable-string) ``ts_col`` poisons
+    the lag-gap so every event AFTER it silently starts a new session.
+    Filter or fill such rows explicitly before sessionizing.
     """
     if gap_minutes <= 0:
         raise ValueError("gap_minutes must be > 0")
@@ -42,7 +48,17 @@ def sessionize(
     # DST-observing session zone the repeated/skipped hour can distort a
     # gap by +/-1h — run with a fixed-offset session tz (UTC is this
     # deployment's default) for reproducible gaps on NTZ data
-    sec = F.col(ts_col).cast("timestamp").cast("double")
+    raw_sec = F.col(ts_col).cast("timestamp").cast("double")
+    # per-row guard, no extra action: the assert branch only evaluates on a
+    # NULL key (the brute_force_topk dim-mismatch idiom)
+    sec = F.when(
+        F.col(user_col).isNull() | raw_sec.isNull(),
+        F.assert_true(
+            F.col(user_col).isNotNull() & raw_sec.isNotNull(),
+            f"sessionize: NULL {user_col} or NULL/unparseable {ts_col} row — "
+            "filter or fill these before sessionizing",
+        ).cast("double"),
+    ).otherwise(raw_sec)
     # The window MUST order by the same epoch-seconds value the gap is
     # computed from: a raw string ts column with mixed UTC offsets sorts
     # lexicographically (offset order, not chronological order), which

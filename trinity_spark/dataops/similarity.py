@@ -998,7 +998,13 @@ def exact_embedding_groups(
     near-dup pass (identical-vector floods would otherwise be split across
     sub-buckets by the cap's id-salt, costing recall; collapsed to one
     representative they cost nothing).  One shuffle on the vector value
-    (window min), no join, no verification needed — equality is exact."""
+    (window min), no join, no verification needed — equality is exact.
+
+    NULL embeddings are NOT a duplicate group: absent content is not
+    comparable (the same rule as NULL-text in ``dedup_exact`` — a window
+    PARTITION BY groups NULLs together, which would silently collapse every
+    embedding-less row into one "duplicate" cluster).  Each NULL row passes
+    through as its own canonical component."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(vec_col)
@@ -1006,7 +1012,12 @@ def exact_embedding_groups(
         vectors.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
         )
-        .select(F.col(id_col), F.min(id_col).over(w).alias("component"))
+        .select(
+            F.col(id_col),
+            F.when(F.col(vec_col).isNull(), F.col(id_col))
+            .otherwise(F.min(id_col).over(w))
+            .alias("component"),
+        )
         .withColumn("is_canonical", F.col(id_col) == F.col("component"))
     )
 

@@ -144,6 +144,21 @@ def sessionize_stream(
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
+        # NULL keys fail loudly (the batch sessionize / split_bucket rule):
+        # a NULL user_id would run one pseudo-user's session counter over
+        # every anonymous event, and a NaT ts would silently become the
+        # int64 sentinel (year ~-292e9) under .astype("int64"), gluing or
+        # splitting sessions arbitrarily
+        if key[0] is None:
+            raise ValueError(
+                "sessionize_stream: NULL user_id row — filter or fill "
+                "anonymous events before sessionizing"
+            )
+        if pdf["ts"].isna().any():
+            raise ValueError(
+                "sessionize_stream: NULL ts row(s) for user "
+                f"{key[0]!r} — filter or fill them before sessionizing"
+            )
         secs = pdf["ts"].astype("int64") / 1e9
         out_sessions = []
         out_starts = []
