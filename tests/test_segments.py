@@ -211,6 +211,77 @@ def test_merge_byte_reuse_fast_path(spark, tmp_path_factory):
             assert abs(gs - ws) <= 1e-9
 
 
+def test_merge_reuse_survives_near_miss_tombstones(spark, tmp_path_factory):
+    """A block whose [min_doc_id, max_doc_id] range COVERS a tombstoned id
+    but does not CONTAIN it must keep its reuse verdict (the membership
+    refine): with tombstones scattered across every chunk, the range probe
+    alone re-encoded the majority of all blocks at scale (36.7% reuse at a
+    10M merge with 1000 tombstones).
+
+    Corpus: doc0 'alpha', doc1 'beta', doc2 'alpha' — alpha's lone partial
+    spans [0, 2] and covers the tombstone at doc 1 without containing it;
+    beta's block is a true hit."""
+    base = str(tmp_path_factory.mktemp("nearmiss"))
+    store = SegmentStore(base)
+    rows = [("c0", 0, "alpha"), ("c1", 0, "beta"), ("c2", 0, "alpha")]
+    build_index(
+        spark,
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        ).coalesce(1),
+        store,
+        rows_per_segment=3,
+    )
+    alpha_before = {
+        (bytes(r["doc_deltas"]), r["min_doc_id"], r["max_doc_id"])
+        for r in store.read_blocks(spark).where("term = 'alpha'").collect()
+    }
+    assert len(alpha_before) == 1
+    assert next(iter(alpha_before))[1:] == (0, 2)  # range covers doc 1
+
+    store.add_deletes(spark, [1])
+    meta = merge_segments(spark, store)
+    # alpha reused byte-identical; beta (true hit) re-encoded away entirely
+    assert meta.metrics["blocks_reused"] == 1
+    assert meta.metrics["blocks_reencoded"] == 0  # beta had only doc 1
+    after = store.read_blocks(spark).collect()
+    assert {r["term"] for r in after} == {"alpha"}
+    assert {
+        (bytes(r["doc_deltas"]), r["min_doc_id"], r["max_doc_id"]) for r in after
+    } == alpha_before
+    assert meta.docs_cnt == 2
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    got = {r["doc_id"] for r in planner.matching_docs(parse_query("alpha")).collect()}
+    assert got == {0, 2}
+    assert planner.matching_docs(parse_query("beta")).collect() == []
+
+
+def test_merge_refine_true_hits_still_reencode(spark, tmp_path_factory):
+    """The refine must not over-reuse: a block that CONTAINS a tombstoned
+    doc re-encodes with the doc physically removed."""
+    base = str(tmp_path_factory.mktemp("truehit"))
+    store = SegmentStore(base)
+    rows = [("c0", 0, "alpha beta"), ("c1", 0, "beta"), ("c2", 0, "alpha")]
+    build_index(
+        spark,
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        ).coalesce(1),
+        store,
+        rows_per_segment=3,
+    )
+    store.add_deletes(spark, [0])  # in BOTH alpha's and beta's blocks
+    meta = merge_segments(spark, store)
+    assert meta.metrics["blocks_reused"] == 0
+    assert meta.metrics["blocks_reencoded"] == 2
+    assert meta.docs_cnt == 2
+    back = {
+        (r["term"], r["doc_id"])
+        for r in decode_segments(store.read_blocks(spark)).collect()
+    }
+    assert back == {("alpha", 2), ("beta", 1)}
+
+
 def test_partial_merge_docs_cnt_presence_based(spark, tmp_path_factory):
     """A tombstone applied by an earlier partial merge must NOT be subtracted
     again by a later merge that sees the same (unretired) tombstone."""

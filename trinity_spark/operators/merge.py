@@ -38,7 +38,14 @@ block:
 - Only groups with 2+ partials (a build scan-split or segment boundary
   straddled the chunk — the fastbuild per-partition encoder emits an
   independent tail per slice) are repacked, which is the actual point of
-  compaction, plus every tombstone-hit block.
+  compaction, plus every block that actually CONTAINS a tombstoned doc:
+  range-cover tombstone candidates are membership-refined by a
+  doc_deltas-only decode (``_membership_refine``) before losing their
+  reuse verdict — a rare term's lone partial spans most of its chunk, so
+  the range probe alone re-encoded the majority of blocks once tombstones
+  landed in every chunk (measured 36.7% reuse at a 10M-turn merge with
+  1000 tombstones; the refine restores the ~15 true-hit blocks per
+  tombstoned doc).
 
 The multi-partial group list is computed by a metadata-only aggregation
 (term/chunk/doc_count columns; parquet pruning keeps the byte streams out of
@@ -106,6 +113,82 @@ def _merge_codec(metas) -> str | None:
             f"this engine knows {list(CODECS)}"
         )
     return codecs.pop() if len(codecs) == 1 else None
+
+
+# Tombstone-set ceiling for the membership refine: the sorted id array rides
+# the kernel closure (int64, 4M ids = 32 MB — the same RAM-resident bound the
+# broadcast probes already assume, docidupdates.h:90-191).  Past it the refine
+# is skipped and every range-cover candidate re-encodes (the pre-refine
+# behavior — correct, just less byte reuse).
+REFINE_MAX_TOMBSTONES = 4_000_000
+
+
+def _membership_refine(
+    cand: DataFrame, tombstones: DataFrame, codec: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split range-cover tombstone candidates into (clean, hit) by ACTUAL
+    doc membership.
+
+    A candidate block decodes ONLY its doc_deltas stream (never tf/pos/pay
+    bytes) and tests the absolute ids against the sorted tombstone array;
+    blocks with zero true hits keep their bytes untouched.  The reference
+    analog is the codec's block-skip discipline — confirm a docID is inside
+    a block before decoding it (google_codec.cpp:146-176) — applied to the
+    merge's raw-copy verdict (merge.cpp:166-180).
+
+    One Arrow round-trip over candidate rows (lazily checkpointed so the
+    two consumers share one execution); candidates are exactly the set the
+    old path re-encoded wholesale, so the refine is strictly cheaper than
+    what it replaces whenever any candidate is a false positive."""
+    import numpy as np
+
+    rows = (
+        tombstones.select("doc_id").limit(REFINE_MAX_TOMBSTONES + 1).collect()
+    )
+    if len(rows) > REFINE_MAX_TOMBSTONES:
+        return cand.where(F.lit(False)), cand
+    tomb = np.sort(
+        np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+    )
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # fresh StructType: .add() MUTATES the DataFrame's cached schema object,
+    # which makes mapInArrow think its own input already has the column
+    out_schema = StructType(
+        list(cand.schema.fields) + [StructField("_thit", BooleanType())]
+    )
+
+    def verdict(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from .segments import _decode_stream, _reset_cumsum
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            dc = b.column("doc_count").to_numpy().astype(np.int64)
+            # block invariant: 1 <= doc_count <= BLOCK_SIZE (reduceat needs
+            # strictly increasing segment starts)
+            if (dc < 1).any():
+                raise ValueError("merge refine: block with doc_count < 1")
+            starts = np.concatenate(([0], np.cumsum(dc)[:-1]))
+            ids = _reset_cumsum(
+                _decode_stream(b.column("doc_deltas"), codec), starts, dc
+            )
+            pos = np.searchsorted(tomb, ids)
+            hit_post = np.zeros(len(ids), dtype=np.int64)
+            inb = pos < len(tomb)
+            hit_post[inb] = tomb[pos[inb]] == ids[inb]
+            blk_hit = np.add.reduceat(hit_post, starts) > 0
+            yield b.append_column("_thit", pa.array(blk_hit, type=pa.bool_()))
+
+    refined = cand.mapInArrow(verdict, out_schema).localCheckpoint(eager=False)
+    return (
+        refined.where(~F.col("_thit")).drop("_thit"),
+        refined.where(F.col("_thit")).drop("_thit"),
+    )
 
 
 def _present_tombstones(
@@ -316,10 +399,21 @@ def merge_segments(
                 & (F.col("_t_doc") >= F.col("min_doc_id"))
                 & (F.col("_t_doc") <= F.col("max_doc_id"))
             )
-            reused = packed.join(F.broadcast(tomb), probe, "left_anti")
-            rest = needs_repack.unionByName(
-                packed.join(F.broadcast(tomb), probe, "left_semi")
-            )
+            safe = packed.join(F.broadcast(tomb), probe, "left_anti")
+            # range-cover is only a CANDIDATE test: a block whose
+            # [min_doc_id, max_doc_id] covers a tombstoned id need not
+            # CONTAIN it — a rare term's lone partial spans most of its
+            # chunk, so with tombstones scattered across every chunk the
+            # range probe alone re-encoded the majority of all blocks
+            # (measured: 10M-turn merge with 1000 tombstones fell to 36.7%
+            # byte reuse).  Refine candidates by actual doc membership
+            # (doc_deltas-only decode, the reference's skiplist-then-seek
+            # discipline: google_codec.cpp:146-176 confirms a docID is in
+            # a block before touching it) and reuse the true misses.
+            cand = packed.join(F.broadcast(tomb), probe, "left_semi")
+            clean, tombhit = _membership_refine(cand, in_range, cdc)
+            reused = safe.unionByName(clean)
+            rest = needs_repack.unionByName(tombhit)
         else:
             reused = packed
             rest = needs_repack
