@@ -256,6 +256,31 @@ def test_merge_reuse_survives_near_miss_tombstones(spark, tmp_path_factory):
     assert planner.matching_docs(parse_query("beta")).collect() == []
 
 
+def test_merge_reuse_near_miss_tombstones_pfor(spark, tmp_path_factory):
+    """The membership refine decodes doc_deltas with the STORE's wire codec:
+    same near-miss scenario on a PFOR store must reuse alpha's block."""
+    base = str(tmp_path_factory.mktemp("nearmiss_pfor"))
+    store = SegmentStore(base)
+    rows = [("c0", 0, "alpha"), ("c1", 0, "beta"), ("c2", 0, "alpha")]
+    build_index(
+        spark,
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        ).coalesce(1),
+        store,
+        rows_per_segment=3,
+        codec="pfor",
+    )
+    store.add_deletes(spark, [1])
+    meta = merge_segments(spark, store)
+    assert meta.metrics["blocks_reused"] == 1
+    assert meta.metrics["blocks_reencoded"] == 0
+    assert meta.lineage["codec"] == "pfor"
+    planner = QueryPlanner(SegmentIndex(spark, store))
+    got = {r["doc_id"] for r in planner.matching_docs(parse_query("alpha")).collect()}
+    assert got == {0, 2}
+
+
 def test_merge_refine_true_hits_still_reencode(spark, tmp_path_factory):
     """The refine must not over-reuse: a block that CONTAINS a tombstoned
     doc re-encodes with the doc physically removed."""
