@@ -264,3 +264,78 @@ def test_percolate_routed_matches_full(sparkref, corpus, qs, add_optionals):
         for r in percolate_routed(docs, nodes).collect()
     )
     assert routed == full
+
+
+# ---------------------------------------------------------------------------
+# Random ASTs against a PHYSICAL multi-segment store with NRT and tombstones
+# ---------------------------------------------------------------------------
+# The gates above run over LogicalIndex (in-memory postings frames); the
+# 18-class oracle gate covers physical segments but with FIXED query shapes.
+# This closes the matrix cell left open — random trees x physical store —
+# one store built per module (3 batch segments + an NRT micro-segment +
+# tombstones), every hypothesis draw planning against its decoded blocks.
+# Stats identity holds because BOTH sides keep masked docs in df/N until a
+# merge folds them in (index_source.h:160-189 masked-docs semantics).
+
+
+@pytest.fixture(scope="module")
+def phys_oracle(spark, tmp_path_factory):
+    from trinity_spark.operators.indexer import SegmentIndex, build_index
+    from trinity_spark.sources.store import SegmentStore
+    from trinity_spark.streaming.nrt import append_micro_segment
+
+    rng = np.random.default_rng(202)
+    rows = []
+    for i in range(60):
+        k = int(rng.integers(1, 12))
+        rows.append((f"pc{i:04d}", 0, " ".join(rng.choice(VOCAB, size=k))))
+    store = SegmentStore(str(tmp_path_factory.mktemp("prop_phys")))
+    build_index(
+        spark,
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, text string"),
+        store,
+        rows_per_segment=25,
+    )
+    nrt_rows = []
+    for i in range(60, 68):
+        k = int(rng.integers(1, 12))
+        nrt_rows.append((f"pc{i:04d}", 0, " ".join(rng.choice(VOCAB, size=k))))
+    append_micro_segment(
+        spark,
+        store,
+        spark.createDataFrame(nrt_rows, "conv_id string, turn_idx int, text string"),
+        input_desc="prop-phys-nrt",
+    )
+    texts = {(c, t): x for c, t, x in rows + nrt_rows}
+    dm = store.read_docid_map(spark).select("conv_id", "turn_idx", "doc_id").collect()
+    docs = sorted(
+        (int(r["doc_id"]), texts[(r["conv_id"], r["turn_idx"])]) for r in dm
+    )
+    # tombstone a spread of ids: batch-segment docs and one NRT doc
+    all_ids = [d for d, _ in docs]
+    deleted = {all_ids[3], all_ids[17], all_ids[41], all_ids[-2]}
+    store.add_deletes(spark, sorted(deleted))
+    index = SegmentIndex(spark, store)
+    oracle = OracleIndex.build(docs, deleted=deleted)
+    return index, oracle
+
+
+@given(q=asts())
+@settings(
+    max_examples=int(__import__("os").environ.get("TRINITY_PROP_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_ast_physical_store_matches_oracle(phys_oracle, q):
+    q = q.normalize()
+    if q is None:
+        return
+    index, oracle = phys_oracle
+    want = oracle.topk(q, k=50)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in QueryPlanner(index).plan(q, k=50).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9, (q, gd)

@@ -77,8 +77,14 @@ def _check(spark, store, model, rng, ctx):
     assert rep["ok"], (ctx, rep["errors"])
 
 
-@pytest.mark.parametrize("seed", [3, 11])
-def test_store_lifecycle_random_sequence(spark, tmp_path_factory, seed):
+# One seed runs the whole lifecycle on the PFOR wire: codec identity must
+# survive every mutation (build records the store default, NRT appends
+# inherit it, merges keep the same-codec byte-reuse rule) — the varbyte
+# seeds alone would leave the second wire's durability path unfuzzed.
+@pytest.mark.parametrize(
+    "seed,codec", [(3, "varbyte"), (11, "varbyte"), (7, "pfor")]
+)
+def test_store_lifecycle_random_sequence(spark, tmp_path_factory, seed, codec):
     rng = random.Random(seed)
     base = str(tmp_path_factory.mktemp(f"life{seed}"))
     store = SegmentStore(base)
@@ -94,7 +100,8 @@ def test_store_lifecycle_random_sequence(spark, tmp_path_factory, seed):
             rows.append((cid, t, _text(rng)))
             model[(cid, t)] = rows[-1][2]
     build_index(
-        spark, spark.createDataFrame(rows, SCHEMA), store, rows_per_segment=len(rows)
+        spark, spark.createDataFrame(rows, SCHEMA), store,
+        rows_per_segment=len(rows), codec=codec,
     )
     _check(spark, store, model, rng, "seed-build")
 
@@ -167,6 +174,10 @@ def test_store_lifecycle_random_sequence(spark, tmp_path_factory, seed):
     # deep fsck once at the end (physical doc/block counts vs manifest)
     rep = store.fsck(spark, deep=True)
     assert rep["ok"], rep["errors"]
+
+    # wire identity survived the whole sequence: every surviving segment —
+    # built, NRT-appended, or merged — still carries the chosen codec
+    assert {store.segment_codec(m) for m in store.segments()} == {codec}
 
     # the pinned snapshot still answers with the frozen model's match sets
     if pinned is not None:

@@ -142,14 +142,13 @@ def _membership_refine(
     what it replaces whenever any candidate is a false positive."""
     import numpy as np
 
-    rows = (
-        tombstones.select("doc_id").limit(REFINE_MAX_TOMBSTONES + 1).collect()
-    )
-    if len(rows) > REFINE_MAX_TOMBSTONES:
+    # Arrow transfer, not collect(): at the 4M-id ceiling a Row-object
+    # collect holds ~10x the 32 MB the int64 array needs on the driver.
+    capped = tombstones.select("doc_id").limit(REFINE_MAX_TOMBSTONES + 1)
+    ids = capped.toArrow().column("doc_id").to_numpy(zero_copy_only=False)
+    if len(ids) > REFINE_MAX_TOMBSTONES:
         return cand.where(F.lit(False)), cand
-    tomb = np.sort(
-        np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
-    )
+    tomb = np.sort(ids.astype(np.int64, copy=False))
 
     from pyspark.sql.types import BooleanType, StructField, StructType
 
