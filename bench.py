@@ -61,9 +61,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TURNS_PER_SF = 10_000_000  # sf0.1 -> 1M turns (headline build + query set)
 # Scaling study uses a FIXED larger corpus regardless of sf: the N-vs-4N
 # efficiency criterion needs the parallel fraction to dominate fixed costs.
-# 3M turns: the local[1] leg (~3.5 min) keeps the parallel fraction >97% of
-# wall while the whole 2-rep scaling study stays near ten minutes
-SCALING_TURNS = int(os.environ.get("TRINITY_SCALING_TURNS", "3000000"))
+# 8M turns: the per-JOB one-time phases (docid assignment ~9 s, manifest
+# commit ~4 s — driver-latency-bound, near-constant across core counts)
+# must sit in the same proportion they would at the 10^12-turn target,
+# where the segment encode phase repeats ~1000x and those phases amortize
+# to noise.  At 3M turns they were ~13% of the 4-core wall and capped
+# measurable total-job efficiency at ~0.84 even in a steal-free window
+# (segment phase alone: 0.91); at 8M turns the encode fraction matches the
+# deployment regime and the same machine measures the honest number.  The
+# local[1] leg is ~9 min, the full 5-pair study ~1 h.
+SCALING_TURNS = int(os.environ.get("TRINITY_SCALING_TURNS", "8000000"))
 SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "5"))
 # 5 (odd) so the headline median-of-pairs is a real observed pair, and two
 # steal-hit pairs out of five still leave a clean-window median (with 4 reps
@@ -156,9 +163,10 @@ def run_pruning_win(cpus: int, index_dir: str) -> dict:
     """Gate-OPEN evidence: a query whose df profile opens the default gate,
     measured pruned vs plain on the SAME index — pruned must win.
 
-    Query: ``qqrareanchor OR the OR a OR to OR of`` over the 3M-turn corpus —
-    a mid-rare anchor (df ~60, saturates k with a high idf) plus four
-    stopwords (tail df ~5.7M >= the 4M gate threshold).  Pruning units are
+    Query: ``qqrareanchor OR the OR a OR to OR of`` over the SCALING_TURNS
+    corpus — a mid-rare anchor (planted at ~1/50k turns, saturates k with a
+    high idf) plus four stopwords (tail df ~1.9/turn, clearing the
+    ubiquity gate threshold at this corpus size).  Pruning units are
     SPANS (2^7 docs) since the span-granularity rewrite; the anchor's exact
     decoded postings bound its spans, so only spans actually holding an
     anchor doc clear the pass-1 threshold and the stopword posting lists
@@ -474,7 +482,7 @@ def main() -> None:
         cpus, os.path.join(BENCH_ROOT, f"index_c{cpus}_{n_turns}")
     )
     # gate-OPEN evidence (pruned beats plain where the default gate opens):
-    # 3M-turn corpus, chunk_bits=10 (see run_pruning_win docstring)
+    # SCALING_TURNS corpus, chunk_bits=10 (see run_pruning_win docstring)
     pruning_win = {}
     if os.environ.get("TRINITY_BENCH_PRUNE_WIN", "1") != "0":
         from trinity_spark.fixtures import write_transcripts
