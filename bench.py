@@ -68,14 +68,18 @@ TURNS_PER_SF = 10_000_000  # sf0.1 -> 1M turns (headline build + query set)
 # to noise.  At 3M turns they were ~13% of the 4-core wall and capped
 # measurable total-job efficiency at ~0.84 even in a steal-free window
 # (segment phase alone: 0.91); at 8M turns the encode fraction matches the
-# deployment regime and the same machine measures the honest number.  The
-# local[1] leg is ~9 min, the full 5-pair study ~1 h.
+# deployment regime and the same machine measures the honest number
+# (measured 2026-08-20: 0.998 median of 5 pairs, per-pair spread
+# 0.92-1.09, vs 0.79 median at the 3M unit in the same quiet window).
 SCALING_TURNS = int(os.environ.get("TRINITY_SCALING_TURNS", "8000000"))
-SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "5"))
-# 5 (odd) so the headline median-of-pairs is a real observed pair, and two
-# steal-hit pairs out of five still leave a clean-window median (with 4 reps
-# the even-count median averages the two middle pairs, letting one bad
-# window drag the headline below what any clean pair measured)
+SCALING_REPS = int(os.environ.get("TRINITY_SCALING_REPS", "3"))
+# Odd, so the headline median-of-pairs is a real observed pair.  3 by
+# default at the 8M unit: each local[1] leg is ~12 min, so 5 reps push a
+# default run past 1.5 h of scaling alone, and the longer legs average
+# steal within a pair (measured pair spread at 8M: 0.92-1.09, vs
+# 0.72-0.89 at 3M) — one steal-hit pair out of three still leaves a
+# clean-window median.  TRINITY_SCALING_REPS=5 reproduces the committed
+# full-window protocol.
 # N and 4N parallelism levels for the scaling criterion.  This VM's
 # hypervisor steal varies BY TIME WINDOW (identical runs differ up to ~3x
 # across windows, while runs a few minutes apart are coherent), and the
