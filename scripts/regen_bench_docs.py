@@ -355,6 +355,17 @@ def bench_md(d: dict, window: str) -> str:
                 f"{v['rank_identical']} |"
             )
         a("")
+        if any(
+            v.get("routed_path") == "single_pass" and not v.get("tier")
+            for v in xl["vs_flat"].values()
+        ):
+            a(
+                "(A `single_pass` row means the gate KEPT the fused single "
+                "pass for that query, so both columns time the same plan — "
+                "its win ratio is run-to-run noise, recorded to show the "
+                "gate's keep decision costs nothing.)"
+            )
+            a("")
         po = xl.get("pruned_or")
         if po:
             a(
