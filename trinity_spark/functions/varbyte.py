@@ -19,19 +19,22 @@ import numpy as np
 _MAX_VARBYTE_LEN = 10  # ceil(64/7)
 
 
+# 7-bit group boundaries: value v needs k groups iff v >= 2^(7(k-1))
+_GROUP_BOUNDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, _MAX_VARBYTE_LEN, dtype=np.uint64)))
+
+
 def varbyte_lengths(values: np.ndarray) -> np.ndarray:
-    """Per-value encoded byte length (number of 7-bit groups, min 1)."""
+    """Per-value encoded byte length (number of 7-bit groups, min 1).
+
+    One C searchsorted pass over the 9 group boundaries (zero still takes
+    one byte) — no per-group python loop or temporaries."""
     v = np.asarray(values, dtype=np.uint64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    for _ in range(_MAX_VARBYTE_LEN):
-        live = tmp > 0
-        if not live.any():
-            break
-        nbits[live] += 1
-        tmp >>= np.uint64(7)
-    nbits[nbits == 0] = 1  # zero still takes one byte
-    return nbits
+    if v.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    hi = int(v.max())
+    if hi < 0x80:  # the dominant posting-stream case: every value fits 1 byte
+        return np.ones(v.shape, dtype=np.int64)
+    return (np.searchsorted(_GROUP_BOUNDS, v, side="right") + 1).astype(np.int64)
 
 
 def encode_varbyte_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -43,6 +46,32 @@ def encode_varbyte_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    if int(v.max()) < 0x80:
+        # all-single-byte stream (the dominant delta/tf case): the encoded
+        # bytes ARE the values — no group loop, no offset arithmetic
+        return v.astype(np.uint8), np.arange(v.size + 1, dtype=np.int64)
+    wide = np.flatnonzero(v >= 0x80)
+    if wide.size * 16 < v.size:
+        # sparse-wide stream (e.g. doc deltas: only block-start absolutes
+        # are multi-byte): write every value as its 1-byte default in one
+        # vector store, then patch just the wide values' groups — the group
+        # loop runs over the small wide subset instead of the whole array
+        nbits = np.ones(v.size, dtype=np.int64)
+        vw = v[wide]
+        wbits = varbyte_lengths(vw)
+        nbits[wide] = wbits
+        offsets = np.concatenate(([0], np.cumsum(nbits)))
+        out = np.zeros(offsets[-1], dtype=np.uint8)
+        out[offsets[:-1]] = (v & np.uint64(0x7F)).astype(np.uint8)
+        shifted = vw.copy()
+        wpos = offsets[:-1][wide]
+        for byte_idx in range(int(wbits.max())):
+            sel = wbits > byte_idx
+            payload = (shifted[sel] & np.uint64(0x7F)).astype(np.uint8)
+            cont = (wbits[sel] > byte_idx + 1).astype(np.uint8) << 7
+            out[wpos[sel] + byte_idx] = payload | cont
+            shifted[sel] >>= np.uint64(7)
+        return out, offsets
     nbits = varbyte_lengths(v)
     offsets = np.concatenate(([0], np.cumsum(nbits)))
     out = np.zeros(offsets[-1], dtype=np.uint8)

@@ -36,6 +36,7 @@ aggregation driver-side, so callers need no separate count job.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,8 +48,16 @@ from pyspark.sql import functions as F
 ORDER_COLS = ("conv_id", "turn_idx")
 
 # conv tables up to this many rows ride a broadcast join (no corpus shuffle);
-# bigger corpora fall back to a conv_id shuffle join (AQE-planned)
-BROADCAST_MAX_CONVS = 1_000_000
+# bigger corpora fall back to a conv_id shuffle join (AQE-planned).
+# Sized by memory, not superstition: a bases row is ~40 bytes (conv_id
+# string + two longs), so 8M convs is a ~320 MB broadcast hash relation —
+# comfortable under an 8g+ driver/executor and far below Spark's 8 GB
+# broadcast ceiling.  The threshold matters doubly: past it the attach join
+# hash-shuffles the WHOLE corpus and the encoder needs a doc-range
+# repartition to restore block geometry (two corpus-wide shuffles plus
+# giant per-partition encode buffers, measured 2.5x slower per turn at the
+# 8M-turn scaling unit than the shuffle-free broadcast plan).
+BROADCAST_MAX_CONVS = int(os.environ.get("TRINITY_BROADCAST_MAX_CONVS", "8000000"))
 
 _BASES_SCHEMA = "conv_id string, n_turns long, base long"
 

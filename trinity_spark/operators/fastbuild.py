@@ -12,26 +12,27 @@ Reference analog: the in-memory per-document hit accumulation of
 ``SegmentIndexSession::update_document`` (``/root/reference/indexer.cpp:
 33-153``) — Trinity also aggregates per (term, doc) before anything global.
 
-Everything is numpy/pandas C-kernels over Arrow batches (factorize, lexsort,
-run-length boundaries); no per-row Python.  Output is BIT-IDENTICAL to the
-classic path (tests/test_fastbuild.py proves postings-set equality).
+Everything is Arrow compute kernels + numpy C-kernels over Arrow batches
+(split/flatten/dictionary-encode, lexsort, run-length boundaries); no per-row
+Python.  Output is BIT-IDENTICAL to the classic path (tests/test_fastbuild.py
+proves postings-set equality).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
-from itertools import chain
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 
 from ..tokenizer import (
     MAX_POSITION,
     MAX_TERM_LENGTH,
-    positionless_mask,
-    tokenize_udf,
+    POSITIONLESS_MARKER,
+    tokenize_arrow,
 )
 
 # ONE schema definition: the decode side (segments.py) owns it; a drifted
@@ -48,21 +49,36 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
-def _batch_postings(doc_ids: np.ndarray, token_lists: pd.Series) -> pa.RecordBatch | None:
-    lens = token_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-    total = int(lens.sum())
-    if total == 0:
+def _postings_arrays(
+    doc_ids: np.ndarray, tokens
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.StringArray, np.ndarray] | None:
+    """tokens (pa.ListArray of strings, or a pandas Series of lists) ->
+    finished per-(term, doc) postings for one batch, sorted by (doc, term
+    first-appearance code): (doc, tf, codes, dictionary, pos_flat).
+
+    All string work is Arrow C kernels (utf8_length, match_substring,
+    dictionary_encode); numpy handles positions/run-lengths.  Semantics are
+    frozen-tokenizer limits in the frozen order (see tokenizer.py)."""
+    if isinstance(tokens, pd.Series):
+        tokens = pa.array(list(tokens), type=pa.list_(pa.string()))
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens).astype(np.int64) if lens.dtype != np.int64 else lens
+    flat = pc.list_flatten(tokens)
+    if len(flat) == 0:
         return None
-    flat_terms = pd.Series(
-        np.fromiter(chain.from_iterable(token_lists), dtype=object, count=total)
-    )
     row_idx = np.repeat(np.arange(len(doc_ids)), lens)
 
     # frozen limits, same order as tokenizer.apply_limits:
-    # 1) drop terms longer than MAX_TERM_LENGTH
-    keep = (flat_terms.str.len() <= MAX_TERM_LENGTH).to_numpy()
-    flat_terms = flat_terms[keep].reset_index(drop=True)
-    row_idx = row_idx[keep]
+    # 1) drop terms longer than MAX_TERM_LENGTH (and zero-length split
+    #    artifacts — findall never emits them, so this is a no-op there)
+    tlen = pc.utf8_length(flat)
+    keep = pc.and_(pc.greater(tlen, 0), pc.less_equal(tlen, MAX_TERM_LENGTH))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.all():
+        flat = flat.filter(keep)
+        row_idx = row_idx[keep_np]
     # 2) positions are 1-based indices in the post-filter stream ...
     new_lens = np.bincount(row_idx, minlength=len(doc_ids))
     starts = np.concatenate(([0], np.cumsum(new_lens)[:-1]))
@@ -70,35 +86,64 @@ def _batch_postings(doc_ids: np.ndarray, token_lists: pd.Series) -> pa.RecordBat
     doc_rep = doc_ids[row_idx]
     # 3) ... capped at MAX_POSITION (tokens beyond are dropped)
     cap = positions <= MAX_POSITION
-    flat_terms = flat_terms[cap].reset_index(drop=True)
-    doc_rep = doc_rep[cap]
-    positions = positions[cap]
+    if not cap.all():
+        flat = flat.filter(pa.array(cap))
+        doc_rep = doc_rep[cap]
+        positions = positions[cap]
     if len(doc_rep) == 0:
         return None
     # 4) word:tail operator tokens are positionless (pos 0, codecs.h:191-195)
     # but still consume their slot — distances around them are preserved
-    op = positionless_mask(flat_terms).to_numpy()
+    op = pc.match_substring(flat, POSITIONLESS_MARKER).to_numpy(zero_copy_only=False)
     if op.any():
         positions = np.where(op, 0, positions)
 
-    codes, uniques = pd.factorize(flat_terms, sort=False)
-    order = np.lexsort((positions, codes, doc_rep))
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary
+    # sort by (doc, term-code); stable keeps positions ascending within a
+    # run.  When (doc, code) packs into one int64 a single radix argsort
+    # replaces the 3-key lexsort (~2x) and run boundaries fall out of the
+    # packed key; otherwise fall back to the general lexsort.
+    bits_code = max((len(uniques) - 1).bit_length(), 1)
+    if int(doc_rep.max()).bit_length() + bits_code <= 63:
+        key = (doc_rep << np.int64(bits_code)) | codes
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        boundary = np.empty(len(ks), dtype=bool)
+        boundary[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=boundary[1:])
+    else:
+        order = np.lexsort((positions, codes, doc_rep))
+        d_s, c_s = doc_rep[order], codes[order]
+        boundary = np.empty(len(d_s), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
     d, c, p = doc_rep[order], codes[order], positions[order]
-    boundary = np.empty(len(d), dtype=bool)
-    boundary[0] = True
-    boundary[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
     run_starts = np.flatnonzero(boundary)
     run_lens = np.diff(np.concatenate((run_starts, [len(d)])))
+    return d[run_starts], run_lens, c[run_starts], uniques, p
 
-    offsets = np.concatenate((run_starts, [len(d)])).astype(np.int32)
+
+def _batch_postings(doc_ids: np.ndarray, token_lists) -> pa.RecordBatch | None:
+    out = _postings_arrays(doc_ids, token_lists)
+    if out is None:
+        return None
+    doc, tf, codes, uniques, pos = out
+    offsets = np.concatenate(
+        ([0], np.cumsum(tf))
+    ).astype(np.int32)
+    term_col = uniques.take(pa.array(codes))
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(np.asarray(uniques, dtype=object)[c[run_starts]], type=pa.string()),
-            pa.array(d[run_starts], type=pa.int64()),
-            pa.array(run_lens.astype(np.int32), type=pa.int32()),
+            term_col.cast(pa.string()),
+            pa.array(doc, type=pa.int64()),
+            pa.array(tf.astype(np.int32), type=pa.int32()),
             pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()),
-                pa.array(p.astype(np.int32), type=pa.int32()),
+                pa.array(pos.astype(np.int32), type=pa.int32()),
             ),
         ],
         schema=_OUT_SCHEMA,
@@ -109,7 +154,7 @@ def _encode_partition(
     doc: np.ndarray,
     tf: np.ndarray,
     codes: np.ndarray,
-    uniques: np.ndarray,
+    uniques,
     pos_flat: np.ndarray,
     chunk_bits: int,
     codec: str = "varbyte",
@@ -123,28 +168,63 @@ def _encode_partition(
     varbyte one ``encode_varbyte_offsets`` pass per stream; under pfor one
     ``pfor_encode_rows`` pass per stream (blocks grouped by bit width —
     lucene_codec.cpp:163-208 shape, batched across every block at once).
+
+    ``uniques`` may be a pa.StringArray (term strings by code) or a numpy
+    object array — term columns are built by Arrow take either way.
     """
     from ..operators.segments import BLOCK_SIZE
     from ..functions.varbyte import encode_varbyte_offsets
 
+    if not isinstance(uniques, pa.Array):
+        uniques = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
+
     n = len(doc)
     chunk = doc >> np.int64(chunk_bits)
-    # order postings by (chunk, term, doc) — the physical layout
-    order = np.lexsort((doc, codes, chunk))
+    # order postings by (chunk, term, doc) — the physical layout.  The input
+    # is doc-ascending in the normal build (postings arrive in corpus doc
+    # order), so a STABLE sort by (chunk, code) alone preserves doc order
+    # within each group and the key needs no doc bits — it usually fits
+    # int32, where numpy's radix sort runs ~2x the int64 width.  Unsorted
+    # inputs (NRT slices, ad-hoc frames) fall back to a (chunk, code, low
+    # doc bits) packed key, or the general 3-key lexsort if even that
+    # overflows 63 bits.
+    bits_code = max((int(codes.max()) if n else 0).bit_length(), 1)
+    group_key = None
+    doc_sorted = bool(np.all(doc[1:] >= doc[:-1])) if n > 1 else True
+    chunk_top = int(chunk.max()).bit_length()
+    if doc_sorted and chunk_top + bits_code <= 63:
+        key = (chunk << np.int64(bits_code)) | codes
+        if chunk_top + bits_code <= 31:
+            key = key.astype(np.int32)
+        order = np.argsort(key, kind="stable")
+        group_key = key[order]
+    elif chunk_top + bits_code + chunk_bits <= 63:
+        key = (
+            (chunk << np.int64(bits_code + chunk_bits))
+            | (codes << np.int64(chunk_bits))
+            | (doc & np.int64((1 << chunk_bits) - 1))
+        )
+        order = np.argsort(key, kind="stable")
+        group_key = (key >> np.int64(chunk_bits))[order]
+    else:
+        order = np.lexsort((doc, codes, chunk))
     # gather variable-length position rows into the new order (source row
     # offsets MUST come from the pre-reorder tf layout)
     src_offsets = np.concatenate(([0], np.cumsum(tf)))[:-1][order]
     doc, tf, codes, chunk = doc[order], tf[order], codes[order], chunk[order]
     new_offsets = np.concatenate(([0], np.cumsum(tf)))
-    gather = np.repeat(src_offsets, tf) + (
-        np.arange(new_offsets[-1]) - np.repeat(new_offsets[:-1], tf)
+    gather = np.repeat(src_offsets - new_offsets[:-1], tf) + np.arange(
+        new_offsets[-1]
     )
     pos_flat = pos_flat[gather]
 
     # group = (term, chunk) run; blocks of <= BLOCK_SIZE docs within a group
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
-    new_group[1:] = (codes[1:] != codes[:-1]) | (chunk[1:] != chunk[:-1])
+    if group_key is not None:
+        np.not_equal(group_key[1:], group_key[:-1], out=new_group[1:])
+    else:
+        new_group[1:] = (codes[1:] != codes[:-1]) | (chunk[1:] != chunk[:-1])
     group_ids = np.cumsum(new_group) - 1
     group_first = np.flatnonzero(new_group)
     rank = np.arange(n) - group_first[group_ids]
@@ -198,9 +278,12 @@ def _encode_partition(
         [None, pa.py_buffer(np.zeros(n_blocks + 1, dtype=np.int32).tobytes()),
          pa.py_buffer(b"")],
     )
+    term_col = uniques.take(pa.array(codes[bs]))
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(np.asarray(uniques, dtype=object)[codes[bs]], type=pa.string()),
+            term_col.cast(pa.string()),
             pa.array(chunk[bs], type=pa.int64()),
             pa.array(chunk[bs] * blocks_per_chunk + (rank[bs] // BLOCK_SIZE), type=pa.int64()),
             pa.array((be - bs).astype(np.int32), type=pa.int32()),
@@ -239,7 +322,6 @@ def blocks_from_turns(
 
     _check_codec(codec)
     cb = chunk_bits if chunk_bits is not None else CHUNK_BITS
-    tokenize = tokenize_udf.func
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         docs: list[np.ndarray] = []
@@ -248,22 +330,22 @@ def blocks_from_turns(
         pos: list[np.ndarray] = []
         uniq: dict[str, int] = {}
         for batch in batches:
-            pdf = batch.to_pandas()
-            out = _batch_postings(
-                pdf["doc_id"].to_numpy(dtype=np.int64), tokenize(pdf[text_col])
+            batch_doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            out = _postings_arrays(
+                np.ascontiguousarray(batch_doc_ids, dtype=np.int64),
+                tokenize_arrow(batch.column(text_col)),
             )
             if out is None:
                 continue
-            terms = out.column("term").to_pandas()
-            c, u = pd.factorize(terms, sort=False)
+            d, tf, c, u, p = out
             # remap batch-local codes into the partition-wide dictionary
             remap = np.empty(len(u), dtype=np.int64)
-            for i, t in enumerate(u):
+            for i, t in enumerate(u.to_pylist()):
                 remap[i] = uniq.setdefault(t, len(uniq))
             codes.append(remap[c])
-            docs.append(out.column("doc_id").to_numpy())
-            tfs.append(out.column("tf").to_numpy().astype(np.int64))
-            pos.append(out.column("positions").flatten().to_numpy().astype(np.int64))
+            docs.append(d)
+            tfs.append(tf)
+            pos.append(p)
         if not docs:
             return
         uniques = np.empty(len(uniq), dtype=object)
@@ -280,15 +362,17 @@ def blocks_from_turns(
 def postings_from_turns(turns: DataFrame, text_col: str = "text") -> DataFrame:
     """turns(doc_id, text, ...) -> postings, zero shuffles.
 
-    Tokenization reuses the frozen tokenize_udf regex pipeline (as a plain
-    function on the pandas Series — same code object the UDF wraps)."""
-    tokenize = tokenize_udf.func  # the underlying pandas function
+    Tokenization uses the Arrow twin of the frozen tokenize_udf pipeline
+    (tokenizer.tokenize_arrow — equivalence-tested against the pandas UDF)."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            pdf = batch.to_pandas()
             out = _batch_postings(
-                pdf["doc_id"].to_numpy(dtype=np.int64), tokenize(pdf[text_col])
+                np.ascontiguousarray(
+                    batch.column("doc_id").to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                ),
+                tokenize_arrow(batch.column(text_col)),
             )
             if out is not None:
                 yield out

@@ -87,18 +87,24 @@ def build_index(
     import sys
 
     # Build-scoped fine scan splits: the fused tokenize/encode pass is
-    # CPU-bound at ~1s/MiB-compressed, so 4 MiB splits keep the last wave
-    # short at every core count (a 330 MB corpus = 84 tasks instead of 21;
-    # ragged-tail waste at 4 cores drops ~12% -> ~1% — this IS the measured
-    # scaling-efficiency fix).  Scoped here (runtime conf, restored in the
-    # finally below) because the same setting shreds QUERY scans into
+    # CPU-bound, so 4 MiB splits keep the last wave short at every core
+    # count (a 330 MB corpus = 84 tasks instead of 21; ragged-tail waste at
+    # 4 cores drops ~12% -> ~1% — the measured round-4 scaling-efficiency
+    # fix).  MEASURED round 6 and kept: 32 MiB splits looked cheaper on
+    # paper (8x fewer worker round-trips) but ran the 1-core leg 2x SLOWER —
+    # per-task encode buffers grow to ~7M postings and this VM charges a
+    # first-touch page-fault premium on large fresh allocations that dwarfs
+    # the per-task overhead saved.  Scoped here (runtime conf, restored in
+    # the finally below) because the same setting shreds QUERY scans into
     # hundreds of tiny tasks of pure scheduling overhead.
     if codec is None:
         codec = store.default_codec()
     store.record_default_codec(codec)
     _mpb_key = "spark.sql.files.maxPartitionBytes"
     _mpb_old = spark.conf.get(_mpb_key, None)
-    spark.conf.set(_mpb_key, "4194304")
+    spark.conf.set(
+        _mpb_key, os.environ.get("TRINITY_BUILD_SPLIT_BYTES", "4194304")
+    )
     try:
         return _build_index_inner(
             spark, turns, store, rows_per_segment, input_desc, chunk_bits,
@@ -220,23 +226,29 @@ def _build_index_inner(
         rows_per_segment = _rps(n_docs)
         docmap = store.attach_doc_ids(turns)
         # per-segment conv_id ranges (one job over the small conv table):
-        # segment s covers convs whose [base, base+n) intersects its range
+        # segment s covers convs whose [base, base+n) intersects its range.
+        # A SINGLE-segment build needs neither the job nor the predicate —
+        # the one segment covers every conv, so the conv_id filter would
+        # scan-prune nothing and the spans job is a pure fixed cost (it
+        # capped measured build-scaling efficiency at the one-segment
+        # scaling unit).
         r = rows_per_segment
-        spans = store.read_conv_bases(spark).select(
-            "conv_id",
-            F.explode(
-                F.sequence(
-                    (F.col("base") / r).cast("long"),
-                    ((F.col("base") + F.col("n_turns") - 1) / r).cast("long"),
-                )
-            ).alias("seg"),
-        )
-        for row in (
-            spans.groupBy("seg")
-            .agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
-            .collect()
-        ):
-            seg_conv_bounds[int(row["seg"])] = (row["lo"], row["hi"])
+        if r < n_docs:
+            spans = store.read_conv_bases(spark).select(
+                "conv_id",
+                F.explode(
+                    F.sequence(
+                        (F.col("base") / r).cast("long"),
+                        ((F.col("base") + F.col("n_turns") - 1) / r).cast("long"),
+                    )
+                ).alias("seg"),
+            )
+            for row in (
+                spans.groupBy("seg")
+                .agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
+                .collect()
+            ):
+                seg_conv_bounds[int(row["seg"])] = (row["lo"], row["hi"])
     elif not os.path.exists(os.path.join(store.docid_map_dir(), "_SUCCESS")):
         with_ids, n_docs = assign_doc_ids_counted(turns)
         rows_per_segment = _rps(n_docs)

@@ -37,6 +37,21 @@ def get_spark(
     if pkg_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
 
+    # Python workers churn large numpy/Arrow buffers every task; glibc's
+    # default 128 KB mmap threshold makes each of those a fresh mmap that is
+    # munmapped on free, so every task re-pays first-touch page faults on
+    # gigabytes of memory — and on VM hosts that demand-page guest memory the
+    # fault cost varies with host load (the measured cross-window 3x build
+    # variance).  Routing large allocations through the arena and never
+    # trimming keeps the pages resident in the long-lived reused workers:
+    # each buffer is faulted once per worker, not once per task.  Same
+    # mechanism a cluster deployment ships via spark.executorEnv below.
+    for k, v in (
+        ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
+        ("MALLOC_TRIM_THRESHOLD_", "1073741824"),
+    ):
+        os.environ.setdefault(k, v)
+
     master = master or os.environ.get("TRINITY_SPARK_MASTER", "local[*]")
     par = _local_threads(master, os.cpu_count() or 8)
     if shuffle_partitions is None:
@@ -61,6 +76,10 @@ def get_spark(
         # 128 MiB splits (fine splits turned a 10M-doc index query into
         # 312 tiny tasks of pure scheduling overhead)
         .config("spark.executorEnv.PYTHONPATH", pkg_root)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                os.environ["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                os.environ["MALLOC_TRIM_THRESHOLD_"])
         .config("spark.local.dir", os.environ.get("TRINITY_LOCAL_DIR", "/dev/shm/spark-local")
                 if os.path.isdir(os.environ.get("TRINITY_LOCAL_DIR", "/dev/shm/spark-local"))
                 else "/tmp")

@@ -147,6 +147,51 @@ def tokenize_terms_py(text: str | None) -> list[tuple[str, int]]:
     ]
 
 
+def tokenize_arrow(texts) -> "pa.ListArray":
+    """Arrow-native tokenizer twin of ``tokenize_udf`` (same raw token
+    stream, before limits) for the fused build path.
+
+    Rows whose lowercased text is pure ``[a-z0-9]`` + ASCII whitespace need
+    none of the normalization passes (acronym / apostrophe / num-norm all
+    require a ``.``/``'``/``’``, and ``[a-z0-9]+`` runs separated only by
+    whitespace ARE the findall result), so they take a pure C path:
+    ``utf8_lower`` + ``ascii_split_whitespace``.  Whitespace-run splitting
+    can emit empty strings (leading/trailing runs); the build's length
+    filter drops zero-length tokens before positions are assigned, so the
+    streams stay identical to ``findall`` output.  Rows with any other
+    character fall back to the frozen pandas pipeline — applied to the
+    ORIGINAL text (Python ``str.lower``), byte-for-byte ``tokenize_udf``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    filled = pc.fill_null(texts, "")
+    low = pc.utf8_lower(filled)
+    dirty = pc.match_substring_regex(low, r"[^a-z0-9\s]")
+    if not pc.any(dirty).as_py():
+        return pc.ascii_split_whitespace(low)
+    import numpy as np
+
+    dirty_np = dirty.to_numpy(zero_copy_only=False)
+    clean_idx = np.flatnonzero(~dirty_np)
+    dirty_idx = np.flatnonzero(dirty_np)
+    clean_lists = pc.ascii_split_whitespace(low.take(pa.array(clean_idx)))
+    dirty_series = tokenize_udf.func(
+        pd.Series(filled.take(pa.array(dirty_idx)).to_pylist())
+    )
+    dirty_lists = pa.array(list(dirty_series), type=pa.list_(pa.string()))
+    combined = pa.concat_arrays(
+        [clean_lists.combine_chunks() if isinstance(clean_lists, pa.ChunkedArray)
+         else clean_lists, dirty_lists]
+    )
+    perm = np.empty(len(dirty_np), dtype=np.int64)
+    perm[clean_idx] = np.arange(len(clean_idx))
+    perm[dirty_idx] = len(clean_idx) + np.arange(len(dirty_idx))
+    return combined.take(pa.array(perm))
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Arrow-vectorized tokenizer: pandas .str regex passes (C regex loop,
