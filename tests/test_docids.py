@@ -88,3 +88,30 @@ def test_null_conv_id_raises(spark):
     )
     with pytest.raises(ValueError, match="NULL conv_id"):
         assign_doc_ids_counted(df)
+
+
+def test_long_conv_duplicate_with_gap_routes_to_fallback(spark):
+    """A conversation longer than the 62-slot dense-test bitmap whose
+    turn_idx stream passes the min/max/count screen (min=0, max=n-1,
+    count=n) but contains a duplicate+gap: the exact filtered
+    countDistinct pass must catch it and route the corpus to the
+    row_number fallback so doc_ids stay unique."""
+    rows = []
+    # 70 turns: 0, 1, ..., 67, 67, 69  -> count=70, min=0, max=69, dup at 67
+    idxs = list(range(68)) + [67, 69]
+    for i, t in enumerate(idxs):
+        rows.append(
+            {
+                "conv_id": "c-long",
+                "turn_idx": t,
+                "role": "user",
+                "text": f"msg {i}",
+                "tool": "",
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    sdf, n = assign_doc_ids_counted(spark.createDataFrame(pdf), 3)
+    got = sdf.toPandas()
+    assert n == len(pdf)
+    assert sorted(got["doc_id"]) == list(range(len(pdf)))  # unique AND dense

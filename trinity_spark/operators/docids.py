@@ -71,11 +71,18 @@ def _conv_bases(
         F.count(F.lit(1)).alias("n_turns"),
         F.min("turn_idx").alias("min_idx"),
         F.max("turn_idx").alias("max_idx"),
-        # n distinct values + min=0 + max=n-1 + count=n is an EXACT
-        # permutation-of-0..n-1 test; without it, duplicates plus a gap
-        # (e.g. [0, 0, 2]) would pass and the arithmetic doc_id path would
-        # silently mint duplicate ids
-        F.countDistinct("turn_idx").alias("n_distinct"),
+        # EXACT permutation-of-0..n-1 test without a countDistinct: for
+        # convs with max_idx <= 61 the bit_or of 1<<turn_idx equals
+        # (1<<n)-1 iff the set is exactly {0..n-1} (duplicates-plus-gap
+        # like [0, 0, 2] fails the bitmap where a count-only test passes).
+        # countDistinct doubled the corpus aggregation's cost (partial
+        # distinct expansion); convs too long for the bitmap are exactly
+        # re-checked in a second, filtered pass below — zero extra scans on
+        # corpora whose conversations fit 62 turns.
+        F.expr(
+            "bit_or(case when turn_idx between 0 and 61 "
+            "then shiftleft(1L, cast(turn_idx as int)) else 0L end)"
+        ).alias("bits"),
     )
     ordered = convs.repartitionByRange(
         num_partitions, "conv_id"
@@ -90,9 +97,18 @@ def _conv_bases(
                 (
                     (F.col("min_idx") != 0)
                     | (F.col("max_idx") != F.col("n_turns") - 1)
-                    | (F.col("n_distinct") != F.col("n_turns"))
+                    | (
+                        (F.col("max_idx") <= 61)
+                        & (
+                            F.col("bits")
+                            != F.expr("shiftleft(1L, cast(n_turns as int)) - 1L")
+                        )
+                    )
                 ).cast("int")
             ).alias("sparse"),
+            # convs too long for the 62-bit bitmap: their dense test needs
+            # the exact (filtered) countDistinct pass below
+            F.max((F.col("max_idx") > 61).cast("int")).alias("long_conv"),
             # NULL conv_id forms its own group here but never matches the
             # equi-join back to the corpus: its turns would VANISH from the
             # index while n_docs still counted them (stats drift + an id
@@ -111,6 +127,23 @@ def _conv_bases(
     n_docs = int(sum(r["n_turns"] for r in parts))
     n_convs = int(sum(r["n_convs"] for r in parts))
     dense = all(r["sparse"] == 0 for r in parts)
+    if dense and any(r["long_conv"] for r in parts):
+        # some convs exceed the 62-bit bitmap: their permutation test needs
+        # the exact distinct count — one FILTERED pass over just those
+        # convs' turns (broadcast semi-join on the small long-conv id set)
+        long_ids = ordered.where(F.col("max_idx") > 61).select("conv_id")
+        exact = (
+            df.join(F.broadcast(long_ids), "conv_id", "left_semi")
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.countDistinct("turn_idx").alias("n_distinct"),
+            )
+            .where(F.col("n_distinct") != F.col("n_turns"))
+            .limit(1)
+            .collect()
+        )
+        dense = not exact
     offsets: dict[int, int] = {}
     expect: dict[int, int] = {}
     acc = 0
