@@ -63,10 +63,19 @@ _BASES_SCHEMA = "conv_id string, n_turns long, base long"
 
 
 def _conv_bases(
-    df: DataFrame, num_partitions: int
-) -> tuple[DataFrame, int, int, bool]:
+    df: DataFrame, num_partitions: int, writer=None
+) -> tuple[DataFrame | None, int, int, bool]:
     """Per-conversation (base, n_turns) with base = #turns in all earlier
-    conv_ids.  Returns (bases_df, n_docs, n_convs, turn_idx_is_dense)."""
+    conv_ids.  Returns (bases_df, n_docs, n_convs, turn_idx_is_dense).
+
+    ``writer(bases_df, n_docs, n_convs)``: when given AND the corpus is
+    dense, the (lazy) bases frame is handed to the writer for its ONE
+    materialization (e.g. the store's conv_bases parquet write) instead of
+    being localCheckpoint'ed — one pass over the conv table instead of
+    two, and the returned bases_df is None (the writer's sink owns the
+    data).  When the corpus is NOT dense the writer is never called (the
+    caller falls back to the materialized map) and no bases pass runs at
+    all."""
     convs = df.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.min("turn_idx").alias("min_idx"),
@@ -180,6 +189,17 @@ def _conv_bases(
                 f"expected {expect.get(pid, 0)}"
             )
 
+    if writer is not None:
+        try:
+            if dense:
+                writer(
+                    ordered.mapInArrow(enumerate_convs, _BASES_SCHEMA),
+                    n_docs,
+                    n_convs,
+                )
+        finally:
+            ordered.unpersist()
+        return None, n_docs, n_convs, dense
     # Eagerly materialize the (small) bases table and cut its lineage so the
     # cached `ordered` frame can be released NOW instead of leaking a cached
     # DataFrame per build for the session lifetime.  localCheckpoint blocks

@@ -102,9 +102,10 @@ def build_index(
     store.record_default_codec(codec)
     _mpb_key = "spark.sql.files.maxPartitionBytes"
     _mpb_old = spark.conf.get(_mpb_key, None)
-    spark.conf.set(
-        _mpb_key, os.environ.get("TRINITY_BUILD_SPLIT_BYTES", "4194304")
-    )
+    # the fine split is applied INSIDE _build_index_inner just before the
+    # segment loop: phase 0 (conv aggregation / docid map) is scan+agg
+    # bound and runs ~15% faster on default-size splits — only the fused
+    # encode pass wants the 4 MiB granularity
     try:
         return _build_index_inner(
             spark, turns, store, rows_per_segment, input_desc, chunk_bits,
@@ -214,14 +215,22 @@ def _build_index_inner(
 
         if store.docid_map_mode() != "virtual":
             num_partitions = max(spark.sparkContext.defaultParallelism, 4)
-            bases, n_docs, n_convs, dense = _conv_bases(turns, num_partitions)
+            # the store's parquet write IS the bases frame's one
+            # materialization (writer mode): one pass over the conv table
+            # instead of localCheckpoint + write
+            _, n_docs, n_convs, dense = _conv_bases(
+                turns,
+                num_partitions,
+                writer=lambda b, nd, nc: store.write_conv_bases(
+                    b, nd, nc, input_desc
+                ),
+            )
             if not dense:
                 # the arithmetic rule needs dense turn_idx; fall back
                 return build_index(
                     spark, turns, store, rows_per_segment, input_desc,
                     chunk_bits, docid_map_mode="materialized", codec=codec,
                 )
-            store.write_conv_bases(bases, n_docs, n_convs, input_desc)
         n_docs = store.docid_map_count(spark)
         rows_per_segment = _rps(n_docs)
         docmap = store.attach_doc_ids(turns)
@@ -305,6 +314,12 @@ def _build_index_inner(
         return "partial" if touched else "none"
 
     built: list[SegmentMeta] = []
+    # fine scan splits for the CPU-bound fused encode pass only (see the
+    # build_index comment; restored by build_index's finally)
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("TRINITY_BUILD_SPLIT_BYTES", "4194304"),
+    )
     # loop-invariant: did the virtual-mode attach join hash-shuffle?
     attach_shuffled = (
         bool(seg_conv_bounds)

@@ -51,7 +51,17 @@ from ..plans.ast import And, Or, Phrase, Token, query_terms
 # (postings rows the expensive tail would otherwise decode):
 PRUNE_MIN_TAIL_DF = 1 << 22  # OR path: tail below ~4M rows decodes faster flat
 PRUNE_MIN_SKEW = 8.0  # need rare-vs-common contrast for a useful bound
-AND_PRUNE_MIN_DF = 1 << 20  # AND path is cheaper (no pass-1 job): gate lower
+# AND path is cheaper than OR (meta tier runs no pass-1 job — the span set
+# is a broadcast subquery inside the one query job), so its gate sits much
+# lower.  Re-measured round 6 after the decode/build vectorization, kept at
+# 1M: lowering to 256k routed the sf0.1 q_skew (max_df 595k, df-3 anchor)
+# through meta_span and won 1.9-2.6x at 2M docs on 4 cores — but at the
+# headline point (1M docs, 32 cores) the flat single pass already finishes
+# in the restricted plan's fixed cost, and the deeper routed plan costs
+# ~0.5 s MORE cold (semi-join + explode subquery codegen).  The gate's df
+# unit is decode rows saved per core-second: 1M rows is where the skipped
+# decode beats the extra plan depth on a 32-core leaf.
+AND_PRUNE_MIN_DF = 1 << 20
 _TF_SAT = 1.0 / (1.0 + K1)  # score of a tf=1 hit as a fraction of idf
 
 # --- AND span restriction ----------------------------------------------------

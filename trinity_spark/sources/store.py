@@ -416,24 +416,47 @@ class SegmentStore:
         # sorted by term: parquet row-group min/max on `term` = dictionary seek.
         # one write partition per core — par//2 left half the cores idle
         # through the whole commit phase at low parallelism
-        blocks.repartitionByRange(
-            max(blocks.sparkSession.sparkContext.defaultParallelism, 2), "term"
-        ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
-            self.segment_dir(segment_id, "postings")
-        )
-        term_dict.write.mode("overwrite").parquet(self.segment_dir(segment_id, "term_dict"))
-        field_stats.write.mode("overwrite").parquet(
-            self.segment_dir(segment_id, "field_stats")
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+
+        def _write_postings() -> None:
+            blocks.repartitionByRange(
+                max(blocks.sparkSession.sparkContext.defaultParallelism, 2),
+                "term",
+            ).sortWithinPartitions("term", "block_id").observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(
+                self.segment_dir(segment_id, "postings")
+            )
+
+        def _write_dict() -> None:
+            term_dict.write.mode("overwrite").parquet(
+                self.segment_dir(segment_id, "term_dict")
+            )
+
+        def _write_stats() -> None:
+            field_stats.write.mode("overwrite").parquet(
+                self.segment_dir(segment_id, "field_stats")
+            )
+
+        # the three outputs derive from the SAME persisted blocks frame and
+        # are mutually independent: submit them as concurrent driver
+        # actions so the commit wall is the postings write, not the sum of
+        # three job latencies (the dict/stats frames are tiny)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(f) for f in (_write_postings, _write_dict, _write_stats)]
+            for f in futs:
+                f.result()
         # exact written-block count for lineage: lets fsck detect LOST
         # postings files (physical < lineage) as an ERROR, which the doc
-        # count cannot (zero-token docs legitimately depress it).  Pinned
-        # 1-column projection; parquet count is a footer-metadata job.
-        return int(
-            blocks.sparkSession.read.schema("term string")
-            .parquet(self.segment_dir(segment_id, "postings"))
-            .count()
-        )
+        # count cannot (zero-token docs legitimately depress it).  Counted
+        # by an Observation ON the write job itself (rows that flowed into
+        # the files) — the old footer re-read was one extra Spark job per
+        # segment commit, pure fixed cost at the 1000-segment design point.
+        return int(obs.get["n"])
 
     def commit_segment(
         self,
