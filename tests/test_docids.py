@@ -115,3 +115,46 @@ def test_long_conv_duplicate_with_gap_routes_to_fallback(spark):
     got = sdf.toPandas()
     assert n == len(pdf)
     assert sorted(got["doc_id"]) == list(range(len(pdf)))  # unique AND dense
+
+
+def test_worker_attach_matches_broadcast_join(spark, tmp_path):
+    """The fused worker-side conv-base attach (each Python worker loads
+    conv_bases once and computes doc_id = base + turn_idx itself) must
+    produce byte-identical postings and identical query results to the
+    broadcast-join docmap path it replaces."""
+    import shutil
+
+    import trinity_spark.operators.docids as D
+    import trinity_spark.operators.indexer as I
+    from pyspark.sql import functions as F
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.indexer import SegmentIndex, build_index
+    from trinity_spark.plans.planner import QueryPlanner
+    from trinity_spark.sources.store import SegmentStore
+
+    df = spark.createDataFrame(gen_transcripts(12_000))
+    saved = D.BROADCAST_MAX_CONVS
+    outs = {}
+    try:
+        for label, thresh in [("worker", 8_000_000), ("join", 0)]:
+            D.BROADCAST_MAX_CONVS = thresh
+            I.BROADCAST_MAX_CONVS = thresh
+            base = str(tmp_path / f"attach_{label}")
+            shutil.rmtree(base, ignore_errors=True)
+            st = SegmentStore(base)
+            build_index(spark, df, st, rows_per_segment=5_000,
+                        input_desc="eq", docid_map_mode="virtual")
+            idx = SegmentIndex(spark, st)
+            p = QueryPlanner(idx)
+            rows = {
+                q: [(r["doc_id"], r["score"]) for r in p.plan(q, k=10).collect()]
+                for q in ("error AND timeout", '"connection reset by peer"')
+            }
+            dig = idx.postings.select(
+                F.expr("bit_xor(xxhash64(term, doc_id, tf))")
+            ).collect()[0][0]
+            outs[label] = (rows, int(dig), len(st.segments()))
+    finally:
+        D.BROADCAST_MAX_CONVS = saved
+        I.BROADCAST_MAX_CONVS = saved
+    assert outs["worker"] == outs["join"]

@@ -62,6 +62,92 @@ BROADCAST_MAX_CONVS = int(os.environ.get("TRINITY_BROADCAST_MAX_CONVS", "8000000
 _BASES_SCHEMA = "conv_id string, n_turns long, base long"
 
 
+def _conv_bases_driver(
+    spark, df: DataFrame, t, writer=None
+) -> tuple[DataFrame | None, int, int, bool]:
+    """Driver-side tail of ``_conv_bases`` for broadcast-feasible conv
+    tables: ``t`` is the Arrow-collected conv aggregation.  Exactly the
+    distributed path's semantics (null check, dense screen, bitmap
+    permutation test, filtered exact pass for >61-turn convs), with the
+    sort/prefix-sum/enumerate as numpy and the parquet write direct."""
+    import pyarrow as pa
+
+    conv_col = t.column("conv_id")
+    if isinstance(conv_col, pa.ChunkedArray):
+        conv_col = conv_col.combine_chunks()
+    if conv_col.null_count:
+        raise ValueError(
+            "NULL conv_id in input turns: doc-id assignment joins on "
+            "conv_id, so NULL-keyed turns would be silently dropped from "
+            "the index while still counted in n_docs — clean the input "
+            "(assign a sentinel conv id) first"
+        )
+    conv_bytes = (
+        conv_col.cast(pa.binary()).to_numpy(zero_copy_only=False).astype("S")
+    )
+    order = np.argsort(conv_bytes, kind="stable")  # UTF-8 byte order ==
+    # Spark string ordering, so the assignment is identical to the
+    # range-partitioned distributed enumerate
+    n_turns = t.column("n_turns").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    min_idx = t.column("min_idx").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    max_idx = t.column("max_idx").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    bits = t.column("bits").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    n_convs = len(n_turns)
+    n_docs = int(n_turns.sum())
+    small = max_idx <= 61
+    # shift guard: where the dense screen holds AND small, n_turns <= 62
+    shift = np.minimum(n_turns, 62).astype(np.int64)
+    target = (np.int64(1) << shift) - 1
+    sparse = (
+        (min_idx != 0)
+        | (max_idx != n_turns - 1)
+        | (small & (bits != target))
+    )
+    dense = not bool(sparse.any())
+    if dense and bool((~small).any()):
+        # convs too long for the 62-bit bitmap: exact distinct count over
+        # just those convs' turns (one filtered pass; rare)
+        long_ids = conv_col.take(pa.array(order[np.flatnonzero(~small)]))
+        long_df = spark.createDataFrame(
+            pa.table({"conv_id": long_ids}).to_pandas()
+        )
+        exact = (
+            df.join(F.broadcast(long_df), "conv_id", "left_semi")
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.countDistinct("turn_idx").alias("n_distinct"),
+            )
+            .where(F.col("n_distinct") != F.col("n_turns"))
+            .limit(1)
+            .collect()
+        )
+        dense = not exact
+    if writer is not None:
+        if dense:
+            base = np.concatenate(([0], np.cumsum(n_turns)[:-1]))
+            out = pa.table(
+                {
+                    "conv_id": conv_col.take(pa.array(order)),
+                    "n_turns": pa.array(n_turns, type=pa.int64()),
+                    "base": pa.array(base, type=pa.int64()),
+                }
+            )
+            writer(out, n_docs, n_convs)
+        return None, n_docs, n_convs, dense
+    base = np.concatenate(([0], np.cumsum(n_turns)[:-1]))
+    bases = spark.createDataFrame(
+        pa.table(
+            {
+                "conv_id": conv_col.take(pa.array(order)),
+                "n_turns": pa.array(n_turns, type=pa.int64()),
+                "base": pa.array(base, type=pa.int64()),
+            }
+        ).to_pandas()
+    )
+    return bases, n_docs, n_convs, dense
+
+
 def _conv_bases(
     df: DataFrame, num_partitions: int, writer=None
 ) -> tuple[DataFrame | None, int, int, bool]:
@@ -93,6 +179,23 @@ def _conv_bases(
             "then shiftleft(1L, cast(turn_idx as int)) else 0L end)"
         ).alias("bits"),
     )
+    # Broadcast-feasible regime: a conv table the attach join is allowed to
+    # BROADCAST is by definition driver-memory-sized, so the enumeration
+    # finishes driver-side — ONE Spark job (agg + Arrow collect; the
+    # limit caps driver memory and detects the huge regime by overflow),
+    # then numpy sort/cumsum/dense-test and a direct parquet write.  This
+    # replaces the range shuffle + per-partition-counts job + enumerate
+    # pass of the distributed path below, whose fixed job latencies
+    # dominated phase 0 at high core counts.  Bigger conv tables (the
+    # 100 TB regime) take the distributed path unchanged.
+    cap = BROADCAST_MAX_CONVS
+    head = convs.limit(cap + 1).toArrow()
+    if head.num_rows <= cap:
+        return _conv_bases_driver(df.sparkSession, df, head, writer)
+    # persist the agg output BEFORE range-partitioning: repartitionByRange
+    # must sample its input, and sampling an un-persisted frame re-runs the
+    # whole corpus aggregation — phase 0 was paying the 8M-row agg twice
+    convs.persist(StorageLevel.MEMORY_AND_DISK)
     ordered = convs.repartitionByRange(
         num_partitions, "conv_id"
     ).sortWithinPartitions("conv_id")
@@ -126,6 +229,9 @@ def _conv_bases(
         )
         .collect()  # one row per partition — O(partitions), not O(rows)
     )
+    # parts materialized `ordered`'s cache; the pre-shuffle agg cache has
+    # served its purpose (the range sampling + the one shuffle read)
+    convs.unpersist()
     if any(r["has_null"] for r in parts):
         raise ValueError(
             "NULL conv_id in input turns: doc-id assignment joins on "

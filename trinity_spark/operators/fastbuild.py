@@ -303,11 +303,43 @@ def _encode_partition(
     )
 
 
+# per-worker conv->base table cache for the fused attach (loaded once per
+# worker lifetime, shared across tasks — guide "heavyweight init once")
+_CONV_BASES_CACHE: dict = {}
+
+
+def _conv_base_lookup(path: str):
+    """(sorted conv_id bytes array, base array) loaded from the store's
+    conv_bases parquet once per worker process and cached by (path, latest
+    file mtime).  Lookups are numpy searchsorted over the sorted fixed-width
+    byte keys — no per-entry Python objects are ever built."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    key = (path, max((_os.path.getmtime(f) for f in files), default=0.0))
+    hit = _CONV_BASES_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=["conv_id", "base"])
+    conv = t.column("conv_id").cast(pa.binary()).combine_chunks()
+    conv_np = conv.to_numpy(zero_copy_only=False).astype("S")
+    base_np = t.column("base").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(conv_np, kind="stable")
+    table = (conv_np[order], base_np[order])
+    _CONV_BASES_CACHE.clear()  # one store's bases at a time per worker
+    _CONV_BASES_CACHE[path] = (key, table)
+    return table
+
+
 def blocks_from_turns(
     turns: DataFrame,
     text_col: str = "text",
     chunk_bits: int | None = None,
     codec: str = "varbyte",
+    conv_attach: tuple[str, int, int] | None = None,
 ) -> DataFrame:
     """turns(doc_id, text) -> encoded posting blocks in ONE mapInArrow pass —
     zero shuffles end to end (tokenize -> postings -> delta+varbyte blocks).
@@ -317,11 +349,61 @@ def blocks_from_turns(
     independent block sets (blocks decode standalone; trinity's per-segment
     term postings are split the same way).  ``operators.merge`` re-encodes
     globally for optimal block packing.
+
+    ``conv_attach=(bases_parquet_dir, doc_lo, doc_hi)`` fuses the virtual
+    docid-map resolution INTO this pass: each worker loads the conv->base
+    table once (cached for its lifetime) and computes ``doc_id = base +
+    turn_idx`` per batch — identical arithmetic to the broadcast join, with
+    the JVM-side broadcast build (a serial cost per build job) removed.
+    Rows outside [doc_lo, doc_hi) are dropped worker-side (the segment
+    slice).  Input then needs (conv_id, turn_idx, text) instead of
+    (doc_id, text); a conv_id absent from the bases table is corruption
+    and raises.
     """
     from ..operators.segments import CHUNK_BITS, SEGMENT_SCHEMA, _check_codec
 
     _check_codec(codec)
     cb = chunk_bits if chunk_bits is not None else CHUNK_BITS
+
+    def _batch_doc_ids(batch: pa.RecordBatch) -> np.ndarray | None:
+        if conv_attach is None:
+            return np.ascontiguousarray(
+                batch.column("doc_id").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+        path, lo, hi = conv_attach
+        conv_sorted, base_sorted = _conv_base_lookup(path)
+        conv = batch.column("conv_id")
+        enc = (
+            conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv
+        ).dictionary_encode()
+        uniq = (
+            enc.dictionary.cast(pa.binary())
+            .to_numpy(zero_copy_only=False)
+            .astype("S")
+        )
+        if uniq.dtype.itemsize > conv_sorted.dtype.itemsize:
+            # a conv_id longer than every stored id cannot be present, and
+            # width-truncation would otherwise false-match a shorter key
+            long_mask = np.char.str_len(uniq) > conv_sorted.dtype.itemsize
+            if long_mask.any():
+                raise ValueError(
+                    f"conv_id {uniq[long_mask][:1]!r} missing from "
+                    f"conv_bases at {path}: corrupt virtual docid map"
+                )
+        uniq = uniq.astype(conv_sorted.dtype)
+        pos = np.searchsorted(conv_sorted, uniq)
+        pos_clip = np.minimum(pos, len(conv_sorted) - 1)
+        if not (conv_sorted[pos_clip] == uniq).all():
+            missing = uniq[conv_sorted[pos_clip] != uniq][:1]
+            raise ValueError(
+                f"conv_id {missing!r} missing from conv_bases at {path}: "
+                "corrupt virtual docid map"
+            )
+        base_by_code = base_sorted[pos_clip]
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        return base_by_code[codes] + turn.astype(np.int64)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         docs: list[np.ndarray] = []
@@ -330,9 +412,18 @@ def blocks_from_turns(
         pos: list[np.ndarray] = []
         uniq: dict[str, int] = {}
         for batch in batches:
-            batch_doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            batch_doc_ids = _batch_doc_ids(batch)
+            if conv_attach is not None:
+                _, lo, hi = conv_attach
+                mask = (batch_doc_ids >= lo) & (batch_doc_ids < hi)
+                if not mask.all():
+                    keep = pa.array(mask)
+                    batch = batch.filter(keep)
+                    batch_doc_ids = batch_doc_ids[mask]
+                if len(batch_doc_ids) == 0:
+                    continue
             out = _postings_arrays(
-                np.ascontiguousarray(batch_doc_ids, dtype=np.int64),
+                batch_doc_ids,
                 tokenize_arrow(batch.column(text_col)),
             )
             if out is None:
@@ -356,7 +447,12 @@ def blocks_from_turns(
             uniques, np.concatenate(pos), cb, codec,
         )
 
-    return turns.select("doc_id", text_col).mapInArrow(run, SEGMENT_SCHEMA)
+    in_cols = (
+        ["conv_id", "turn_idx", text_col]
+        if conv_attach is not None
+        else ["doc_id", text_col]
+    )
+    return turns.select(*in_cols).mapInArrow(run, SEGMENT_SCHEMA)
 
 
 def postings_from_turns(turns: DataFrame, text_col: str = "text") -> DataFrame:

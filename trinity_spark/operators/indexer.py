@@ -106,6 +106,24 @@ def build_index(
     # segment loop: phase 0 (conv aggregation / docid map) is scan+agg
     # bound and runs ~15% faster on default-size splits — only the fused
     # encode pass wants the 4 MiB granularity
+    # Build-scoped JVM overhead trims (both restored in the finally):
+    # - whole-stage codegen OFF: the build's CPU is all Python-side
+    #   (mapInArrow); Janino compilation of its handful of scan/agg stages
+    #   is ~2-3 s of pure serial driver time per fresh JVM, which dominates
+    #   the short 4N-core leg of the scaling pair.
+    # - AQE OFF: the build plan is shuffle-free except the tiny conv-table
+    #   repartition and the commit's fixed-width range write; AQE's
+    #   per-stage driver re-optimization only adds serial latency here.
+    _cg_key = "spark.sql.codegen.wholeStage"
+    _cg_old = spark.conf.get(_cg_key, None)
+    spark.conf.set(
+        _cg_key, os.environ.get("TRINITY_BUILD_CODEGEN", "false")
+    )
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_old = spark.conf.get(_aqe_key, None)
+    spark.conf.set(
+        _aqe_key, os.environ.get("TRINITY_BUILD_AQE", "false")
+    )
     try:
         return _build_index_inner(
             spark, turns, store, rows_per_segment, input_desc, chunk_bits,
@@ -116,6 +134,14 @@ def build_index(
             spark.conf.unset(_mpb_key)
         else:
             spark.conf.set(_mpb_key, _mpb_old)
+        if _cg_old is None:
+            spark.conf.unset(_cg_key)
+        else:
+            spark.conf.set(_cg_key, _cg_old)
+        if _aqe_old is None:
+            spark.conf.unset(_aqe_key)
+        else:
+            spark.conf.set(_aqe_key, _aqe_old)
 
 
 def _build_index_inner(
@@ -320,11 +346,25 @@ def _build_index_inner(
         "spark.sql.files.maxPartitionBytes",
         os.environ.get("TRINITY_BUILD_SPLIT_BYTES", "4194304"),
     )
-    # loop-invariant: did the virtual-mode attach join hash-shuffle?
+    # loop-invariants for the virtual docid map:
+    # - worker-side attach: conv table fits the broadcast budget, so each
+    #   Python worker loads conv_bases ONCE (cached for its lifetime) and
+    #   the fused pass computes doc_id = base + turn_idx itself — no JVM
+    #   broadcast build (a serial cost per build job), no join in the plan
+    # - attach_shuffled: conv table too big, the docmap join hash-shuffles
+    #   and the encoder needs a doc-range repartition (see below)
+    _manifest_docid = (
+        store.read_manifest().get("docid_map", {})
+        if store.docid_map_mode() == "virtual"
+        else {}
+    )
+    virtual_attach = (
+        bool(_manifest_docid)
+        and _manifest_docid.get("n_convs", 0) <= BROADCAST_MAX_CONVS
+    )
     attach_shuffled = (
         bool(seg_conv_bounds)
-        and store.read_manifest()["docid_map"].get("n_convs", 0)
-        > BROADCAST_MAX_CONVS
+        and _manifest_docid.get("n_convs", 0) > BROADCAST_MAX_CONVS
     )
     for lo in range(0, n_docs, rows_per_segment):
         hi = min(lo + rows_per_segment, n_docs)
@@ -341,7 +381,17 @@ def _build_index_inner(
                 "segments; refusing to build duplicate documents"
             )
         t0 = time.monotonic()
-        seg_turns = docmap.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        conv_attach = None
+        if virtual_attach:
+            # worker-side attach: feed the ORIGINAL input (conv-range
+            # predicate still pushes down); the fused pass derives doc_id
+            # and applies the [lo, hi) slice itself
+            conv_attach = (store.conv_bases_dir(), lo, hi)
+            seg_turns = turns
+        else:
+            seg_turns = docmap.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
         if seg_conv_bounds:
             # virtual mode: conv_id range predicate pushes down to the INPUT
             # scan (the computed doc_id filter above cannot)
@@ -361,7 +411,8 @@ def _build_index_inner(
         # fused tokenize->postings->encode: ONE pass, zero data shuffles;
         # dictionary + stats come off block metadata (also shuffle-light)
         blocks = blocks_from_turns(
-            seg_turns, chunk_bits=chunk_bits, codec=codec
+            seg_turns, chunk_bits=chunk_bits, codec=codec,
+            conv_attach=conv_attach,
         ).persist()
         tb = time.monotonic()
         blocks.count()  # materialize the fused pass once, before any reuse

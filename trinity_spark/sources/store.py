@@ -315,8 +315,25 @@ class SegmentStore:
         the derivation rule ``doc_id = base + turn_idx`` recorded in the
         manifest.  At 100 TB the materialized map would DOUBLE the corpus on
         disk; the conv table is the minimal deterministic checkpoint that
-        reproduces the exact same assignment from the (immutable) input."""
-        bases.write.mode("overwrite").parquet(self.conv_bases_dir())
+        reproduces the exact same assignment from the (immutable) input.
+
+        ``bases`` is either a DataFrame (distributed enumerate) or a
+        pyarrow Table (the driver-side enumerate of broadcast-feasible conv
+        tables) — the Table path writes the parquet directly, no Spark job.
+        """
+        import pyarrow as pa
+
+        if isinstance(bases, pa.Table):
+            import shutil
+
+            import pyarrow.parquet as pq
+
+            d = self.conv_bases_dir()
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(bases, os.path.join(d, "part-00000.parquet"))
+        else:
+            bases.write.mode("overwrite").parquet(self.conv_bases_dir())
         with self._manifest_lock():
             m = self.read_manifest()
             m["docid_map"] = {
