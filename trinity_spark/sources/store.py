@@ -44,6 +44,36 @@ from pyspark.sql import functions as F
 
 MANIFEST = "manifest.json"
 
+# Postings output files are sized by DATA VOLUME, not core count.  The old
+# one-file-per-core write produced 32 x ~1.7 MB files at the 1M-turn bench
+# point; every query scan then planned one task per file, and the per-task
+# Python-runner round trip of the decode MapInArrow dominated selective
+# queries (measured: an empty-term decode cost 0.42 s across 32 tasks vs
+# 0.22 s as one task).  Target ~32 MiB per file: small indexes collapse to
+# 1-2 files (selective scans plan 1 task), large indexes grow files with
+# the data (431 MB at 8M turns -> ~16 files) and Spark still splits big
+# files at maxPartitionBytes for scan parallelism.  Cluster deployments
+# tune the target via env (guide: aim 128 MB-1 GB per output file).
+POSTINGS_TARGET_FILE_BYTES = int(
+    os.environ.get("TRINITY_POSTINGS_FILE_BYTES", str(32 << 20))
+)
+# Driver-side size estimate (no extra Spark job at commit time): measured
+# ~54 B/doc on the bench transcript corpus at 1M turns; only the ORDER of
+# magnitude matters (file-count decisions), so a corpus-specific override
+# is an env knob, not a measurement job.
+POSTINGS_EST_BYTES_PER_DOC = float(
+    os.environ.get("TRINITY_POSTINGS_BYTES_PER_DOC", "64")
+)
+# Parquet row-group size for postings files.  Row groups are BOTH the term-
+# pruning granularity (min/max stats on the sorted term column) AND the
+# scan-parallelism unit (a row group is read by exactly one task), so with
+# few large files the default 128 MB row group would serialize multi-term
+# decodes into 1-2 tasks.  ~8 MiB keeps the old 32-file layout's skip
+# granularity and parallel decode units inside the new large files.
+POSTINGS_ROWGROUP_BYTES = int(
+    os.environ.get("TRINITY_POSTINGS_ROWGROUP_BYTES", str(8 << 20))
+)
+
 
 @dataclass
 class SegmentMeta:
@@ -429,33 +459,53 @@ class SegmentStore:
         term_dict: DataFrame,
         field_stats: DataFrame,
         segment_id: str,
+        docs_hint: int | None = None,
     ) -> int:
         # sorted by term: parquet row-group min/max on `term` = dictionary seek.
-        # one write partition per core — par//2 left half the cores idle
-        # through the whole commit phase at low parallelism
+        # Partition count is derived from estimated postings BYTES (see
+        # POSTINGS_TARGET_FILE_BYTES), capped at core count: tiny segments
+        # write 1 file instead of one-per-core (repartitionByRange with a
+        # single partition skips the range-sampling pass entirely), big
+        # segments keep up to one writer per core.
         from concurrent.futures import ThreadPoolExecutor
 
         from pyspark.sql import Observation
+
+        import math
+
+        par = max(blocks.sparkSession.sparkContext.defaultParallelism, 2)
+        if docs_hint and docs_hint > 0:
+            est = docs_hint * POSTINGS_EST_BYTES_PER_DOC
+            n_parts = min(
+                max(math.ceil(est / POSTINGS_TARGET_FILE_BYTES), 1), par
+            )
+        else:
+            n_parts = par
 
         obs = Observation()
 
         def _write_postings() -> None:
             blocks.repartitionByRange(
-                max(blocks.sparkSession.sparkContext.defaultParallelism, 2),
+                n_parts,
                 "term",
             ).sortWithinPartitions("term", "block_id").observe(
                 obs, F.count(F.lit(1)).alias("n")
-            ).write.mode("overwrite").parquet(
+            ).write.mode("overwrite").option(
+                "parquet.block.size", str(POSTINGS_ROWGROUP_BYTES)
+            ).parquet(
                 self.segment_dir(segment_id, "postings")
             )
 
         def _write_dict() -> None:
-            term_dict.write.mode("overwrite").parquet(
+            # KB-scale table: one file, not one per shuffle partition (a
+            # 32-file dictionary made the first stats_for collect pay 32
+            # footer reads)
+            term_dict.coalesce(1).write.mode("overwrite").parquet(
                 self.segment_dir(segment_id, "term_dict")
             )
 
         def _write_stats() -> None:
-            field_stats.write.mode("overwrite").parquet(
+            field_stats.coalesce(1).write.mode("overwrite").parquet(
                 self.segment_dir(segment_id, "field_stats")
             )
 
@@ -487,7 +537,8 @@ class SegmentStore:
         invisible until the manifest names the segment — Trinity's
         tmp-then-rename persist (indexer.cpp:286-300)."""
         meta.lineage["n_blocks"] = self._write_segment_data(
-            blocks, term_dict, field_stats, meta.segment_id
+            blocks, term_dict, field_stats, meta.segment_id,
+            docs_hint=meta.docs_cnt,
         )
         with self._manifest_lock():
             m = self.read_manifest()
@@ -546,7 +597,8 @@ class SegmentStore:
         the old one masked (or vice versa).  Returns the tombstone generation.
         """
         meta.lineage["n_blocks"] = self._write_segment_data(
-            blocks, term_dict, field_stats, meta.segment_id
+            blocks, term_dict, field_stats, meta.segment_id,
+            docs_hint=meta.docs_cnt,
         )
         with self._manifest_lock():
             m = self.read_manifest()
@@ -585,7 +637,8 @@ class SegmentStore:
         doc twice — and where a concurrent add_deletes landing between the
         trim's read and write was silently dropped (lost update)."""
         meta.lineage["n_blocks"] = self._write_segment_data(
-            blocks, term_dict, field_stats, meta.segment_id
+            blocks, term_dict, field_stats, meta.segment_id,
+            docs_hint=meta.docs_cnt,
         )
         retire = set(retire_ids)
         gens = set(retire_delete_gens or [])
