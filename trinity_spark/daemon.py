@@ -28,6 +28,17 @@ except Exception:  # pragma: no cover - daemon must start even if import fails
     pass
 # fmt: on
 
+import gc
+
+# The stock daemon loop runs a full gc.collect() in the worker after EVERY
+# task; with the preloaded modules above that is a ~73k-object permanent
+# generation scanned each time (measured 16-30 ms per collect — per task).
+# Freeze the post-import heap into the permanent generation: forked workers
+# inherit it, their per-task collections scan only objects allocated since
+# fork, and the frozen pages also stay copy-on-write-clean longer.
+gc.collect()
+gc.freeze()
+
 from pyspark.daemon import manager
 
 if __name__ == "__main__":

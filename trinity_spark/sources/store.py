@@ -484,11 +484,25 @@ class SegmentStore:
 
         obs = Observation()
 
+        # HASH-partition by term (each term still lands in exactly one file,
+        # term-sorted within it, so parquet row-group min/max pruning is
+        # unchanged) instead of RANGE: repartitionByRange runs a sampling
+        # pass over the whole blocks frame to pick bounds — a fixed extra
+        # job per segment commit that capped commit-phase scaling.  No
+        # consumer needs a global cross-file term order (no term-range
+        # scans; the dictionary is its own table).  TRINITY_POSTINGS_
+        # PARTITIONER=range restores the old layout.
+        use_range = (
+            os.environ.get("TRINITY_POSTINGS_PARTITIONER", "hash") == "range"
+        )
+
         def _write_postings() -> None:
-            blocks.repartitionByRange(
-                n_parts,
-                "term",
-            ).sortWithinPartitions("term", "block_id").observe(
+            src = (
+                blocks.repartitionByRange(n_parts, "term")
+                if use_range
+                else blocks.repartition(n_parts, "term")
+            )
+            src.sortWithinPartitions("term", "block_id").observe(
                 obs, F.count(F.lit(1)).alias("n")
             ).write.mode("overwrite").option(
                 "parquet.block.size", str(POSTINGS_ROWGROUP_BYTES)
