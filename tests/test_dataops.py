@@ -67,6 +67,101 @@ def test_minhash_signature_is_md5_derived(spark):
         assert sig[f"h{i}"] == expect
 
 
+def test_minhash_arrow_kernel_verified_pairs_match_sql(spark):
+    """The arrow kernel is a different (equally valid) hash family, so raw
+    signatures differ from the md5 path by design — but after banding and
+    exact-Jaccard verification the near-dup PAIR SET must match."""
+    docs = _docs(spark, DUP_ROWS)
+    want = {
+        (p["id_a"], p["id_b"]): round(p["jaccard"], 9)
+        for p in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    got = {
+        (p["id_a"], p["id_b"]): round(p["jaccard"], 9)
+        for p in dedup.minhash_near_duplicates(
+            docs, threshold=0.5, kernel="arrow"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_minhash_arrow_kernel_deterministic_and_content_keyed(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # same text
+        (2, "short"),  # < shingle_n tokens -> whole-run shingle
+        (3, "short"),
+        (4, ""),  # empty text
+        (5, None),  # NULL text behaves like empty
+        (6, "completely different words in this one document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+        for r in dedup.minhash_signatures(docs, kernel="arrow").collect()
+    }
+    again = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+        for r in dedup.minhash_signatures(docs, kernel="arrow").collect()
+    }
+    assert sigs == again  # deterministic across runs
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    assert sigs[2] == sigs[3]  # short-doc path too
+    assert sigs[4] == sigs[5]  # NULL == empty
+    assert sigs[0] != sigs[6]
+    assert len(sigs) == 7
+
+
+def test_minhash_arrow_kernel_matches_slow_reference(spark):
+    """Pin the kernel's vectorized window/scatter math against a direct
+    per-doc Python reimplementation of the same hash family."""
+    import pandas as pd
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x y"),
+        (2, "a b c"),
+        (3, "m n o p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(4))
+        for r in dedup.minhash_signatures(
+            docs, num_hashes=4, kernel="arrow"
+        ).collect()
+    }
+    mults, xors = dedup._minhash_perm_constants(4)
+    POLY = np.uint64(0x9E3779B97F4A7C15)
+    for doc_id, text in rows:
+        toks = text.split()
+        tok_h = pd.util.hash_array(np.array(toks, dtype=object)).astype(
+            np.uint64
+        ) if toks else np.empty(0, dtype=np.uint64)
+        if len(toks) >= 3:
+            grams = []
+            for i in range(len(toks) - 2):
+                h = np.uint64(0)
+                for j in range(i, i + 3):
+                    h = h * POLY + tok_h[j]
+                grams.append(h)
+        else:
+            h = np.uint64(0)
+            for j in range(len(toks)):
+                h = h * POLY + tok_h[j]
+            grams = [h]
+        grams = np.array(grams, dtype=np.uint64)
+        expect = tuple(
+            int(((grams * mults[i]) ^ xors[i]).min().astype(np.int64))
+            for i in range(4)
+        )
+        assert got[doc_id] == expect, doc_id
+
+
+def test_minhash_rejects_unknown_kernel(spark):
+    with pytest.raises(ValueError, match="unknown minhash kernel"):
+        dedup.minhash_signatures(_docs(spark, DUP_ROWS), kernel="gpu")
+
+
 # --- simhash -----------------------------------------------------------------
 
 def test_simhash_exact_and_near(spark):

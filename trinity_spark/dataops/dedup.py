@@ -114,10 +114,27 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    kernel: str = "sql",
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of
+    """Per-doc MinHash signature.
+
+    ``kernel="sql"`` (default): sig[i] = min over shingles of
     md5(i || shingle).  md5-based so DuckDB reproduces it exactly; a string
-    min is a valid random-permutation surrogate."""
+    min is a valid random-permutation surrogate.
+
+    ``kernel="arrow"``: the bulk-throughput twin
+    (``minhash_signatures_arrow``) — one mapInArrow pass, no explode and NO
+    SHUFFLE (the sql path ships docs x shingles rows through the groupBy
+    exchange), int64 signatures from a multiply-xor permutation family.
+    A different (equally valid) hash family, so signatures are NOT
+    interchangeable with the sql path — downstream banding/verification is
+    family-agnostic and the verified near-dup pair set matches."""
+    if kernel == "arrow":
+        return minhash_signatures_arrow(
+            docs, id_col, text_col, num_hashes, shingle_n
+        )
+    if kernel != "sql":
+        raise ValueError(f"unknown minhash kernel {kernel!r}: sql | arrow")
     sh = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
@@ -126,6 +143,122 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_perm_constants(num_hashes: int):
+    """Deterministic (multiplier, xor) pairs for the arrow kernel's
+    permutation family, derived from md5 so no RNG state is involved.
+    Multipliers are forced odd (odd multipliers are bijections mod 2^64)."""
+    import hashlib
+
+    import numpy as np
+
+    mults = np.empty(num_hashes, dtype=np.uint64)
+    xors = np.empty(num_hashes, dtype=np.uint64)
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-perm-{i}".encode()).digest()
+        mults[i] = np.uint64(int.from_bytes(d[:8], "big") | 1)
+        xors[i] = np.uint64(int.from_bytes(d[8:], "big"))
+    return mults, xors
+
+
+def minhash_signatures_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Arrow-kernel MinHash: per-doc signatures in ONE map pass.
+
+    The sql path explodes to docs x shingles rows and shuffles them into 16
+    md5-string min-aggregations — at 10M docs the md5-of-string aggs
+    dominate the whole dedup leg.  Here each task, per Arrow batch:
+    tokenizes with pandas' C splitter, hashes every TOKEN once with
+    pandas' vectorized siphash, combines each n-token window into a shingle
+    hash by a wraparound polynomial (order-sensitive, never materializing
+    shingle strings), applies the ``num_hashes`` multiply-xor permutations
+    in numpy, and takes per-doc minima with ``minimum.reduceat``.  Zero
+    shuffles, zero per-row Python.
+
+    Shingle semantics mirror ``shingles()``: whitespace-run tokens; docs
+    shorter than ``shingle_n`` tokens contribute the whole token run as one
+    shingle (empty text included).  Duplicate shingles need no dedup — the
+    min is multiset-invariant.  Signatures are int64 columns h0..h{n-1};
+    ``lsh_candidate_pairs`` bands them unchanged (concat_ws casts)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    mults, xors = _minhash_perm_constants(num_hashes)
+    POLY = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio mixing constant
+    names = [id_col] + [f"h{i}" for i in range(num_hashes)]
+
+    def kern(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            texts = b.column(text_col).to_pandas().astype(object)
+            toks = texts.fillna("").str.split()
+            counts = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                                 count=len(toks))
+            flat = np.empty(int(counts.sum()), dtype=object)
+            pos = 0
+            for t in toks:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+            tok_h = (
+                pd.util.hash_array(flat).astype(np.uint64)
+                if len(flat)
+                else np.empty(0, dtype=np.uint64)
+            )
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            n = shingle_n
+            # docs with >= n tokens: polynomial over each n-token window of
+            # the FLAT hash array (windows crossing a doc boundary are
+            # masked out).  docs with < n tokens (incl. empty text): one
+            # shingle = polynomial over the doc's whole token run (0 for
+            # the empty run) — mirrors shingles()'s whole-text fallback.
+            long_doc = counts >= n
+            n_grams = np.where(long_doc, counts - n + 1, 1)
+            gram_ends = np.cumsum(n_grams)
+            gram_starts = gram_ends - n_grams
+            grams = np.zeros(int(n_grams.sum()), dtype=np.uint64)
+            if long_doc.any():
+                n_win = len(flat) - n + 1
+                win = tok_h[:n_win].copy()
+                for j in range(1, n):
+                    win *= POLY
+                    win += tok_h[j : j + n_win]
+                doc_of_pos = np.repeat(np.arange(len(counts)), counts)
+                off_in_doc = np.arange(len(flat)) - np.repeat(starts, counts)
+                valid = (
+                    long_doc[doc_of_pos]
+                    & (off_in_doc <= counts[doc_of_pos] - n)
+                )
+                gram_doc = np.repeat(np.arange(len(counts)), n_grams)
+                # every valid start is < n_win (a fitting window cannot
+                # begin in the last n-1 flat positions), so the mask
+                # truncates losslessly to the window array's length
+                grams[long_doc[gram_doc]] = win[valid[:n_win]]
+            for d in np.nonzero(~long_doc)[0]:
+                h = np.uint64(0)
+                for j in range(starts[d], ends[d]):
+                    h = h * POLY + tok_h[j]
+                grams[gram_starts[d]] = h
+            arrays = [b.column(id_col)]
+            for i in range(num_hashes):
+                perm = (grams * mults[i]) ^ xors[i]
+                sig = np.minimum.reduceat(perm, gram_starts)
+                arrays.append(pa.array(sig.astype(np.int64), type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    sig_cols = ", ".join(f"h{i} long" for i in range(num_hashes))
+    return docs.select(id_col, text_col).mapInArrow(
+        kern, f"{id_col} {id_type}, {sig_cols}"
+    )
 
 
 def bucket_all_pairs(
@@ -358,11 +491,16 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    kernel: str = "sql",
 ) -> DataFrame:
     """Full MinHash->LSH->verify pipeline: near-dup pairs above threshold.
     ``max_bucket_size`` bounds degenerate LSH buckets (see
-    ``lsh_candidate_pairs``); None = exact (no cap)."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    ``lsh_candidate_pairs``); None = exact (no cap).  ``kernel`` selects the
+    signature implementation (``minhash_signatures``); banding and the
+    exact-Jaccard verification are hash-family-agnostic."""
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_n, kernel=kernel
+    )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket_size)
     return jaccard_pairs(docs, cands, id_col, text_col, shingle_n).where(
         F.col("jaccard") >= threshold
