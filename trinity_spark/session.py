@@ -69,6 +69,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("TRINITY_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # PySpark 4's DataFrame-debugging wrapper captures the Python call
+        # site for every DataFrame/Column API call (an inspect.stack walk +
+        # a conf-get RPC + two JVM calls per operation — measured ~2 ms per
+        # call, ~45% of this engine's per-query plan-construction time).
+        # The engine builds hundreds of Column expressions per query plan,
+        # so the call-site context (a nicety in error messages) costs more
+        # than the queries themselves; off by default, opt back in via env.
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                os.environ.get("TRINITY_DF_DEBUGGING", "false"))
         # NOTE: no global spark.sql.files.maxPartitionBytes override here —
         # the build-tuned 4 MiB fine-split (critical for scaling efficiency
         # of the CPU-bound fused build) is scoped INSIDE build_index via a
