@@ -1058,9 +1058,30 @@ class SegmentStore:
                         "(expected for empty/whitespace turns)"
                     )
             for meta in metas:
-                blocks = spark.read.parquet(
-                    self.segment_dir(meta.segment_id, "postings")
-                )
+                from pyspark.errors import AnalysisException
+
+                try:
+                    blocks = spark.read.parquet(
+                        self.segment_dir(meta.segment_id, "postings")
+                    )
+                    blocks.schema  # force schema inference (lazy otherwise)
+                except AnalysisException:
+                    # no readable parquet file at all — every part-file of
+                    # this segment is lost.  With data-volume-sized output
+                    # files a small segment is ONE file, so total loss is a
+                    # plausible single-file accident; report it through the
+                    # same exact block-count invariant instead of crashing
+                    # the checker on schema inference.
+                    expect_blocks = meta.lineage.get("n_blocks")
+                    errors.append(
+                        f"{meta.segment_id}: physical block count 0 != "
+                        f"lineage n_blocks {expect_blocks} "
+                        "(all postings files lost)"
+                        if expect_blocks is not None
+                        else f"{meta.segment_id}: postings unreadable "
+                        "(no parquet files)"
+                    )
+                    continue
                 # exact block-count vs write-time lineage: catches LOST or
                 # truncated postings part-files (physical < lineage), which
                 # the one-sided doc-count check above cannot — zero-token
