@@ -114,6 +114,142 @@ def run_decode_floor(cpus: int) -> dict:
     return out
 
 
+def run_percolator_50k(cpus: int) -> dict:
+    """VERDICT r5 #7: the percolator at a selective 50k-query registry
+    (rare routing terms; 80% never-firing alerts), chunked compile engaged
+    (50k >> MAX_COMPILED_QUERIES), routed vs full scan with a hits-match
+    assertion.  Doc side is a deterministic 10k-doc slice of the dataops
+    corpus so the full-scan control stays measurable."""
+    from pyspark.sql import functions as F
+
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators.percolator import (
+        MAX_COMPILED_QUERIES,
+        percolate,
+        percolate_routed,
+    )
+    from trinity_spark.session import get_spark
+
+    spark = get_spark(f"xb_perc_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    n_docs = 10_000
+    pdf = gen_transcripts(n_docs)[["text"]].copy()
+    pdf["doc_id"] = range(n_docs)
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]]).persist()
+    docs.count()
+    qs = {}
+    for i in range(50_000):
+        if i % 5:  # 80%: alerts on terms that never occur
+            qs[f"q{i}"] = f"qqalert{i:05d} AND error"
+        else:  # 20%: rare-tail vocabulary (Zipf tail of the corpus)
+            w = f"w{4000 + (i % 950):04d}"
+            qs[f"q{i}"] = [
+                f"{w} AND error",
+                f'"{w} gpu"',
+                f"{w} OR w{4000 + ((i + 7) % 950):04d}",
+                f"{w} NOT test",
+            ][i % 4]
+    t0 = time.monotonic()
+    hits_full = percolate(docs, qs).count()
+    w_full = time.monotonic() - t0
+    t0 = time.monotonic()
+    hits_routed = percolate_routed(docs, qs).count()
+    w_routed = time.monotonic() - t0
+    if hits_routed != hits_full:
+        raise RuntimeError(f"diverged: {hits_routed} != {hits_full}")
+    docs.unpersist()
+    return {
+        "n_queries": len(qs),
+        "n_docs": n_docs,
+        "chunked_compile": len(qs) > MAX_COMPILED_QUERIES,
+        "max_compiled_queries": MAX_COMPILED_QUERIES,
+        "full_scan_wall_sec": round(w_full, 2),
+        "routed_wall_sec": round(w_routed, 2),
+        "win": round(w_full / max(w_routed, 1e-9), 2),
+        "hits": int(hits_routed),
+        "hits_match_full_scan": True,
+    }
+
+
+def run_collection_64(cpus: int) -> dict:
+    """VERDICT r5 #6: collection execution at 64 micro-stores — the shape
+    the pooled path exists for.  Stores-vs-wall curve at 8/32/64 stores,
+    gate-closed (lazy union vs pooled) and forced-gate-open (per-store
+    pass-1 driver actions), rows asserted identical each time."""
+    from trinity_spark.fixtures import gen_transcripts
+    from trinity_spark.operators import collection as coll
+    from trinity_spark.operators import topk as topk_mod
+    from trinity_spark.operators.indexer import build_index
+    from trinity_spark.session import get_spark
+    from trinity_spark.sources.store import SegmentStore
+
+    spark = get_spark(f"xb_coll_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    stores = []
+    for i in range(64):
+        base = f"/tmp/trinity_bench/xb_coll_store_{i}"
+        st = SegmentStore(base)
+        if not st.segments():
+            build_index(
+                spark, spark.createDataFrame(gen_transcripts(25_000, seed=700 + i)),
+                st, rows_per_segment=25_000, input_desc=f"xbcoll{i}",
+            )
+        stores.append(st)
+
+    def rows_of(df):
+        return [(r["source"], r["doc_id"], r["score"]) for r in df.collect()]
+
+    out: dict = {"turns_per_store": 25_000, "curve": []}
+    q, q2 = "error AND timeout", "the AND error"
+    for n in (8, 32, 64):
+        sub = stores[:n]
+        point: dict = {"n_stores": n}
+        # gate-closed: lazy union vs pooled
+        orig = coll.PAR_MIN_STORES
+        try:
+            coll.PAR_MIN_STORES = 10_000
+            rows_of(coll.exec_query_collection(spark, sub, q, k=10))  # warm
+            t0 = time.monotonic()
+            r_ser = rows_of(coll.exec_query_collection(spark, sub, q, k=10))
+            point["closed_serial_sec"] = round(time.monotonic() - t0, 2)
+        finally:
+            coll.PAR_MIN_STORES = orig
+        rows_of(coll.exec_query_collection_par(spark, sub, q, k=10))  # warm
+        t0 = time.monotonic()
+        r_par = rows_of(coll.exec_query_collection_par(spark, sub, q, k=10))
+        point["closed_pooled_sec"] = round(time.monotonic() - t0, 2)
+        point["closed_rows_identical"] = r_ser == r_par
+        # forced-gate-open: per-store pass-1 actions are what serialize
+        saved = (topk_mod.AND_PRUNE_MIN_DF, topk_mod.META_KEEP_MAX,
+                 topk_mod.PROBE_DOMINANCE, topk_mod.PROBE_BAIL_KEEP)
+        try:
+            topk_mod.AND_PRUNE_MIN_DF = 1
+            topk_mod.META_KEEP_MAX = 0.0
+            topk_mod.PROBE_DOMINANCE = 1.0
+            topk_mod.PROBE_BAIL_KEEP = 1.1
+            try:
+                coll.PAR_MIN_STORES = 10_000
+                rows_of(coll.exec_query_collection(spark, sub, q2, k=10))
+                t0 = time.monotonic()
+                fo_ser = rows_of(coll.exec_query_collection(spark, sub, q2, k=10))
+                point["open_serial_sec"] = round(time.monotonic() - t0, 2)
+            finally:
+                coll.PAR_MIN_STORES = orig
+            rows_of(coll.exec_query_collection_par(spark, sub, q2, k=10))
+            t0 = time.monotonic()
+            fo_par = rows_of(coll.exec_query_collection_par(spark, sub, q2, k=10))
+            point["open_pooled_sec"] = round(time.monotonic() - t0, 2)
+            point["open_rows_identical"] = fo_ser == fo_par
+            point["open_win"] = round(
+                point["open_serial_sec"] / max(point["open_pooled_sec"], 1e-9), 2
+            )
+        finally:
+            (topk_mod.AND_PRUNE_MIN_DF, topk_mod.META_KEEP_MAX,
+             topk_mod.PROBE_DOMINANCE, topk_mod.PROBE_BAIL_KEEP) = saved
+        out["curve"].append(point)
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result: dict = {"cpus": cpus}
@@ -121,6 +257,10 @@ def main() -> None:
         result["minhash_kernel_ab"] = run_minhash_ab(cpus)
     if os.environ.get("TRINITY_XB_DECODE", "0") == "1":
         result["decode_floor"] = run_decode_floor(cpus)
+    if os.environ.get("TRINITY_XB_PERC50K", "0") == "1":
+        result["percolator_50k"] = run_percolator_50k(cpus)
+    if os.environ.get("TRINITY_XB_COLL64", "0") == "1":
+        result["collection_64"] = run_collection_64(cpus)
     print(json.dumps(result, indent=1, sort_keys=True))
 
 
